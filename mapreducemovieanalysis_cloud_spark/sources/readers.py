@@ -1,0 +1,82 @@
+"""Sources: parquet (primary), CSV/JSON/ORC, and the MovieLens CSV shape.
+
+Replaces the reference's three scan paths (SURVEY §2.1 S1-S3):
+
+- S1 line-at-a-time ``TextInputFormat`` over reviews.csv → ``spark.read.csv``
+  with an explicit schema (no inference pass, predicate pushdown works).
+- S2 whole-file HashMap load of movies.csv via DistributedCache
+  (``MovieRank.java:30-51``) → an ordinary DataFrame the planner broadcasts.
+- S3 ``KeyValueTextInputFormat`` re-scan of job-1 output → unnecessary; the
+  engine is one lazy DAG (SURVEY §3.4).
+
+Scale posture: parquet everywhere by default (columnar, splittable, stats for
+row-group pruning); CSV only at ingest boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from mapreducemovieanalysis_cloud_spark import schemas
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Read the driver tables (TESTDATA.md) into a dict of DataFrames."""
+    names = names or tuple(schemas.TPCH_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql`` queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic reader over the supported formats with an explicit schema."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("quote", '"')
+        options.setdefault("escape", '"')
+        # PERMISSIVE + corrupt-record column instead of the reference's
+        # throw-on-parse Integer.parseInt (MovieRank.java:43).
+        options.setdefault("mode", "PERMISSIVE")
+    return reader.options(**options).load(path)
+
+
+def read_movielens_csv(
+    spark: SparkSession, movies_path: str, ratings_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read the reference's two inputs with real CSV semantics.
+
+    The reference hand-parses both files: header skipped by comparing field 0
+    to a literal (``MovieRank.java:40-41,61-63``), commas inside titles
+    repaired by re-joining split fragments with quotes left in
+    (``MovieRank.java:44-47``), genres silently dropped. Here ``header=True``
+    and RFC-4180 quoting give the intended semantics directly, and genres
+    survives.
+    """
+    movies = read_any(spark, movies_path, "csv", schema=schemas.MOVIES)
+    ratings = read_any(spark, ratings_path, "csv", schema=schemas.RATINGS)
+    return movies, ratings

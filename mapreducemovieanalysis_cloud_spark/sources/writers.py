@@ -1,0 +1,36 @@
+"""Sinks: parquet (default), CSV/JSON/ORC, partitioned writes.
+
+Replaces the reference's single sink — ``TextOutputFormat`` writing
+``key \\t value`` lines (SURVEY §2.1 S4, ``MovieRank.java:169-171``). The
+tab-packed payload strings disappear: intermediate schemas are real schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options: str,
+) -> None:
+    """Write ``df`` to ``path``.
+
+    ``partition_by`` produces hive-style directory partitioning — the 100 TB
+    pattern for downstream partition pruning (e.g. partition events by day).
+    The reference-exact tab-separated text output is ``fmt='csv', sep='\\t'``.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
