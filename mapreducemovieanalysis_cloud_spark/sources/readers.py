@@ -24,7 +24,24 @@ _FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-provided table from ``{sf_dir}/{name}.parquet``."""
+    """Read one driver-provided table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. It is read as raw nanos via the
+    ``nanosAsLong`` legacy flag and rebuilt as a microsecond TimestampType
+    with integer division (``div`` — float division would lose precision at
+    1.7e18 ns magnitudes), matching DuckDB's nanos→micros truncation.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
