@@ -1,0 +1,62 @@
+"""Vector (embedding) column expressions — JVM-side, no UDFs.
+
+Cosine similarity is computed in **quantized integer space**: each float is
+scaled to a 1e-6-resolution integer, dot products accumulate exactly in int64
+(64-dim · (0.58·1e6)² · 64 ≈ 2.1e13 « 2^53 « 2^63 — no overflow, and exact as
+a double), and only the final sqrt/divide touch floating point (both exactly
+rounded IEEE ops). Result: bit-identical cosine in any engine, any summation
+order — which makes ANN results oracle-checkable, and at scale removes
+nondeterminism across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantize(vec: Column | str) -> Column:
+    """array<float> -> array<long> at 1e-6 resolution."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors (sequential fold —
+    order-independent because integer addition is associative)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    """Exact squared L2 norm (int64) of a quantized vector."""
+    return qdot(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity from quantized vectors."""
+    return qdot(a, b) / (
+        F.sqrt(qnorm2(a).cast("double")) * F.sqrt(qnorm2(b).cast("double"))
+    )
+
+
+# DuckDB fragment computing the identical quantity, for oracle SQL. `a`/`b`
+# are DOUBLE[] (or FLOAT[]) list expressions.
+DUCKDB_QDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(ROUND(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * "
+    "CAST(ROUND(CAST(p[2] AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+def duckdb_cosine(a: str, b: str) -> str:
+    dab = DUCKDB_QDOT.format(a=a, b=b)
+    daa = DUCKDB_QDOT.format(a=a, b=a)
+    dbb = DUCKDB_QDOT.format(a=b, b=b)
+    return (
+        f"({dab} / (sqrt(CAST({daa} AS DOUBLE)) * sqrt(CAST({dbb} AS DOUBLE))))"
+    )

@@ -1,0 +1,270 @@
+"""Deduplication operators for the documents table (north-star, BASELINE.json).
+
+Four tiers, each a pure DataFrame plan:
+
+- **exact**: md5-fingerprint groupBy — one shuffle on a 32-byte key, never on
+  the full text.
+- **n-gram Jaccard** (exact near-dup): explode distinct word shingles,
+  self-join on shingle, count intersections — the exact-but-quadratic-in-
+  collisions baseline the approximate tiers are judged against.
+- **MinHash + LSH** (scale path): per-doc signature of k min-hashes, banded
+  into LSH keys; only docs sharing a band key become candidate pairs, then
+  exact Jaccard verifies. Hashes are md5 *strings* (min over lexicographic
+  order) so the whole pipeline is reproducible in any engine — no
+  engine-specific hash function in the contract.
+- **SimHash**: 16-bit signed-projection sketch from md5 hex digits; hamming
+  distance on the compact signature finds near-dups without touching text.
+
+Scale notes: every self-join keys on a shingle/band/bucket — cardinality
+control comes from banding (LSH) or signature compactness (SimHash), not from
+driver-side state. Hot shingles (stopword runs) can skew the exact-Jaccard
+join; LSH bands are uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions.text import (
+    fingerprint,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivor per normalized-text fingerprint: min id wins, duplicate count
+    kept. Shuffles only (fingerprint, id) — 40 bytes/row at any scale."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) exploded distinct n-word shingles."""
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(n, text_col)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= thr).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all integers until one exact IEEE
+    division, so the value is engine- and partitioning-independent.
+    """
+    sh = shingle_sets(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def _seed_hash(seed: int, col: Column) -> Column:
+    """Deterministic per-seed hash of a shingle: md5 over 'seed:shingle'.
+    Min over the lexicographic order of hex strings is a valid MinHash
+    permutation surrogate (any total order on the hash space works)."""
+    return F.md5(F.encode(F.concat(F.lit(f"{seed}:"), col), "UTF-8"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k independent min-hashes per doc: one explode + one groupBy, k min()
+    aggregates (map-side partial min keeps the shuffle tiny)."""
+    sh = shingle_sets(docs, n, id_col, text_col)
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(_seed_hash(i, F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: rows/band = num_hashes/bands; docs sharing any band key
+    are candidates. Shuffle key is the (band_idx, band_key) pair — uniform by
+    hash construction, no skew."""
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b*rows+r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(band_cols).alias("band_idx", "band_key")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
+    with exact Jaccard (join back to shingle sets). Only candidate pairs pay
+    the verification cost — the LSH recall/precision tradeoff is in
+    (num_hashes, bands)."""
+    sh = shingle_sets(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sigs = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per document from token md5s.
+
+    Each token contributes ±1 per bit (bit set in its hash → +1 else −1);
+    the signature bit is 1 iff the sum is positive (2·ones > n). The token
+    hash value is the first 4 md5 hex digits parsed as an int — reproducible
+    in any engine with md5 + string ops.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hv = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    with_bits = toks.select(
+        F.col(id_col),
+        *[
+            F.shiftright(hv, j).bitwiseAND(F.lit(1)).alias(f"b{j}")
+            for j in range(16)
+        ],
+    )
+    agg = with_bits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(16)],
+    )
+    sig: Column = F.lit(0).cast("long")
+    for j in range(16):
+        sig = sig + F.when(F.col(f"s{j}") * 2 > F.col("n"), 1 << j).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the four
+    4-bit quarters of the signature: ≤3 differing bits across 4 quarters
+    leave at least one quarter identical (pigeonhole), so every qualifying
+    pair shares a bucket and the join never goes quadratic."""
+    sigs = simhash16(docs, id_col, text_col).cache()
+    quarters = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15))
+                    for i in range(4)
+                ]
+            )
+        ).alias("q_idx", "q_key"),
+    )
+    a = quarters.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "q_idx",
+        "q_key",
+    )
+    b = quarters.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "q_idx",
+        "q_key",
+    )
+    return (
+        a.join(b, ["q_idx", "q_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

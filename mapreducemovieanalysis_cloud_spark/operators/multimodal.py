@@ -1,0 +1,137 @@
+"""Multimodal column plumbing (north-star, BASELINE.json).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages. The real codec work (PIL/ffmpeg/torchaudio) is NOT available in this
+container, so the byte-level decoders are deterministic fakes behind
+``_decode_stub`` — but everything Spark-side is real and tested: schema,
+binary encoding, Arrow batch transfer, UDF signature, partition-preserving
+execution.
+
+At 100 TB: binary payloads never shuffle (all derivations are map-side);
+metadata-only columns are projected before any exchange, so downstream joins
+and aggregations move kilobytes, not media bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("data", BinaryType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("first_byte", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg absent in this environment
+
+
+def _decode_stub(media_type: str, data: bytes) -> dict[str, Any]:
+    """Deterministic fake decoder: derives "dimensions" from the byte stream.
+
+    A real deployment replaces this body with PIL.Image.open /
+    soundfile.read / av.open — the surrounding Spark plumbing (Arrow batches,
+    schema, partitioning) is unchanged. The fake is pure arithmetic on the
+    bytes so correctness is oracle-checkable.
+    """
+    if REAL_CODECS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real codecs not wired in this container")
+    n = len(data)
+    first = data[0] if n else 0
+    return {
+        "n_bytes": n,
+        "first_byte": first,
+        "width": (n % 640) + 1,
+        "height": ((n * 7 + first) % 480) + 1,
+    }
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads (the
+    container has no image/audio test data; the bytes are equally opaque to
+    the plumbing)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.col("source"),
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: one Python worker pass per
+    partition, binary stays columnar Arrow end-to-end, output drops the
+    payload (metadata-only → cheap to shuffle downstream)."""
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                _decode_stub(mt, bytes(d))
+                for mt, d in zip(pdf["media_type"], pdf["data"])
+            ]
+            out = pd.DataFrame(meta)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[
+                [
+                    "media_id",
+                    "media_type",
+                    "n_bytes",
+                    "first_byte",
+                    "width",
+                    "height",
+                ]
+            ]
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stand-in: emits one row per sampled "frame" offset —
+    the explode-shaped output a video frame sampler produces, with
+    deterministic fake frame ids. Pure Spark (no UDF): the offsets come from
+    sequence(), the payload is never copied per frame."""
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.length("data") / every_n_bytes).cast("int") - 1, F.lit(0)
+                ),
+            )
+        ).alias("frame_idx", "frame_offset_blocks"),
+        F.length("data").alias("n_bytes"),
+    ).withColumn(
+        "frame_offset", F.col("frame_offset_blocks") * every_n_bytes
+    ).drop("frame_offset_blocks")

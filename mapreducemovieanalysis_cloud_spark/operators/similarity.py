@@ -1,0 +1,187 @@
+"""Similarity search over the embeddings table (north-star, BASELINE.json).
+
+Two tiers:
+
+- **brute-force top-k**: broadcast the (small) query set against the full
+  embedding table, exact quantized cosine, per-query window top-k. At scale
+  the big side streams through a map stage — one pass, no shuffle of the
+  embedding corpus, then a top-k exchange of only k·queries rows.
+- **LSH-bucketed ANN** (scale path): random-hyperplane signatures (SRP) bucket
+  vectors; queries probe only their own bucket (and optionally neighboring
+  buckets via multi-probe). The hyperplanes are generated from md5 bits so the
+  whole index is deterministic and engine-reproducible.
+
+Embedding-cosine near-dup (pairs above a threshold) reuses the same SRP
+buckets as a blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions.vector import (
+    cosine_q,
+    quantize,
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine.
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned once.
+    Ranking uses the (bit-deterministic) cosine plus the corpus id as tie-break, so the
+    selected set is fully deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv_c")
+    )
+    q = queries.select(
+        F.col(query_id_col), quantize(vec_col).alias("qv_q")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id_col,
+        "neighbor_id",
+        cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_signature(
+    vec_col: str | F.Column,
+    planes: list[list[int]],
+) -> F.Column:
+    """Signed-random-projection bucket id: bit i = sign(v · plane_i).
+
+    ``planes`` are ±1 integer hyperplanes (deterministic, see
+    ``srp_planes``); the dot product of a quantized vector with ±1 entries is
+    exact int64 arithmetic.
+    """
+    qv = quantize(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(p) for p in plane])
+        dot = F.aggregate(
+            F.zip_with(qv, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, 1 << i).otherwise(0)
+    return sig
+
+
+def srp_planes(num_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 hyperplanes derived from md5 bytes (no RNG state,
+    reproducible everywhere)."""
+    import hashlib
+
+    planes = []
+    for i in range(num_planes):
+        bits: list[int] = []
+        counter = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"{seed}:{i}:{counter}".encode()).digest()
+            for byte in h:
+                for b in range(8):
+                    bits.append(1 if (byte >> b) & 1 else -1)
+            counter += 1
+        planes.append(bits[:dim])
+    return planes
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucketed candidates, exact cosine re-rank.
+
+    Each query only scores vectors in its own SRP bucket (expected corpus
+    fraction 2^-num_planes per bucket). Recall is tunable via num_planes;
+    at 100 TB this turns an O(corpus) scan per query into an O(bucket) probe
+    partitioned by bucket id.
+    """
+    planes = srp_planes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("qv_c"),
+        srp_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        quantize(vec_col).alias("qv_q"),
+        srp_signature(vec_col, planes).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        "neighbor_id",
+        cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, blocked by SRP
+    bucket (near-identical vectors land in the same bucket with high
+    probability; num_planes trades recall for join size)."""
+    planes = srp_planes(num_planes, dim)
+    base = corpus.select(
+        F.col(id_col),
+        quantize(vec_col).alias("qv"),
+        srp_signature(vec_col, planes).alias("bucket"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("qv").alias("qv_a"), "bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("qv").alias("qv_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_q(F.col("qv_a"), F.col("qv_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,323 @@
+"""North-star pipeline queries: dedup (exact/Jaccard/MinHash-LSH/SimHash),
+similarity search (brute-force + SRP-LSH ANN), multimodal plumbing — every one
+oracle-checked. The approximate algorithms are built from engine-neutral
+primitives (md5 strings, quantized integer dot products), so the DuckDB oracle
+replicates them *exactly* rather than falling back to rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.operators import dedup, multimodal, similarity
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+# ---- shared DuckDB fragments (mirror functions.text / operators.dedup) -----
+
+_SHINGLE_CTES = r"""
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  AS shingle FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+"""
+
+_JACCARD_FINISH = """
+    SELECT i.doc_a AS doc_a, i.doc_b AS doc_b,
+           i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {thr}
+"""
+
+
+@query(
+    "dedup_jaccard",
+    oracle=(
+        f"WITH {_SHINGLE_CTES}, "
+        """
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
+               i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.5
+        """
+    ),
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.5)."""
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ",\n      ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b*rows+r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    {_JACCARD_FINISH.format(thr=thr)}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates, exact-Jaccard verified at 0.5.
+    The scale path for near-dedup: candidate generation is linear in docs,
+    verification linear in candidates."""
+    return dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+def _simhash_sql_value() -> str:
+    """DuckDB expression for the first-4-hex-digits token hash value."""
+    digit = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    return " + ".join(
+        f"{digit.format(p=p+1)} * {16 ** (3 - p)}" for p in range(4)
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n             ".join(
+        f"SUM((v >> {j}) & 1) AS s{j}" for j in range(16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return rf"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id, {_simhash_sql_value()} AS v FROM toks),
+    bits AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM h GROUP BY 1)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3), quarter-bucket blocked."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+# ---- similarity search -----------------------------------------------------
+
+_QUANT = "list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+def _norm2(a: str) -> str:
+    return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+
+_COSINE = (
+    f"({_dot('qa', 'qb')} / "
+    f"(sqrt(CAST({_norm2('qa')} AS DOUBLE)) * "
+    f"sqrt(CAST({_norm2('qb')} AS DOUBLE))))"
+)
+
+
+def _ann_brute_oracle(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      {_QUANT.format(v='embedding')} AS qa
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id,
+                 {_QUANT.format(v='embedding')} AS qb
+          FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {_COSINE} AS cosine
+               FROM q, c WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_bruteforce", oracle=_ann_brute_oracle())
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the whole corpus
+    (quantized integer dot product — bit-identical in any engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def _srp_sql(vec: str, planes: list[list[int]]) -> str:
+    """DuckDB expression for the SRP bucket of a quantized vector column."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(str(p) for p in plane)
+        dot = (
+            f"CAST(list_sum(list_transform(generate_series(1, len({vec})), "
+            f"i -> {vec}[i] * ([{lits}])[i])) AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _ann_lsh_oracle(k: int = 10, n_queries: int = 5, num_planes: int = 8) -> str:
+    planes = similarity.srp_planes(num_planes, 64)
+    return f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    withb AS (SELECT vec_id, qv, {_srp_sql('qv', planes)} AS bucket FROM base),
+    q AS (SELECT vec_id AS query_id, qv AS qa, bucket FROM withb
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, qv AS qb, bucket FROM withb),
+    scored AS (SELECT query_id, neighbor_id, {_COSINE} AS cosine
+               FROM q JOIN c USING (bucket)
+               WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh", oracle=_ann_lsh_oracle())
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-10 (8 hyperplanes): each query scores
+    only its own bucket (~1/256 of the corpus at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=10, num_planes=8, dim=64)
+
+
+def _cosine_pairs_oracle(threshold: float = 0.4, num_planes: int = 4) -> str:
+    planes = similarity.srp_planes(num_planes, 64)
+    return f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    withb AS (SELECT vec_id, qv, {_srp_sql('qv', planes)} AS bucket FROM base),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.qv AS qa, b.qv AS qb
+              FROM withb a JOIN withb b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, {_COSINE} AS cosine
+    FROM pairs
+    WHERE {_COSINE} >= {threshold}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_cosine_pairs_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4), SRP-bucket blocked."""
+    return similarity.cosine_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4
+    )
+
+
+# ---- multimodal ------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image/fake' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST((length(text) % 640) + 1 AS INT) AS width,
+           CAST(((length(text) * 7 + ascii(substr(text, 1, 1))) % 480) + 1
+                AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode via Arrow mapInPandas (deterministic stub codec —
+    real Spark plumbing: binary column, batch iterator, metadata-only
+    output). Oracle reproduces the stub arithmetic on the byte stream."""
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.decode_media(media)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST(length(text) AS BIGINT) AS n_bytes,
+                      greatest(CAST(floor(length(text) / 64.0) AS INT) - 1, 0)
+                        AS max_block
+               FROM documents)
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           n_bytes,
+           CAST(i * 64 AS INT) AS frame_offset
+    FROM m, unnest(generate_series(0, max_block)) AS g(i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling shape: one row per 64-byte block offset, payload never
+    replicated per frame (sequence + posexplode, no UDF)."""
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.frame_sample(media, every_n_bytes=64)
