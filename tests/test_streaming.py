@@ -1,0 +1,156 @@
+"""Structured Streaming tests: incremental execution must converge to the
+batch semantics the oracles verify, watermarks must drop late data, and
+custom state must accumulate across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import registry
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+from mapreducemovieanalysis_cloud_spark.streaming import stateful
+from mapreducemovieanalysis_cloud_spark.streaming import windows as W
+from tests.oracle import assert_matches_oracle
+
+STREAM_QUERIES = ("window_tumbling", "window_sliding", "window_session")
+
+
+@pytest.mark.parametrize("name", STREAM_QUERIES)
+def test_batch_semantics_match_oracle(spark, sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+
+
+@pytest.mark.parametrize("name", STREAM_QUERIES)
+def test_batch_semantics_match_oracle_sf001(spark, oracle_sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def _event_stream(spark, sf_dir, tmp_path, subdir="src"):
+    """Materialize events (normalized µs timestamps) and open as a file
+    stream."""
+    src = str(tmp_path / subdir)
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return events, spark.readStream.schema(schema).parquet(src)
+
+
+def test_streaming_tumbling_converges_to_batch(spark, sf_dir, tmp_path):
+    events, stream = _event_stream(spark, sf_dir, tmp_path)
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_conv")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.n_events)
+            for r in spark.sql("SELECT * FROM tumbling_conv").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.w.start, r.n_events)
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("w", "n_events")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Late rows behind the watermark must NOT update finalized windows."""
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = tmp_path / "wm"
+    on_time = events.where(F.col("ts") >= F.lit("2024-01-10"))
+    late = events.where(F.col("ts") < F.lit("2024-01-05"))
+    on_time.write.parquet(str(src / "batch1"))
+
+    schema = on_time.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1000"
+    ).parquet(str(src / "*"))
+    out = W.streaming_tumbling_counts(stream, "1 hour", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_before = spark.sql("SELECT COUNT(*) c FROM wm_test").first().c
+        # second micro-batch: all rows are days behind the watermark
+        late.write.parquet(str(src / "batch2"))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT DISTINCT window_start FROM wm_test"
+        ).collect()
+        starts = {r.window_start for r in rows}
+    finally:
+        q.stop()
+    assert n_before > 0
+    # no window earlier than 2024-01-05 may appear: late rows were dropped
+    import datetime
+
+    assert all(s >= datetime.datetime(2024, 1, 10) for s in starts), starts
+
+
+def test_stateful_running_counts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches to the batch
+    totals."""
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "state"
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src / "b1"))
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    out = stateful.running_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        half2.write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        # last update per user wins
+        final = {
+            r.user_id: (r.n_events, r.sum_cents)
+            for r in spark.sql(
+                """SELECT user_id, n_events, sum_cents FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC) rn FROM state_test)
+                   WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == expected
