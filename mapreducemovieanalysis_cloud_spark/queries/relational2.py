@@ -1,0 +1,278 @@
+"""Advanced relational surface: pivot/unpivot, JSON/map/explode TVFs,
+subqueries (correlated scalar, IN), right/cross joins, and the Arrow UDF
+showcase (pandas_udf + applyInPandas) — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+
+@query(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+                AS BIGINT) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+                AS BIGINT) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+                AS BIGINT) AS qty_R
+    FROM lineitem GROUP BY 1
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity totals per linestatus × returnflag. Explicit pivot
+    values keep the plan a single pass (no distinct-values pre-query)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity").cast("long"))
+        .withColumnsRenamed({"A": "qty_A", "N": "qty_N", "R": "qty_R"})
+    )
+
+
+@query(
+    "unpivot_part",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide numeric columns to (key, metric, value) rows."""
+    return load_table(spark, sf_dir, "part").unpivot(
+        "p_partkey",
+        ["p_size", "p_retailprice"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+           CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    """,
+)
+def json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct (schema-on-read over a JSON column),
+    then derived columns. The JVM JSON parser runs inside codegen — no UDF."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.from_json("props", "struct<k:int>").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_type, 'cnt' AS map_key, CAST(COUNT(*) AS BIGINT) AS map_val
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT event_type, 'users',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events GROUP BY 1
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column surface: build map<string,long> per group, then explode
+    entries back to rows (map_from_arrays → explode)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+    )
+    mapped = agg.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.lit("cnt"), F.lit("users")),
+            F.array(F.col("cnt"), F.col("users")),
+        ).alias("m"),
+    )
+    return mapped.select(
+        "event_type", F.explode("m").alias("map_key", "map_val")
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle=r"""
+    SELECT tok, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents)
+    GROUP BY 1
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued explode: token frequencies across the corpus (the
+    word-count every MapReduce tutorial hand-rolls, as one expression)."""
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (SELECT ROUND(SUM(c2.c_acctbal), 2) / COUNT(*)
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a join):
+    customers above their nation's average balance."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer c
+        WHERE c_acctbal > (SELECT ROUND(SUM(c2.c_acctbal), 2) / COUNT(*)
+                           FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus = 'O'
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (planned as a left-semi join)."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+           COUNT(s.s_suppkey) AS num_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer join keeping supplier-less nations."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            nation,
+            supplier["s_nationkey"] == nation["n_nationkey"],
+            "right",
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("num_suppliers"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS r_name, s.o_orderstatus AS o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two provably-tiny inputs (dimension enumeration)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = (
+        load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return region.crossJoin(statuses)
+
+
+# ---- Arrow UDF showcase -----------------------------------------------------
+
+
+@F.pandas_udf("string")
+def _normalize_udf(s: pd.Series) -> pd.Series:
+    """Vectorized normalization (Arrow-batched scalar pandas_udf)."""
+    return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+
+@query(
+    "pandas_udf_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf over Arrow batches — the sanctioned Python escape
+    hatch (10-100x over row-at-a-time UDFs). Oracle reproduces the exact
+    string transform."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _normalize_udf("text").alias("norm_text"))
+
+
+@query(
+    "grouped_map_top2",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 2
+    """,
+)
+def grouped_map_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: top-2 longest docs per source computed in
+    pandas per group (the pattern for per-group Python logic that built-ins
+    can't express — here deliberately chosen so an oracle CAN check it)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(2)
+
+    return docs.groupBy("source").applyInPandas(top2, docs.schema)

@@ -57,6 +57,7 @@ def _load_all() -> None:
 
     try:
         import mapreducemovieanalysis_cloud_spark.queries.relational  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.relational2  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.functions_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.pipeline_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401

@@ -1,0 +1,88 @@
+"""Plan-quality regression tests: the properties that matter at 100 TB,
+pinned on the actual physical plans (SURVEY §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import plans, registry
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+
+def test_reference_queries_broadcast_the_dim(spark, sf_dir):
+    """J1: the movies/part side must broadcast — the facts side never
+    shuffles for the join (the reference's DistributedCache replication,
+    done right)."""
+    for name in ("movie_rank", "movie_rating"):
+        df = registry.queries()[name](spark, sf_dir)
+        assert plans.uses_broadcast_join(df), name
+        assert not plans.uses_sort_merge_join(df), name
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000.0
+    )
+    pushed = plans.pushed_filters(df)
+    assert any("o_totalprice" in p for p in pushed), pushed
+
+
+def test_column_pruning_shrinks_scan(spark, sf_dir):
+    """movie_rank projects 1 column of lineitem and 2 of part — the scans
+    must not read anything else."""
+    df = registry.queries()["movie_rank"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "no scans found"
+    for cols in schemas:
+        assert set(cols) <= {"l_partkey", "p_partkey", "p_name"}, cols
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """Global top-k must use per-partition heaps, never a full sort."""
+    df = registry.queries()["topk_global"](spark, sf_dir)
+    assert plans.uses_take_ordered(df), plans.executed_plan(df)
+
+
+def test_whole_stage_codegen_covers_reference_query(spark, sf_dir):
+    df = registry.queries()["movie_rating"](spark, sf_dir)
+    assert plans.whole_stage_codegen_spans(df) >= 2
+
+
+def test_semi_join_does_not_materialize_payload(spark, sf_dir):
+    """left_semi scans only the join key + filter column from orders."""
+    df = registry.queries()["join_semi"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    for cols in schemas:
+        assert set(cols) <= {
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "o_custkey",
+            "o_totalprice",
+        }, cols
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned sink + partition-pruned scan (the events-by-day
+    pattern): reading one partition must not list the others."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import write_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_table(events, path, partition_by=("day",))
+    one_day = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    text = plans.explain_formatted(one_day)
+    assert "PartitionFilters" in text
+    n_total = events.count()
+    n_day = one_day.count()
+    assert 0 < n_day < n_total
