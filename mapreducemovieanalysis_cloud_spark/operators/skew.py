@@ -1,0 +1,60 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+AQE's skew-join splitting handles joins; hot *aggregation* keys still funnel
+into one reducer (the same pathology the reference would hit if one movieId
+dominated reviews.csv — its HashPartitioner sends every row for the key to a
+single reduce call, MovieRank.java:99-115). Salting splits each key across N
+sub-aggregates, then merges: two small shuffles instead of one skewed one.
+
+Correctness is exact for any distributive/algebraic aggregate (count, sum,
+min, max — and avg as sum+count): the salt only changes association order,
+and the cents/integer conventions keep even float measures order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr), e.g.
+    ``{"n": (F.count(F.lit(1)), F.sum("n"))}``. Stage 1 groups by
+    (keys, salt) — spreading a hot key over ``salt_buckets`` reducers —
+    stage 2 merges the partials per key.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def salted_count_sum_cents(
+    df: DataFrame,
+    keys: list[str],
+    measure: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Salted count + exact-cents sum (the common hot-key shape)."""
+    cents = F.round(F.col(measure) * 100).cast("long")
+    return salted_agg(
+        df,
+        keys,
+        {
+            "n": (F.count(F.lit(1)), F.sum("n").cast("long")),
+            "sum_cents": (F.sum(cents), F.sum("sum_cents").cast("long")),
+        },
+        salt_buckets,
+    )

@@ -464,6 +464,32 @@ def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentile_approx_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50_qty,
+           quantile_disc(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def percentile_approx_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna sketch). At the oracle's
+    accuracy=1e6 the sketch is exact and equals DuckDB's discrete quantile;
+    at 100 TB the default accuracy bounds memory per group while the full
+    sort a true percentile needs never happens."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 1000000).alias("p50_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000000).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (row 7)
 # --------------------------------------------------------------------------

@@ -252,6 +252,57 @@ def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_char_bigrams",
+    oracle="""
+    SELECT doc_id, substr(src, i, 2) AS bigram
+    FROM (SELECT doc_id, substr(text, 1, 12) AS src FROM documents),
+         unnest(generate_series(1, 11)) AS g(i)
+    """,
+)
+def udtf_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per character bigram of the doc
+    prefix — the lateral-join row-expanding UDF shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, bigram: string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            prefix = text[:12]
+            for i in range(len(prefix) - 1):
+                yield doc_id, prefix[i : i + 2]
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("char_bigrams", Bigrams)
+    return spark.sql(
+        "SELECT b.doc_id, b.bigram "
+        "FROM docs_for_udtf d, LATERAL char_bigrams(d.doc_id, d.text) b"
+    )
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a deliberately low-cardinality key
+    (3 statuses — maximal skew): exact same result as the direct groupBy,
+    but no single reducer sees a whole key's rows."""
+    from mapreducemovieanalysis_cloud_spark.operators.skew import (
+        salted_count_sum_cents,
+    )
+
+    return salted_count_sum_cents(
+        load_table(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice"
+    )
+
+
+@query(
     "grouped_map_top2",
     oracle="""
     SELECT source, doc_id, n_chars FROM (

@@ -24,6 +24,7 @@ RELATIONAL = (
     "grouping_sets",
     "approx_distinct",
     "percentile_quantity",
+    "percentile_approx_disc",
     "setops_intersect",
     "setops_except",
     "setops_union_all",

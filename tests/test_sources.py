@@ -1,0 +1,105 @@
+"""Source/sink coverage: parquet/CSV/JSON/ORC round-trips, partitioned
+writes, and bucketed tables for co-located (shuffle-free) joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.sources.readers import (
+    load_table,
+    read_any,
+    register_views,
+)
+from mapreducemovieanalysis_cloud_spark.sources.writers import write_table
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, sf_dir, tmp_path, fmt):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / fmt)
+    write_table(orders, path, fmt=fmt)
+    back = read_any(spark, path, fmt, schema=orders.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+
+
+def test_unsupported_format_raises(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(orders, str(tmp_path / "x"), fmt="xml")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, str(tmp_path / "x"), "avro")
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    register_views(spark, sf_dir)
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").first().n
+    assert n > 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key lets the join run with zero
+    exchanges — the co-located join strategy for repeated large-large joins
+    at scale (e.g. fact-to-fact)."""
+    from mapreducemovieanalysis_cloud_spark.plans import executed_plan
+
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a previous aborted run can leave the managed-table dirs behind
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    # force the sort-merge path (at real scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_b")
+            .join(spark.table("lineitem_b"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined.collect()
+        plan = executed_plan(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan
+    # co-located: nothing below the join shuffles (bucketed scans feed the
+    # join directly; the only Exchange in the plan is the aggregate's)
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, plan
+    # cross-check the result against the unbucketed plan
+    expected = {
+        (r.o_orderstatus, r.n)
+        for r in orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+    assert got == expected
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
