@@ -101,19 +101,46 @@ def _seed_hash(seed: int, col: Column) -> Column:
     return F.md5(F.encode(F.concat(F.lit(f"{seed}:"), col), "UTF-8"))
 
 
+# Each md5 digest yields four independent 32-bit (8-hex-char) hash chunks, so
+# k minhashes cost k/4 digests per shingle instead of k.
+_CHUNKS_PER_MD5 = 4
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k independent min-hashes per doc: one explode + one groupBy, k min()
-    aggregates (map-side partial min keeps the shuffle tiny)."""
-    sh = shingle_sets(docs, n, id_col, text_col)
-    return sh.groupBy(id_col).agg(
+    aggregates (map-side partial min keeps the shuffle tiny). Pass a
+    (possibly cached) ``shingles`` frame to avoid re-tokenizing."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(docs, n, id_col, text_col)
+    )
+    n_digests = (num_hashes + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
+    # materialize each digest once per shingle row, then min() over its
+    # 8-hex-char chunks — k/4 md5 evaluations instead of k
+    with_digests = sh.select(
+        F.col(id_col),
         *[
-            F.min(_seed_hash(i, F.col("shingle"))).alias(f"h{i}")
+            _seed_hash(g, F.col("shingle")).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    return with_digests.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"d{i // _CHUNKS_PER_MD5}"),
+                    (i % _CHUNKS_PER_MD5) * 8 + 1,
+                    8,
+                )
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -163,7 +190,9 @@ def minhash_lsh_dedup(
     (num_hashes, bands)."""
     sh = shingle_sets(docs, n, id_col, text_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    sigs = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    sigs = minhash_signatures(
+        docs, n, num_hashes, id_col, text_col, shingles=sh
+    )
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -21,9 +21,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
-    cosine_q,
+    qdot,
+    qnorm2,
     quantize,
 )
+
+
+def _with_qv(df, id_col, vec_col, id_alias):
+    """Quantized vector + its (once-computed) squared norm per row. Norms are
+    per-vector, not per-pair: precomputing them cuts the pair-scoring cost to
+    one dot product + one divide (3x fewer array folds)."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        quantize(vec_col).alias(f"qv_{id_alias}"),
+        F.sqrt(qnorm2(quantize(vec_col)).cast("double")).alias(
+            f"nrm_{id_alias}"
+        ),
+    )
+
+
+def _pair_cosine(a_alias, b_alias):
+    return (
+        qdot(F.col(f"qv_{a_alias}"), F.col(f"qv_{b_alias}"))
+        / (F.col(f"nrm_{a_alias}") * F.col(f"nrm_{b_alias}"))
+    ).alias("cosine")
 
 
 def brute_force_topk(
@@ -41,16 +62,12 @@ def brute_force_topk(
     Ranking uses the (bit-deterministic) cosine plus the corpus id as tie-break, so the
     selected set is fully deterministic.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv_c")
-    )
-    q = queries.select(
-        F.col(query_id_col), quantize(vec_col).alias("qv_q")
-    )
+    c = _with_qv(corpus, id_col, vec_col, "neighbor_id")
+    q = _with_qv(queries, query_id_col, vec_col, query_id_col)
     scored = c.join(F.broadcast(q)).select(
         query_id_col,
         "neighbor_id",
-        cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"),
+        _pair_cosine(query_id_col, "neighbor_id"),
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
@@ -125,20 +142,16 @@ def ann_lsh_topk(
     partitioned by bucket id.
     """
     planes = srp_planes(num_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(vec_col).alias("qv_c"),
-        srp_signature(vec_col, planes).alias("bucket"),
+    c = _with_qv(corpus, id_col, vec_col, "neighbor_id").withColumn(
+        "bucket", srp_signature(F.col("qv_neighbor_id"), planes)
     )
-    q = queries.select(
-        F.col(query_id_col),
-        quantize(vec_col).alias("qv_q"),
-        srp_signature(vec_col, planes).alias("bucket"),
+    q = _with_qv(queries, query_id_col, vec_col, query_id_col).withColumn(
+        "bucket", srp_signature(F.col(f"qv_{query_id_col}"), planes)
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         query_id_col,
         "neighbor_id",
-        cosine_q(F.col("qv_q"), F.col("qv_c")).alias("cosine"),
+        _pair_cosine(query_id_col, "neighbor_id"),
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
@@ -164,24 +177,18 @@ def cosine_dup_pairs(
     bucket (near-identical vectors land in the same bucket with high
     probability; num_planes trades recall for join size)."""
     planes = srp_planes(num_planes, dim)
-    base = corpus.select(
-        F.col(id_col),
-        quantize(vec_col).alias("qv"),
-        srp_signature(vec_col, planes).alias("bucket"),
-    )
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("qv").alias("qv_a"), "bucket"
+    base = _with_qv(corpus, id_col, vec_col, "id_a").withColumn(
+        "bucket", srp_signature(F.col("qv_id_a"), planes)
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("qv").alias("qv_b"), "bucket"
+        F.col("id_a").alias("id_b"),
+        F.col("qv_id_a").alias("qv_id_b"),
+        F.col("nrm_id_a").alias("nrm_id_b"),
+        "bucket",
     )
     return (
-        a.join(b, "bucket")
+        base.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_q(F.col("qv_a"), F.col("qv_b")).alias("cosine"),
-        )
+        .select("id_a", "id_b", _pair_cosine("id_a", "id_b"))
         .where(F.col("cosine") >= threshold)
     )

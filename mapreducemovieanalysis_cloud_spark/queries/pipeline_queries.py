@@ -36,6 +36,22 @@ _JACCARD_FINISH = """
 
 
 @query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, min-id survivor.
+    Shuffles (fp, id) only — ~40 bytes/row regardless of document size."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_jaccard",
     oracle=(
         f"WITH {_SHINGLE_CTES}, "

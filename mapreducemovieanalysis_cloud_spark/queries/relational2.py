@@ -229,10 +229,16 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Arrow UDF showcase -----------------------------------------------------
 
 
-@F.pandas_udf("string")
-def _normalize_udf(s: pd.Series) -> pd.Series:
-    """Vectorized normalization (Arrow-batched scalar pandas_udf)."""
-    return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+def _normalize_udf():
+    """Vectorized normalization (Arrow-batched scalar pandas_udf). Built
+    lazily: creating a pandas_udf requires an active SparkSession, and the
+    driver contract imports this module before one may exist."""
+
+    @F.pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    return normalize
 
 
 @query(
@@ -248,7 +254,7 @@ def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hatch (10-100x over row-at-a-time UDFs). Oracle reproduces the exact
     string transform."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", _normalize_udf("text").alias("norm_text"))
+    return docs.select("doc_id", _normalize_udf()("text").alias("norm_text"))
 
 
 @query(

@@ -9,6 +9,7 @@ from mapreducemovieanalysis_cloud_spark import registry
 from tests.oracle import assert_matches_oracle
 
 PIPELINE = (
+    "dedup_exact",
     "text_stats",
     "lang_id",
     "quality_score",
