@@ -26,6 +26,10 @@ HEADLINE = [
     "movie_rank",
     "movie_rank_desc",
     "movie_rating",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q18_large_volume",
 ]
 
 

@@ -165,6 +165,70 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Deterministic seeding: the first ``n_centroids`` corpus vectors (by id)
+    act as centroids. Cell assignment is argmax *integer* dot product of the
+    quantized vectors (exact int64 compare — no float ties), centroid id as
+    tie-break. Queries probe their ``nprobe`` best cells and re-rank with
+    exact cosine.
+
+    Scale shape: centroids are always tiny → broadcast; cell assignment is
+    map-side (no shuffle of the corpus); the probe join partitions by cell id,
+    so each query touches ~nprobe/n_centroids of the corpus instead of all of
+    it. At 100 TB the cell column becomes the partition key of the stored
+    index (write once, probe many).
+    """
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), quantize(vec_col).alias("qv_cent")
+    )
+
+    def best_cells(side: DataFrame, side_id: str, keep: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "cdot", qdot(F.col(f"qv_{side_id}"), F.col("qv_cent"))
+        )
+        w = Window.partitionBy(side_id).orderBy(
+            F.col("cdot").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("cell_rank", F.row_number().over(w))
+            .where(F.col("cell_rank") <= keep)
+            .drop("qv_cent", "cdot", "cell_rank")
+            .withColumnRenamed("cent_id", "cell")
+        )
+
+    c = best_cells(_with_qv(corpus, id_col, vec_col, "neighbor_id"),
+                   "neighbor_id", 1)
+    q = best_cells(_with_qv(queries, query_id_col, vec_col, query_id_col),
+                   query_id_col, nprobe)
+    scored = c.join(F.broadcast(q), "cell").select(
+        query_id_col,
+        "neighbor_id",
+        _pair_cosine(query_id_col, "neighbor_id"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

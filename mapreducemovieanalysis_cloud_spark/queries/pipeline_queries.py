@@ -265,6 +265,57 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries, k=10, num_planes=8, dim=64)
 
 
+def _ann_ivf_oracle(
+    k: int = 10, n_queries: int = 5, n_centroids: int = 8, nprobe: int = 2
+) -> str:
+    cdot = _dot("b.qv", "c.qc")
+    return f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, qv AS qc FROM base
+              WHERE vec_id < {n_centroids}),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT b.vec_id, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                          ORDER BY {cdot} DESC, c.cent_id) AS rn
+                 FROM base b, cents c) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell FROM (
+                 SELECT b.vec_id, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                          ORDER BY {cdot} DESC, c.cent_id) AS rn
+                 FROM base b, cents c WHERE b.vec_id < {n_queries})
+               WHERE rn <= {nprobe}),
+    scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                      tq.qv AS qa, tn.qv AS qb
+               FROM qprobe p
+               JOIN assign a ON a.cell = p.cell
+               JOIN base tq ON tq.vec_id = p.query_id
+               JOIN base tn ON tn.vec_id = a.vec_id
+               WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf", oracle=_ann_ivf_oracle())
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10: 8 deterministic centroids (first 8
+    vectors), exact-int dot-product cell assignment, nprobe=2, cosine
+    re-rank. The scale path when SRP bucket skew is a concern: cell sizes
+    are bounded by the centroid spread, and the index partitions by cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_ivf_topk(
+        emb, queries, k=10, n_centroids=8, nprobe=2
+    )
+
+
 def _cosine_pairs_oracle(threshold: float = 0.4, num_planes: int = 4) -> str:
     planes = similarity.srp_planes(num_planes, 64)
     return f"""

@@ -1,0 +1,231 @@
+"""TPC-H-shaped headline analytics over the driver tables.
+
+The reference's two pipelines are single join + agg + sort queries
+(``MovieRank.java:145-214``, ``MovieRating.java:140-210``); these queries are
+the same operator families composed at depth — multi-way joins, selective
+filters, group-by with several aggregates, top-k — i.e. the workload a user
+of this engine actually runs at 100 TB. Determinism conventions follow
+``queries.relational``: money per-row-rounded to integer cents before SUM,
+timestamps emitted as formatted strings, every LIMIT backed by a unique
+tie-break key.
+
+Scale notes per query are in the docstrings; the common posture:
+
+- filters sit directly on the scans (parquet pushdown / row-group pruning);
+- ``nation``/``region`` are always broadcast (KBs at any scale factor);
+- fact-fact joins (orders x lineitem) are left to the planner: at sf0.01
+  AQE converts them to broadcast, on a cluster they become shuffle joins
+  partitioned on the key — no hint is the right hint;
+- top-k goes through TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+
+def _cents(expr: F.Column) -> F.Column:
+    return F.round(expr * 100).cast("long")
+
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+             AS sum_disc_cents,
+           CAST(SUM(CAST(ROUND({_CHARGE} * 100) AS BIGINT)) AS BIGINT)
+             AS sum_charge_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): one scan, map-side partial agg into a
+    4-group final agg. The shipdate filter pushes to the parquet scan; the
+    shuffle carries one row per (flag, status) per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective filters on all three scans,
+    two equi-joins, agg, top-10 by revenue (orderkey tie-break). The planner
+    sees the filtered sizes (AQE) and picks broadcast vs shuffle join per
+    stage — at cluster scale both joins hash-partition on the order key."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table join with a same-nation
+    constraint. nation/region are explicitly broadcast (constant-size dims);
+    the customer->orders->lineitem->supplier chain reuses the planner's
+    hash partitioning; the region filter prunes before any fact join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 230
+    )
+    SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+           o.o_orderkey AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(big.sum_qty AS BIGINT) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): HAVING over a fact-table agg, then
+    join the (now tiny) qualifying set back to orders/customer. The agg
+    output after HAVING is small at any scale -> broadcast it into the
+    orders join instead of shuffling orders twice. l_quantity is integral,
+    so the double SUM is exact and the BIGINT cast lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 230)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+    )

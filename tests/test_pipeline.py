@@ -20,6 +20,7 @@ PIPELINE = (
     "dedup_simhash_pairs",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frames",
