@@ -111,6 +111,22 @@ def fingerprint(text: str | Column = "text") -> Column:
     return F.md5(F.encode(normalized, "UTF-8"))
 
 
+def positional_shingles(n: int, text: str | Column = "text") -> Column:
+    """Ordered n-word shingles WITH duplicates (winnowing input — position
+    matters, so no array_distinct)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(n: int, text: str | Column = "text") -> Column:
     """Distinct n-word shingles (the MinHash/Jaccard input set)."""
     toks = tokens(text)

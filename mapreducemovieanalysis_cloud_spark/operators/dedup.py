@@ -94,6 +94,51 @@ def jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling hash per
+    n-gram position, keep the min hash of every ``window`` consecutive
+    positions, distinct per doc. Guarantees any shared substring of
+    ``n + window - 1`` tokens yields a shared fingerprint — the local-match
+    analog of whole-doc md5 (``exact_dedup``).
+
+    Scale shape: hashing is map-side; the only shuffle is the per-doc window
+    sort, partitioned by doc id (bounded by the longest single document, not
+    the corpus). Output is ~|doc|/window fingerprint rows per doc.
+    """
+    from pyspark.sql import Window as W
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import (
+        positional_shingles,
+    )
+
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(n, text_col)).alias("pos", "shingle"),
+    )
+    h = sh.select(
+        id_col,
+        "pos",
+        F.substring(
+            F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 8
+        ).alias("h"),
+    )
+    doc_w = W.partitionBy(id_col)
+    roll_w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        h.withColumn("max_pos", F.max("pos").over(doc_w))
+        .withColumn("wmin", F.min("h").over(roll_w))
+        .where(F.col("pos") <= F.col("max_pos") - (window - 1))
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def _seed_hash(seed: int, col: Column) -> Column:
     """Deterministic per-seed hash of a shingle: md5 over 'seed:shingle'.
     Min over the lexicographic order of hex strings is a valid MinHash

@@ -119,6 +119,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fingerprint_winnow",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT doc_id, i,
+                  substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)
+                    AS h
+           FROM pos),
+    win AS (SELECT doc_id, i,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS wmin,
+                   MAX(i) OVER (PARTITION BY doc_id) AS max_i
+            FROM sh)
+    SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE i <= max_i - 3
+    """,
+)
+def fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: 3-gram hashes, window 4 —
+    shared 6-token substrings guarantee a shared fingerprint."""
+    return dedup.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), n=3, window=4
+    )
+
+
 def _simhash_sql_value() -> str:
     """DuckDB expression for the first-4-hex-digits token hash value."""
     digit = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"

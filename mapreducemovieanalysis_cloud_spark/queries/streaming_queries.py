@@ -6,6 +6,7 @@ oracle checks the batch result, streaming tests check convergence).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
@@ -86,3 +87,32 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute-gap session windows per user (gaps-and-islands oracle)."""
     return W.session_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "join_interval_events",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->click attribution interval join (batch semantics of the
+    stream-stream join in ``streaming.joins`` — identical expression under
+    readStream with watermarks on both sides)."""
+    from mapreducemovieanalysis_cloud_spark.streaming.joins import (
+        clicks_before_purchases,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return clicks_before_purchases(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "click"),
+        interval="30 minutes",
+    )

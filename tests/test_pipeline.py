@@ -14,6 +14,7 @@ PIPELINE = (
     "lang_id",
     "quality_score",
     "fingerprint_docs",
+    "fingerprint_winnow",
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

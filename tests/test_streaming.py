@@ -13,7 +13,12 @@ from mapreducemovieanalysis_cloud_spark.streaming import stateful
 from mapreducemovieanalysis_cloud_spark.streaming import windows as W
 from tests.oracle import assert_matches_oracle
 
-STREAM_QUERIES = ("window_tumbling", "window_sliding", "window_session")
+STREAM_QUERIES = (
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "join_interval_events",
+)
 
 
 @pytest.mark.parametrize("name", STREAM_QUERIES)
@@ -154,3 +159,42 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_stream_interval_join_converges(spark, sf_dir, tmp_path):
+    """The stream-stream interval join (watermarked both sides) must produce
+    exactly the batch join's pairs once all files are processed."""
+    from mapreducemovieanalysis_cloud_spark.streaming.joins import (
+        clicks_before_purchases,
+    )
+
+    events, stream = _event_stream(spark, sf_dir, tmp_path, subdir="ssj")
+    out = clicks_before_purchases(
+        stream.where(F.col("event_type") == "purchase"),
+        stream.where(F.col("event_type") == "click"),
+        interval="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_conv")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.click_id, r.delay_us)
+            for r in spark.sql("SELECT * FROM ssj_conv").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.purchase_id, r.click_id, r.delay_us)
+        for r in clicks_before_purchases(
+            events.where(F.col("event_type") == "purchase"),
+            events.where(F.col("event_type") == "click"),
+            interval="30 minutes",
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
