@@ -333,3 +333,44 @@ def grouped_map_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).head(2)
 
     return docs.groupBy("source").applyInPandas(top2, docs.schema)
+
+
+@query(
+    "pandas_udaf_median",
+    oracle="""
+    SELECT c_nationkey,
+           median(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS median_cents,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the UDAF surface): exact median of integer
+    cents per nation. Median is not algebraic, so Spark ships each group's
+    values to one Arrow batch — fine here because group count is bounded
+    (25 nations) and values-per-group fit memory; at 100 TB an unbounded-
+    cardinality median would use percentile_approx instead (see
+    ``percentile_approx_disc``). Midpoint of two int64 is IEEE-exact, so
+    the value matches DuckDB's quantile_cont(0.5) bit-for-bit."""
+
+    @F.pandas_udf("double")
+    def median_cents(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg();
+        # the count rides along as a second pandas aggregate.
+        return len(v)
+
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        customer.select("c_nationkey", cents.alias("cents"))
+        .groupBy("c_nationkey")
+        .agg(
+            median_cents(F.col("cents")).alias("median_cents"),
+            n_rows(F.col("cents")).alias("n_customers"),
+        )
+    )

@@ -64,3 +64,31 @@ def test_minhash_lsh_recall_vs_exact(spark, oracle_sf_dir):
     }
     missed = exact - lsh
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, oracle_sf_dir):
+    """IVF (8 cells, nprobe=2) must recover a reasonable fraction of the
+    exact top-10 per query — and every returned neighbor's cosine must
+    equal the exact cosine (the approximation is WHICH candidates are
+    scored, never the score itself)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ann_ivf_topk,
+        brute_force_topk,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ann_ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=2).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in approx}
+    hits = set(exact_pairs) & set(approx_pairs)
+    recall = len(hits) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    for pair in hits:
+        assert exact_pairs[pair] == approx_pairs[pair], pair

@@ -18,6 +18,7 @@ ADVANCED = (
     "join_right_outer",
     "join_cross",
     "pandas_udf_normalize",
+    "pandas_udaf_median",
     "grouped_map_top2",
     "udtf_char_bigrams",
     "salted_hot_key_agg",

@@ -198,3 +198,34 @@ def test_stream_stream_interval_join_converges(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_exact_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered events inside the
+    watermark horizon are suppressed (streaming exact-dedup — the
+    at-least-once -> effectively-once repair for 100 TB ingest)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    src = tmp_path / "dedup"
+    events.write.parquet(str(src / "b1"))
+    events.write.parquet(str(src / "b2"))  # full duplicate delivery
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    out = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT COUNT(*) c FROM sdedup").first().c
+        n_distinct = spark.sql(
+            "SELECT COUNT(DISTINCT event_id) c FROM sdedup"
+        ).first().c
+    finally:
+        q.stop()
+    assert n == n_distinct, f"duplicates leaked: {n} rows vs {n_distinct} ids"
+    assert n_distinct == events.count()
