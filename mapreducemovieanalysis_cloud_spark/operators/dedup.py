@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from mapreducemovieanalysis_cloud_spark.functions.text import (
     fingerprint,
     tokens,
-    word_shingles,
 )
 
 
@@ -51,9 +50,22 @@ def exact_dedup(
 def shingle_sets(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, shingle) exploded distinct n-word shingles."""
-    return docs.select(
-        F.col(id_col), F.explode(word_shingles(n, text_col)).alias("shingle")
+    """(id, shingle) exploded distinct n-word shingles.
+
+    Tokenizes in its own projection so the split runs once per document —
+    inlining ``tokens()`` into the shingle lambda re-splits per shingle
+    (see ``functions.text.shingles_from_tokens``)."""
+    from mapreducemovieanalysis_cloud_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), n))
+        ).alias("shingle"),
     )
 
 
@@ -114,12 +126,16 @@ def winnow_fingerprints(
     from pyspark.sql import Window as W
 
     from mapreducemovieanalysis_cloud_spark.functions.text import (
-        positional_shingles,
+        shingles_from_tokens,
+        tokens,
     )
 
-    sh = docs.select(
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toked.select(
         F.col(id_col),
-        F.posexplode(positional_shingles(n, text_col)).alias("pos", "shingle"),
+        F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
+            "pos", "shingle"
+        ),
     )
     h = sh.select(
         id_col,

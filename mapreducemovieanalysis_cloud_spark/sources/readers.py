@@ -22,6 +22,13 @@ from mapreducemovieanalysis_cloud_spark import schemas
 
 _FORMATS = ("parquet", "csv", "json", "orc")
 
+# Lazy-DataFrame memo per (application, sf_dir, table): a DataFrame is an
+# immutable plan, so reuse is safe, and it skips re-listing files and
+# re-reading parquet footers on every one of the registry's ~60 queries —
+# at cluster scale, re-building a file index over a large table is an
+# O(files) driver-side stall repeated per query.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided table from ``{sf_dir}/{name}.parquet``.
@@ -32,6 +39,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with integer division (``div`` — float division would lose precision at
     1.7e18 ns magnitudes), matching DuckDB's nanos→micros truncation.
     """
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

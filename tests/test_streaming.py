@@ -229,3 +229,40 @@ def test_streaming_exact_dedup_within_watermark(spark, sf_dir, tmp_path):
         q.stop()
     assert n == n_distinct, f"duplicates leaked: {n} rows vs {n_distinct} ids"
     assert n_distinct == events.count()
+
+
+def test_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
+    """Stop/restart with a checkpoint must resume exactly where the first
+    run left off — file-sink output stays exactly-once across the restart
+    (the fault-tolerance contract a 100 TB ingest job relies on)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    src, ckpt, sink = (
+        str(tmp_path / "ck_src"),
+        str(tmp_path / "ck_ckpt"),
+        str(tmp_path / "ck_sink"),
+    )
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half1.write.parquet(src + "/b1")
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src + "/*")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()                      # first incarnation: half1
+    half2.write.parquet(src + "/b2")
+    run_once()                      # restart from checkpoint: only half2
+
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()

@@ -13,6 +13,9 @@ TPCH = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q18_large_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
 )
 
 
