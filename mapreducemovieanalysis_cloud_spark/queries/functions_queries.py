@@ -29,12 +29,15 @@ _TOKS = r"string_split_regex(trim(text), '\s+')"
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, chars, BPE-ish
-    chunks — all JVM-side expressions over the scan, zero shuffles."""
+    chunks — all JVM-side expressions over the scan, zero shuffles. Tokens
+    materialize once in the first projection (see
+    ``functions.text.stopword_hits_from_tokens`` on why)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    return toked.select(
         "doc_id",
-        T.token_count().alias("n_tokens"),
-        T.distinct_token_count().alias("n_distinct"),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
         F.length("text").alias("n_chars_calc"),
         T.bpe_ish_token_count().alias("n_bpe_ish"),
     )
@@ -70,18 +73,28 @@ def _lang_score_sql(lang: str) -> str:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-count language ID (argmax with fixed priority tie-break).
-    A production pipeline swaps the heuristic for fastText via pandas_udf;
-    the surrounding plan is unchanged."""
+    Two projections: tokenize once, score once, then the argmax CASE reads
+    the materialized score columns (zero recomputation). A production
+    pipeline swaps the heuristic for fastText via pandas_udf; the
+    surrounding plan is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = T.lang_scores()
-    return docs.select(
+    toked = docs.select(
+        "doc_id", "lang", T.tokens("text").alias("__toks")
+    )
+    scores = T.lang_scores_from_tokens(F.col("__toks"))
+    scored = toked.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         scores["en"].alias("s_en"),
         scores["es"].alias("s_es"),
         scores["de"].alias("s_de"),
         scores["fr"].alias("s_fr"),
-        T.predicted_lang().alias("predicted_lang"),
+    )
+    score_cols = {
+        lang: F.col(f"s_{lang}") for lang in T.LANG_PRIORITY
+    }
+    return scored.select(
+        "*", T.predicted_lang_from_scores(score_cols).alias("predicted_lang")
     )
 
 
@@ -109,13 +122,30 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality gates (length, repetition, word length, alpha
-    ratio) as exact integer comparisons."""
+    ratio) as exact integer comparisons over once-materialized counts."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    counted = toked.select(
         "doc_id",
-        T.token_count().alias("n_tokens"),
-        T.quality_score().alias("quality"),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+        F.length("text").alias("__n_chars"),
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).alias(
+            "__n_alpha"
+        ),
     )
+    n_tok, n_distinct = F.col("n_tokens"), F.col("__n_distinct")
+    n_chars, n_alpha = F.col("__n_chars"), F.col("__n_alpha")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1).otherwise(0)
+    diversity_ok = F.when(n_distinct * 10 > n_tok * 3, 1).otherwise(0)
+    word_len_ok = F.when(
+        (n_alpha >= n_tok * 3) & (n_alpha <= n_tok * 12), 1
+    ).otherwise(0)
+    alpha_ok = F.when(n_alpha * 10 > n_chars * 6, 1).otherwise(0)
+    quality = (
+        (len_ok + diversity_ok + word_len_ok + alpha_ok).cast("double") / 4.0
+    )
+    return counted.select("doc_id", "n_tokens", quality.alias("quality"))
 
 
 @query(
