@@ -416,3 +416,59 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.frame_sample(media, every_n_bytes=64)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    def dist2(p: str, c: str, pn2: str, cn2: str) -> str:
+        return f"{pn2} - 2 * {_dot(p, c)} + {cn2}"
+
+    def assign(src_pts: str, src_cents: str, out: str) -> str:
+        return f"""
+    {out} AS (SELECT vec_id, qv, pn2, cell FROM (
+        SELECT p.vec_id, p.qv, p.pn2, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY {dist2('p.qv', 'c.cv', 'p.pn2', 'c.cn2')} ASC,
+                          c.cell ASC) AS rn
+        FROM {src_pts} p, {src_cents} c) WHERE rn = 1)"""
+
+    def update(src_assign: str, out: str) -> str:
+        return f"""
+    {out}_dims AS (SELECT cell, i, CAST(ROUND(AVG(qv[i])) AS BIGINT) AS v
+                   FROM {src_assign} CROSS JOIN generate_series(1, {dim}) g(i)
+                   GROUP BY cell, i),
+    {out}_arr AS (SELECT cell, list(v ORDER BY i) AS cv
+                  FROM {out}_dims GROUP BY cell),
+    {out} AS (SELECT cell, cv, {_norm2('cv')} AS cn2 FROM {out}_arr)"""
+
+    parts = [
+        f"""WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    pn AS (SELECT vec_id, qv, {_norm2('qv')} AS pn2 FROM base),
+    c0 AS (SELECT vec_id AS cell, qv AS cv, pn2 AS cn2 FROM pn
+           WHERE vec_id < {k})"""
+    ]
+    cents = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign("pn", cents, f"a{it}"))
+        if it < iters:
+            parts.append(update(f"a{it}", f"c{it}"))
+            cents = f"c{it}"
+    return (
+        ",".join(parts)
+        + f"\n    SELECT vec_id, cell AS cluster FROM a{iters}"
+    )
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8, first-k seeds) — the iterative-
+    algorithm pattern: per-iteration broadcast-assign + dim-wise aggregate,
+    exact integer distances and rounded-mean centroid updates keep every
+    iteration bit-reproducible (see operators.clustering)."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    return kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )

@@ -22,6 +22,7 @@ PIPELINE = (
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "kmeans_embeddings",
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frames",
