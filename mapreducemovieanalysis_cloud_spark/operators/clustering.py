@@ -88,3 +88,59 @@ def kmeans_assignments(
         assigned = _assign(pts, cents)
         cents = _update(assigned)
     return assigned.select("vec_id", F.col("cell").alias("cluster"))
+
+
+def label_propagation_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components by min-label propagation, ``iters`` fixed
+    rounds: label(v) <- min(label(v), min over neighbors label(u)).
+
+    The dedup-cluster closure: near-dup PAIRS become groups so one survivor
+    can be chosen per component (min doc_id). Fixed iteration count keeps
+    the result a pure function of the input (oracle-checkable); components
+    with diameter > iters keep distinct labels — at scale, alternate with
+    large-star/small-star rounds or iterate until a convergence check on a
+    count aggregate, which stays deterministic because labels are mins.
+
+    Each round is one shuffle (join on the edge key) + one aggregate —
+    no driver-side graph state. ``edges``: (src, dst) undirected pairs.
+    """
+    # Every round re-reads the edge list: persist it once instead of
+    # re-deriving its (possibly expensive — LSH candidate generation)
+    # lineage per iteration. At cluster scale this is a checkpoint to
+    # storage rather than executor memory.
+    sym = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(iters):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("v").alias("u"), F.col("lbl").alias("u_lbl")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.min("u_lbl").alias("n_lbl"))
+        )
+        labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("n_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels.select(
+        F.col("v").alias(id_col), F.col("lbl").alias("component")
+    )

@@ -472,3 +472,42 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+def _components_oracle(iters: int = 4, thr: float = 0.5) -> str:
+    jacc = _minhash_oracle(thr=thr)
+    steps = []
+    prev = "l0"
+    for it in range(1, iters + 1):
+        steps.append(f"""
+    nm{it} AS (SELECT e.v, MIN(p.lbl) AS n_lbl
+               FROM sym e JOIN {prev} p ON p.v = e.u GROUP BY e.v),
+    l{it} AS (SELECT p.v, LEAST(p.lbl, COALESCE(m.n_lbl, p.lbl)) AS lbl
+              FROM {prev} p LEFT JOIN nm{it} m ON m.v = p.v)""")
+        prev = f"l{it}"
+    return f"""
+    WITH pairs AS ({jacc}),
+    sym AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+            UNION ALL SELECT doc_b AS v, doc_a AS u FROM pairs),
+    l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+    {','.join(steps)}
+    SELECT v AS doc_id, lbl AS component FROM {prev}
+    """
+
+
+@query("dedup_clusters", oracle=_components_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components: MinHash-LSH pairs (jaccard >= 0.5) closed into
+    clusters by 4 rounds of min-label propagation — the survivor-selection
+    step of a dedup pipeline (keep min doc_id per component)."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, n=3, num_hashes=16, bands=4,
+                                    threshold=0.5)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return label_propagation_components(docs, edges, iters=4)

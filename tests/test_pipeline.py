@@ -23,6 +23,7 @@ PIPELINE = (
     "ann_lsh",
     "ann_ivf",
     "kmeans_embeddings",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frames",
