@@ -374,3 +374,64 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows(F.col("cents")).alias("n_customers"),
         )
     )
+
+
+@query(
+    "window_analytics",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+             AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (first/last/nth value, ntile) over the
+    full-partition frame — unique orderkey ordering keeps every engine's
+    result identical."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+               AS INTEGER) % 10 = 0
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: md5(key) bucket — the reproducible
+    eval-split / debugging-sample operator. Unlike TABLESAMPLE or
+    df.sample(seed=...), the selection is a pure function of the KEY, so
+    it is stable across engines, partitionings, and reruns, and the same
+    row set can be re-derived anywhere (train/test splits that survive
+    re-partitioning at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return orders.where(bucket % 10 == 0).select("o_orderkey", "o_custkey")

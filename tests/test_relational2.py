@@ -19,6 +19,8 @@ ADVANCED = (
     "join_cross",
     "pandas_udf_normalize",
     "pandas_udaf_median",
+    "window_analytics",
+    "sample_deterministic",
     "grouped_map_top2",
     "udtf_char_bigrams",
     "salted_hot_key_agg",
