@@ -23,7 +23,7 @@ join; LSH bands are uniform by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions.text import (
@@ -80,14 +80,44 @@ def jaccard_pairs(
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all integers until one exact IEEE
     division, so the value is engine- and partitioning-independent.
+
+    Candidate generation uses PPJoin-style prefix filtering: under a fixed
+    global shingle order (md5), J(A,B) >= t implies |A∩B| >= ceil(t·max) —
+    so the two prefixes of length |X| - ceil(t·|X|) + 1 must share a
+    shingle. Only prefix shingles enter the self-join (~(1-t) of each set),
+    shrinking candidate pairs ~(1-t)² with zero loss (the full intersection
+    is then counted per candidate). The result set is identical to the
+    brute-force join the oracle runs.
     """
     sh = shingle_sets(docs, n, id_col, text_col).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
+    prefix = (
+        sh.withColumn("rk", F.row_number().over(rank_w))
+        .join(sizes, id_col)
+        .where(
+            F.col("rk")
+            <= F.col("set_size")
+            - F.ceil(F.lit(threshold) * F.col("set_size"))
+            + 1
+        )
+        .select(id_col, "shingle")
+    )
+    cands = (
+        prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(
+            prefix.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
