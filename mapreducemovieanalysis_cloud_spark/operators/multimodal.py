@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -135,3 +136,41 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).withColumn(
         "frame_offset", F.col("frame_offset_blocks") * every_n_bytes
     ).drop("frame_offset_blocks")
+
+
+FEATURES_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(LongType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
+    """Feature extraction: binary payload -> fixed-dim vector via Arrow
+    mapInPandas — the image/audio -> embedding stage of a multimodal
+    pipeline. The stub "model" is exact integer arithmetic (sum of code
+    points per position class mod ``dim``) so the output is
+    oracle-checkable; a real deployment swaps the loop body for a batched
+    model forward pass (same schema, same Arrow batch shape). Payloads
+    stay map-side; only (id, dim-length vector) rows continue downstream.
+    """
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for d in pdf["data"]:
+                text = bytes(d).decode("utf-8")
+                sums = [0] * dim
+                for i, ch in enumerate(text):
+                    sums[i % dim] += ord(ch)
+                feats.append(sums)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "features": feats}
+            )
+
+    return media.mapInPandas(feature_batches, FEATURES_SCHEMA)

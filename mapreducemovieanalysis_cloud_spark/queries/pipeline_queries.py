@@ -511,3 +511,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return label_propagation_components(docs, edges, iters=4)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents),
+    chars AS (
+      SELECT doc_id, (i - 1) % 8 AS d, unicode(substr(text, i, 1)) AS cp
+      FROM pos),
+    sums AS (SELECT doc_id, d, CAST(SUM(cp) AS BIGINT) AS s
+             FROM chars GROUP BY doc_id, d),
+    dims AS (SELECT doc_id, unnest(generate_series(0, 7)) AS d
+             FROM documents)
+    SELECT dims.doc_id AS media_id,
+           list(COALESCE(s, 0) ORDER BY dims.d) AS features
+    FROM dims LEFT JOIN sums ON sums.doc_id = dims.doc_id
+                            AND sums.d = dims.d
+    GROUP BY dims.doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> fixed-dim feature vector via Arrow mapInPandas (the
+    embedding-generation stage; exact-integer stub model, real batch
+    plumbing). Oracle reproduces the arithmetic over code points."""
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return multimodal.extract_features(media, dim=8)

@@ -35,6 +35,12 @@ _DEFAULTS = {
     # Parquet pushdown (on by default; pinned so .explain checks are stable).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime join pruning (on by default in Spark 4; pinned): bloom-filter
+    # semi-join reduction injects a filter on the probe side of large joins,
+    # and dynamic partition pruning skips fact partitions a dim filter
+    # excludes — both are scan-volume levers at 100 TB.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
 }
 
 

@@ -27,6 +27,7 @@ PIPELINE = (
     "dedup_embedding_cosine",
     "multimodal_decode",
     "multimodal_frames",
+    "multimodal_features",
 )
 
 
