@@ -181,3 +181,36 @@ def test_malformed_rows_do_not_throw(spark, tmp_path):
     assert len(rows) == 3  # malformed row present as nulls, not an exception
     good = [r for r in rows if r.movieId is not None]
     assert len(good) == 2
+
+
+def test_cli_reference_invocation(spark, tmp_path):
+    """The reference's operational entry: positional (movies, ratings, out)
+    args, tab-separated text in <out>/final (MovieRank.java:149-156)."""
+    from mapreducemovieanalysis_cloud_spark import cli
+
+    (tmp_path / "movies.csv").write_text(MOVIES_CSV)
+    (tmp_path / "ratings.csv").write_text(_ratings_csv())
+    out = cli.run(
+        [
+            "rating",
+            str(tmp_path / "movies.csv"),
+            str(tmp_path / "ratings.csv"),
+            str(tmp_path / "out"),
+            "--reducers",
+            "4",
+        ],
+        spark=spark,
+    )
+    lines = [
+        ln
+        for f in (tmp_path / "out" / "final").glob("part-*")
+        for ln in f.read_text().splitlines()
+    ]
+    # movies 1 and 6 pass both strict cuts (avg 4.5, count 12); 7 passes
+    # (4.25); 2/3/4/5 are cut (SURVEY §5.3 fixture design)
+    assert len(lines) == 3
+    assert all(len(ln.split("\t")) == 3 for ln in lines)
+    titles = [ln.split("\t")[0] for ln in lines]
+    assert set(titles) == {
+        "Shawshank Redemption, The (1994)", "Tie A (2001)", "Tie B (2001)"
+    }
