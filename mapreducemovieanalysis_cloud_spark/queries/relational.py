@@ -678,3 +678,40 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").cast("double").alias("min_val"),
         "label",
     )
+
+
+@query(
+    "window_trailing_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS trailing_hour_cents,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS trailing_hour_events
+    FROM events
+    """,
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: trailing one-hour totals per user. Spark's
+    rangeBetween is numeric, so the frame runs over microsecond epochs —
+    exactly DuckDB's INTERVAL frame on the same instants. One shuffle
+    (hash by user), per-user time sort inside the window exec."""
+    events = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .alias("trailing_hour_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
+    )

@@ -8,6 +8,7 @@ from mapreducemovieanalysis_cloud_spark import registry
 from tests.oracle import assert_matches_oracle
 
 RELATIONAL = (
+    "window_trailing_range",
     "join_left_outer",
     "join_semi",
     "join_anti",

@@ -103,3 +103,39 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     assert got == expected
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_permissive_csv_captures_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE mode + corrupt-record column replaces the reference's
+    throw-on-parse Integer.parseInt (MovieRank.java:43): malformed rows are
+    quarantined, not fatal."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import read_any
+
+    csv = tmp_path / "bad.csv"
+    csv.write_text(
+        "movieId,title,genres\n"
+        "1,Good Movie,Drama\n"
+        "not_an_int,Broken Row,Comedy\n"
+        "3,Another Good One,Action\n"
+    )
+    schema = StructType(
+        [
+            StructField("movieId", IntegerType(), True),
+            StructField("title", StringType(), True),
+            StructField("genres", StringType(), True),
+            StructField("_corrupt_record", StringType(), True),
+        ]
+    )
+    df = read_any(
+        spark, str(csv), "csv", schema=schema,
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    good = df.where(df._corrupt_record.isNull())
+    bad = df.where(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "Broken Row" in bad.first()._corrupt_record
