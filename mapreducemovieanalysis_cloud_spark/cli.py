@@ -61,6 +61,11 @@ def run(argv: list[str] | None = None, spark=None) -> str:
             app_name=f"movielens-{args.pipeline}",
             shuffle_partitions=args.reducers,
         )
+    if args.reducers is not None:
+        # getOrCreate() silently ignores builder conf when a session already
+        # exists in the JVM; shuffle partitions are runtime-mutable, so set
+        # them on the live session to make the knob reliable either way.
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.reducers))
     movies, ratings = read_movielens_csv(
         spark, args.movies_csv, args.ratings_csv
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qdot_arrow,
@@ -48,8 +49,12 @@ def _update(assigned: DataFrame) -> DataFrame:
     """New centroid per cell: per-dimension rounded mean (exact int64 sum,
     one IEEE division), reassembled in dimension order."""
     exploded = assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+    # Explicit sum/count rather than avg(): Spark's Average over LongType
+    # accumulates in DoubleType, which loses the exact-bigint-sum guarantee
+    # once a cell's per-dim partial sums pass 2^53 (and becomes summation-
+    # order dependent). sum() stays int64; one IEEE division at the end.
     per_dim = exploded.groupBy("cell", "pos").agg(
-        F.round(F.avg("v")).cast("long").alias("cv_v")
+        F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv_v")
     )
     return (
         per_dim.groupBy("cell")
@@ -93,35 +98,43 @@ def kmeans_assignments(
 def label_propagation_components(
     nodes: DataFrame,
     edges: DataFrame,
-    iters: int = 4,
     id_col: str = "doc_id",
+    max_iters: int = 64,
 ) -> DataFrame:
-    """Connected components by min-label propagation, ``iters`` fixed
-    rounds: label(v) <- min(label(v), min over neighbors label(u)).
+    """Connected components by min-label propagation, iterated to
+    convergence: label(v) <- min(label(v), min over neighbors label(u)),
+    repeated until a round changes no label.
 
     The dedup-cluster closure: near-dup PAIRS become groups so one survivor
-    can be chosen per component (min doc_id). Fixed iteration count keeps
-    the result a pure function of the input (oracle-checkable); components
-    with diameter > iters keep distinct labels — at scale, alternate with
-    large-star/small-star rounds or iterate until a convergence check on a
-    count aggregate, which stays deterministic because labels are mins.
+    can be chosen per component (min doc_id). Convergence is deterministic —
+    every round's labels are pure mins over the input, and the fixpoint is
+    exactly min-reachable-id per node regardless of partitioning or round
+    count — so the result stays oracle-checkable (the DuckDB oracle computes
+    the same fixpoint with a recursive transitive closure). Components merge
+    fully at any diameter, unlike a fixed round budget.
 
-    Each round is one shuffle (join on the edge key) + one aggregate —
-    no driver-side graph state. ``edges``: (src, dst) undirected pairs.
+    Each round is one shuffle (join on the edge key) + one aggregate + one
+    O(1)-row convergence count — no driver-side graph state; the driver only
+    iterates the plan. Rounds needed = graph diameter (dedup clusters are
+    near-cliques, so typically 2-3); ``max_iters`` is a runaway bound, and
+    at petabyte scale the same loop swaps min-propagation for
+    large-star/small-star contraction (O(log n) rounds) without changing
+    this driver pattern. ``edges``: (src, dst) undirected pairs.
     """
     # Every round re-reads the edge list: persist it once instead of
     # re-deriving its (possibly expensive — LSH candidate generation)
-    # lineage per iteration. At cluster scale this is a checkpoint to
-    # storage rather than executor memory.
+    # lineage per iteration. Disk-only: the edge list is the largest state
+    # and must not evict executor memory at corpus scale.
     sym = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
         .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
-        .cache()
+        .persist(StorageLevel.DISK_ONLY)
     )
-    labels = nodes.select(
+    persisted = nodes.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    )
-    for _ in range(iters):
+    ).persist(StorageLevel.DISK_ONLY)
+    labels = persisted
+    for _ in range(max_iters):
         neighbor_min = (
             sym.join(
                 labels.select(
@@ -132,15 +145,30 @@ def label_propagation_components(
             .groupBy("v")
             .agg(F.min("u_lbl").alias("n_lbl"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, "v", "left")
             .select(
                 "v",
+                F.col("lbl").alias("old_lbl"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("n_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .persist(StorageLevel.DISK_ONLY)
         )
+        # The count materializes `stepped` to disk; only then is the previous
+        # round's backing store safe to drop (unpersisting earlier would
+        # chain the recompute all the way back to round 0).
+        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
+        persisted.unpersist()
+        persisted = stepped
+        labels = stepped.select("v", "lbl")
+        if changed == 0:
+            break
+    sym.unpersist()
+    # `persisted` (the last round) stays materialized — it backs the
+    # returned frame; dropping it would force a full-lineage recompute in
+    # the consumer.
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("component")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mapreducemovieanalysis_cloud_spark.functions.text import (
     fingerprint,
@@ -89,16 +90,23 @@ def jaccard_pairs(
     is then counted per candidate). The result set is identical to the
     brute-force join the oracle runs.
     """
-    sh = shingle_sets(docs, n, id_col, text_col).cache()
+    sh = shingle_sets(docs, n, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
+    # Required overlap is ceil(t·size) in EXACT arithmetic: the float product
+    # can round up past the true integer (0.55*100 -> 55.00000000000001,
+    # ceil=56), which would shorten the prefix by one and silently drop
+    # qualifying pairs. The epsilon backs off float-rounding-up while staying
+    # far below the 1/size quantum between distinct exact values.
     prefix = (
         sh.withColumn("rk", F.row_number().over(rank_w))
         .join(sizes, id_col)
         .where(
             F.col("rk")
             <= F.col("set_size")
-            - F.ceil(F.lit(threshold) * F.col("set_size"))
+            - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
             + 1
         )
         .select(id_col, "shingle")
@@ -279,7 +287,12 @@ def minhash_lsh_dedup(
     with exact Jaccard (join back to shingle sets). Only candidate pairs pay
     the verification cost — the LSH recall/precision tradeoff is in
     (num_hashes, bands)."""
-    sh = shingle_sets(docs, n, id_col, text_col).cache()
+    # Re-read twice (signatures + verification join); disk-persist rather
+    # than cache — the exploded shingle set is the largest intermediate in
+    # the pipeline and would evict executor memory at corpus scale.
+    sh = shingle_sets(docs, n, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     sigs = minhash_signatures(
         docs, n, num_hashes, id_col, text_col, shingles=sh
@@ -339,52 +352,111 @@ def simhash16(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+_SIM64_BLOCKS = 4
+_SIM64_BLOCK_BITS = 16
+
+
+def simhash64_blocks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document as four independent 16-bit blocks
+    (b0..b3) — the Manku-et-al (WWW'07) layout for hamming-distance search.
+
+    Block j's 16 token-hash bits come from md5 hex digits 4j+1..4j+4, so
+    every bit is engine-reproducible string arithmetic. Keeping the
+    signature as four 16-bit ints (rather than one 64-bit int) sidesteps
+    signed-overflow in the top block and gives the pair join its blocking
+    keys for free.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    md5c = F.md5(F.encode(F.col("tok"), "UTF-8"))
+    chunks = [
+        F.conv(F.substring(md5c, 4 * j + 1, 4), 16, 10).cast("long")
+        for j in range(_SIM64_BLOCKS)
+    ]
+    with_bits = toks.select(
+        F.col(id_col),
+        *[
+            F.shiftright(chunks[j], b).bitwiseAND(F.lit(1)).alias(f"s{j}_{b}")
+            for j in range(_SIM64_BLOCKS)
+            for b in range(_SIM64_BLOCK_BITS)
+        ],
+    )
+    agg = with_bits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(f"s{j}_{b}").alias(f"s{j}_{b}")
+            for j in range(_SIM64_BLOCKS)
+            for b in range(_SIM64_BLOCK_BITS)
+        ],
+    )
+    blocks = []
+    for j in range(_SIM64_BLOCKS):
+        blk: Column = F.lit(0).cast("long")
+        for b in range(_SIM64_BLOCK_BITS):
+            blk = blk + F.when(
+                F.col(f"s{j}_{b}") * 2 > F.col("n"), 1 << b
+            ).otherwise(0)
+        blocks.append(blk.alias(f"b{j}"))
+    return agg.select(F.col(id_col), *blocks)
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by the four
-    4-bit quarters of the signature: ≤3 differing bits across 4 quarters
-    leave at least one quarter identical (pigeonhole), so every qualifying
-    pair shares a bucket and the join never goes quadratic."""
-    sigs = simhash16(docs, id_col, text_col).cache()
-    quarters = sigs.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15))
-                    for i in range(4)
-                ]
-            )
-        ).alias("q_idx", "q_key"),
-    )
-    a = quarters.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-        "q_idx",
-        "q_key",
-    )
-    b = quarters.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        "q_idx",
-        "q_key",
-    )
-    return (
-        a.join(b, ["q_idx", "q_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-            ),
+    """Near-dup pairs by 64-bit SimHash hamming distance (≤3), blocked on
+    the four 16-bit signature blocks: ≤3 differing bits across 4 blocks
+    leave at least one block identical (pigeonhole), so the blocked join
+    finds exactly the brute-force result. Each block key has 2^16 values —
+    expected bucket size n/65536, so the within-bucket self-join stays
+    ~4·n²/65536 pairs instead of the n²/16 a 4-bit quarter scheme degrades
+    to; at larger corpora, widen blocks (more tables) or add a second
+    signature the way the MinHash path bands."""
+    if max_hamming >= _SIM64_BLOCKS:
+        raise ValueError(
+            "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
         )
+    sigs = simhash64_blocks(docs, id_col, text_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    blocked = sigs.select(
+        F.col(id_col),
+        *[F.col(f"b{j}") for j in range(_SIM64_BLOCKS)],
+        F.posexplode(
+            F.array(*[F.col(f"b{j}") for j in range(_SIM64_BLOCKS)])
+        ).alias("blk_idx", "blk_key"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(_SIM64_BLOCKS)],
+        "blk_idx",
+        "blk_key",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(_SIM64_BLOCKS)],
+        "blk_idx",
+        "blk_key",
+    )
+    hamming: Column = F.lit(0)
+    for j in range(_SIM64_BLOCKS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}"))
+        )
+    return (
+        a.join(b, ["blk_idx", "blk_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            *[F.col(f"a{j}") for j in range(_SIM64_BLOCKS)],
+            *[F.col(f"bb{j}") for j in range(_SIM64_BLOCKS)],
+        )
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -15,7 +15,7 @@ and aggregations move kilobytes, not media bytes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
@@ -87,17 +87,28 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    decoder: Callable[[str, bytes], dict[str, Any]] | None = None,
+) -> DataFrame:
     """Arrow-batched decode via mapInPandas: one Python worker pass per
     partition, binary stays columnar Arrow end-to-end, output drops the
-    payload (metadata-only → cheap to shuffle downstream)."""
+    payload (metadata-only → cheap to shuffle downstream).
+
+    ``decoder`` is the codec swap-in point: any picklable
+    ``(media_type, payload_bytes) -> {n_bytes, first_byte, width, height}``
+    callable (e.g. a PIL/ffmpeg wrapper) replaces the deterministic stub
+    without touching the Spark plumbing — schema, Arrow batching, and
+    partition-preservation are identical either way (contract pinned by
+    ``tests/test_pipeline.py`` fake-codec test)."""
+    decode = decoder or _decode_stub
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _decode_stub(mt, bytes(d))
+                decode(mt, bytes(d))
                 for mt, d in zip(pdf["media_type"], pdf["data"])
             ]
             out = pd.DataFrame(meta)
@@ -164,7 +175,10 @@ def extract_features(media: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
         for pdf in batches:
             feats = []
             for d in pdf["data"]:
-                text = bytes(d).decode("utf-8")
+                # errors="replace" keeps arbitrary binary payloads from
+                # killing the stage (the API treats bytes as opaque media);
+                # valid UTF-8 — everything the oracle covers — is unchanged.
+                text = bytes(d).decode("utf-8", errors="replace")
                 sums = [0] * dim
                 for i, ch in enumerate(text):
                     sums[i % dim] += ord(ch)

@@ -236,27 +236,57 @@ def ann_ivf_topk(
 def cosine_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
-    num_planes: int = 4,
+    num_planes: int = 8,
+    num_bands: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold, blocked by SRP
-    bucket (near-identical vectors land in the same bucket with high
-    probability; num_planes trades recall for join size)."""
-    planes = srp_planes(num_planes, dim)
-    base = _with_qv(corpus, id_col, vec_col, "id_a").withColumn(
-        "bucket", srp_signature_arrow(F.col("qv_id_a"), planes)
+    """Embedding near-dup pairs above a cosine threshold, blocked by
+    multi-band SRP: ``num_bands`` independent ``num_planes``-bit signatures,
+    candidates = pairs sharing ANY band's bucket (deduplicated), exact
+    cosine verified.
+
+    Banding decouples join size from recall the same way the MinHash path
+    does: per-band bucket count is 2^num_planes (so within-bucket self-join
+    cost is ~num_bands·n²/2^num_planes — size num_planes ≈ log2(n/B) for a
+    target bucket size B as the corpus grows), while a pair at angle θ is
+    caught with prob 1-(1-(1-θ/π)^planes)^bands — extra bands buy back the
+    recall that extra planes cost. The fixed single-band 16-bucket scheme
+    this replaces went quadratic at 100× corpus size."""
+    candidate_sides = []
+    base = _with_qv(corpus, id_col, vec_col, "id_a")
+    for band in range(num_bands):
+        planes = srp_planes(num_planes, dim, seed=f"srp:{band}")
+        candidate_sides.append(
+            base.select(
+                "id_a",
+                F.lit(band).alias("band"),
+                srp_signature_arrow(F.col("qv_id_a"), planes).alias("bucket"),
+            )
+        )
+    banded = candidate_sides[0]
+    for side in candidate_sides[1:]:
+        banded = banded.union(side)
+    cands = (
+        banded.join(
+            banded.select(
+                F.col("id_a").alias("id_b"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     b = base.select(
         F.col("id_a").alias("id_b"),
         F.col("qv_id_a").alias("qv_id_b"),
         F.col("nrm_id_a").alias("nrm_id_b"),
-        "bucket",
     )
     return (
-        base.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cands.join(base, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", _pair_cosine("id_a", "id_b"))
         .where(F.col("cosine") >= threshold)
     )

@@ -30,8 +30,13 @@ def salted_agg(
     (keys, salt) — spreading a hot key over ``salt_buckets`` reducers —
     stage 2 merges the partials per key.
     """
+    # Salt from a deterministic row hash, not monotonically_increasing_id():
+    # the id depends on partition placement, so task retries would re-salt
+    # rows differently — merged results stay exact (stage 2 is algebraic)
+    # but partials become nondeterministic. xxhash64 over the row is stable
+    # across retries and still spreads a hot key over all buckets.
     salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]

@@ -84,9 +84,12 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fused JVM loops) in the final plan.
 
     Under AQE the codegen stage ids (the ``*(N)`` operator prefixes) only
-    appear once the plan is finalized, so this executes the DataFrame's own
-    query execution (cheap at test scale) before reading the plan."""
-    df.collect()
+    appear once the plan is finalized, so this executes the DataFrame's OWN
+    query execution (a noop-sink write would finalize a different
+    QueryExecution and leave this one non-adaptive) — via the physical
+    plan's RDD and a JVM-side count, so nothing is ever collected to the
+    driver and the helper is safe on arbitrarily large frames."""
+    df._jdf.queryExecution().executedPlan().execute().count()
     plan = executed_plan(df)
     spans = set(re.findall(r"\*\((\d+)\)", plan))
     return len(spans) or len(re.findall(r"WholeStageCodegen", plan))

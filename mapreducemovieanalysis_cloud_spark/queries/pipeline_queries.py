@@ -178,18 +178,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_simhash_pairs",
-    oracle=f"""
-    WITH sigs AS ({_simhash_oracle()})
+def _simhash64_oracle(max_hamming: int = 3) -> str:
+    """Brute-force 64-bit SimHash pairs (the engine's block-join is
+    lossless by pigeonhole, so the all-pairs oracle is the exact target)."""
+
+    def chunk(j: int) -> str:
+        digit = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+        return " + ".join(
+            f"{digit.format(p=4*j+p+1)} * {16 ** (3 - p)}" for p in range(4)
+        )
+
+    chunks = ",\n           ".join(f"{chunk(j)} AS v{j}" for j in range(4))
+    sums = ",\n             ".join(
+        f"SUM((v{j} >> {b}) & 1) AS s{j}_{b}"
+        for j in range(4)
+        for b in range(16)
+    )
+    blocks = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * s{j}_{b} > n THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        + f" AS BIGINT) AS b{j}"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(4))
+    return rf"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id,
+           {chunks}
+          FROM toks),
+    bits AS (SELECT doc_id, COUNT(*) AS n,
+             {sums}
+             FROM h GROUP BY 1),
+    sigs AS (SELECT doc_id,
+           {blocks}
+           FROM bits)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST({ham} AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash64_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3), quarter-bucket blocked."""
+    """64-bit SimHash near-dup pairs (hamming <= 3), blocked on the four
+    16-bit signature blocks (2^16 bucket values per block — the Manku WWW'07
+    scheme; lossless by pigeonhole)."""
     return dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3
     )
@@ -344,16 +383,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosine_pairs_oracle(threshold: float = 0.4, num_planes: int = 4) -> str:
-    planes = similarity.srp_planes(num_planes, 64)
+def _cosine_pairs_oracle(
+    threshold: float = 0.4, num_planes: int = 6, num_bands: int = 3
+) -> str:
+    band_ctes = []
+    for band in range(num_bands):
+        planes = similarity.srp_planes(num_planes, 64, seed=f"srp:{band}")
+        band_ctes.append(
+            f"bd{band} AS (SELECT vec_id, {band} AS band, "
+            f"{_srp_sql('qv', planes)} AS bucket FROM base)"
+        )
+    banded_union = "\n      UNION ALL ".join(
+        f"SELECT * FROM bd{b}" for b in range(num_bands)
+    )
     return f"""
     WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
                   FROM embeddings),
-    withb AS (SELECT vec_id, qv, {_srp_sql('qv', planes)} AS bucket FROM base),
-    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     a.qv AS qa, b.qv AS qb
-              FROM withb a JOIN withb b
-                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    {','.join(band_ctes)},
+    banded AS ({banded_union}),
+    cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+    pairs AS (SELECT c.id_a, c.id_b, ta.qv AS qa, tb.qv AS qb
+              FROM cands c
+              JOIN base ta ON ta.vec_id = c.id_a
+              JOIN base tb ON tb.vec_id = c.id_b)
     SELECT id_a, id_b, {_COSINE} AS cosine
     FROM pairs
     WHERE {_COSINE} >= {threshold}
@@ -362,9 +417,15 @@ def _cosine_pairs_oracle(threshold: float = 0.4, num_planes: int = 4) -> str:
 
 @query("dedup_embedding_cosine", oracle=_cosine_pairs_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.4), SRP-bucket blocked."""
+    """Embedding near-dup pairs (cosine >= 0.4), multi-band SRP blocked
+    (3 bands × 6 planes: 64 buckets/band ≈ log2(n/B) sizing for this corpus;
+    bucket size scales 1/2^planes while extra bands preserve recall — see
+    operators.similarity)."""
     return similarity.cosine_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_planes=6,
+        num_bands=3,
     )
 
 
@@ -474,32 +535,32 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle(iters: int = 4, thr: float = 0.5) -> str:
+def _components_oracle(thr: float = 0.5) -> str:
+    """Exact connected-components fixpoint: recursive transitive closure,
+    component = min reachable id. Matches the engine's converged min-label
+    propagation for ANY graph (no iteration-count coupling)."""
     jacc = _minhash_oracle(thr=thr)
-    steps = []
-    prev = "l0"
-    for it in range(1, iters + 1):
-        steps.append(f"""
-    nm{it} AS (SELECT e.v, MIN(p.lbl) AS n_lbl
-               FROM sym e JOIN {prev} p ON p.v = e.u GROUP BY e.v),
-    l{it} AS (SELECT p.v, LEAST(p.lbl, COALESCE(m.n_lbl, p.lbl)) AS lbl
-              FROM {prev} p LEFT JOIN nm{it} m ON m.v = p.v)""")
-        prev = f"l{it}"
     return f"""
-    WITH pairs AS ({jacc}),
+    WITH RECURSIVE pairs AS ({jacc}),
     sym AS (SELECT doc_a AS v, doc_b AS u FROM pairs
             UNION ALL SELECT doc_b AS v, doc_a AS u FROM pairs),
-    l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
-    {','.join(steps)}
-    SELECT v AS doc_id, lbl AS component FROM {prev}
+    reach(v, u) AS (
+        SELECT doc_id AS v, doc_id AS u FROM documents
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN sym e ON e.v = r.u
+    )
+    SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v
     """
 
 
 @query("dedup_clusters", oracle=_components_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup components: MinHash-LSH pairs (jaccard >= 0.5) closed into
-    clusters by 4 rounds of min-label propagation — the survivor-selection
-    step of a dedup pipeline (keep min doc_id per component)."""
+    clusters by min-label propagation iterated to convergence — the
+    survivor-selection step of a dedup pipeline (keep min doc_id per
+    component). The oracle computes the same fixpoint via a recursive
+    transitive closure, so components of any diameter merge fully on both
+    sides."""
     from mapreducemovieanalysis_cloud_spark.operators.clustering import (
         label_propagation_components,
     )
@@ -510,7 +571,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    return label_propagation_components(docs, edges, iters=4)
+    return label_propagation_components(docs, edges)
 
 
 @query(

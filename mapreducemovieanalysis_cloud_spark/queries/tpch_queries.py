@@ -373,3 +373,527 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — deliberately built through the
+    ``spark.sql`` ENTRY PATH (SURVEY §3.4 entry point b): tables registered
+    as temp views by ``register_views``, query text handed to Catalyst
+    verbatim. Plan-wise it is the best case for pushdown: every predicate
+    reaches the parquet scan and the aggregate is a single map-side partial
+    + 1-row final."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT) AS vol_cents,
+             n2.n_name AS supp_nation
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN vol_cents
+                         ELSE 0 END) AS BIGINT) AS china_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+           SUM(CASE WHEN supp_nation = 'CHINA' THEN vol_cents ELSE 0 END)
+             / SUM(vol_cents) AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): eight-way join, share = conditional
+    sum / total sum per year. Both sums are exact cents ints, so the final
+    share is ONE IEEE division — engine-independent. nation/region/part-dim
+    sides broadcast; fact chain left to AQE."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("vol_cents"),
+            "supp_nation",
+        )
+    )
+    china = F.when(F.col("supp_nation") == "CHINA", F.col("vol_cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(china).alias("china_cents"),
+            F.sum("vol_cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "china_cents",
+            "total_cents",
+            (F.col("china_cents") / F.col("total_cents")).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer distribution, sans the comment-regex exclusion —
+    o_comment is not in this schema): LEFT OUTER join so zero-order
+    customers survive with count 0, then a histogram of the counts. Two
+    shuffles total (custkey, then c_count); both aggregates are map-side
+    partial."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)
+                       ELSE 0 END) / SUM(CAST(ROUND({_DISC_PRICE} * 100)
+                                              AS BIGINT)) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to part
+    (broadcast — part is the small side after pruning to two columns),
+    promo share of revenue as exact-cents conditional sum over total."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc_cents
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(disc_cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (
+                F.lit(100.0)
+                * F.col("promo_cents")
+                / F.col("total_cents")
+            ).alias("promo_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+           r.total_cents AS total_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The scalar max is a 1-row broadcast cross join (no second scan of
+    lineitem, no window over the whole agg); cents ints make the MAX
+    tie-set exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_cents(disc)).alias("total_cents")
+    )
+    top = revenue.agg(F.max("total_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_cents") == F.col("max_cents"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS a_partkey,
+             0.2 * AVG(l_quantity) AS threshold
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 700.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.a_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < a.threshold
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; p_container is not in this
+    schema, so the part filter is brand-only): the correlated avg decorrelates
+    into a per-part aggregate joined back to lineitem. Quantities are
+    integral doubles, so per-part sums are exact in IEEE and 0.2*avg is
+    reproducible bit-for-bit. At scale both sides partition on partkey —
+    one co-located shuffle each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))
+        ).alias("threshold")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("a_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents")
+        )
+        .select(
+            "total_cents",
+            (F.col("total_cents") / F.lit(700.0)).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue; p_container is not in this schema, so
+    the disjuncts use brand+size+quantity): a disjunctive join predicate the
+    planner keeps as an equi-join on partkey plus a post-join OR filter —
+    the join itself never degenerates to a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 50)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(_cents(disc)).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A','R')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority; l_shipmode /
+    l_commitdate / l_receiptdate are not in this schema, so the mode column
+    is l_returnflag and "shipped late" is l_shipdate > o_orderdate + 60
+    days — a cross-table predicate like the original's commit/receipt
+    comparison): fact-fact join with the year filter pushed to the lineitem
+    scan, two conditional counts in one pass. The late-ship predicate
+    evaluates inside the join stage (both operands post-join), adding no
+    extra shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_suppliers_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; l_commitdate /
+    l_receiptdate are not in this schema, so "late" is l_shipdate >
+    o_orderdate + 90 days on finalized orders): the EXISTS decorrelates to
+    a LEFT SEMI self-join on the fact table and the NOT EXISTS to a LEFT
+    ANTI join against the late set — the sole-late-supplier-per-multi-
+    supplier-order pattern. All three fact legs hash-partition on
+    l_orderkey, so at cluster scale the semi/anti probes are co-located
+    with the late set's own shuffle; top-k rides TakeOrderedAndProject
+    with s_name as the unique tie-break."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(
+            other,
+            (F.col("o2_orderkey") == F.col("l_orderkey"))
+            & (F.col("o2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("o3_orderkey") == F.col("l_orderkey"))
+            & (F.col("o3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             COUNT(*) AS n
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 5, 10, 15, 20))
+    SELECT CAST(c.c_nationkey AS INT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 5, 10, 15, 20)
+      AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity; c_phone is not in this schema,
+    so country codes are c_nationkey values): customers with above-average
+    positive balance and NO orders. The avg comparison is kept in exact
+    integer arithmetic (bal_cents·n > sum_cents — no division), the
+    no-orders test is a LEFT ANTI join on custkey, and the 1-row aggregate
+    broadcasts."""
+    codes = [1, 5, 10, 15, 20]
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(codes)
+    )
+    bal_cents = _cents(F.col("c_acctbal"))
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(pos))
+        .where(bal_cents * F.col("n") > F.col("sum_cents"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_cents).alias("totacctbal_cents"),
+        )
+    )

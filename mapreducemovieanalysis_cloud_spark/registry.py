@@ -35,14 +35,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# The driver's correctness run covers a bounded prefix of the registry (50
+# entries in round 1), so registration order is a coverage decision, not a
+# style one: the hardest-to-oracle families (TPC-H joins/aggregates,
+# streaming windows, the approximate dedup/ANN/multimodal pipeline) come
+# first; the long relational tail — every entry of which already has a green
+# CORRECTNESS_r01 row — fills the remaining slots in original order.
+_PRIORITY = [
+    # reference parity (flagship)
+    "movie_rank",
+    "movie_rank_desc",
+    "movie_rating",
+    # TPC-H (driver-unchecked in r1)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
+    # streaming (driver-unchecked in r1)
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "join_interval_events",
+    # pipeline operators driver-unchecked in r1
+    "dedup_minhash_lsh",
+    "fingerprint_winnow",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_features",
+    "kmeans_embeddings",
+    "dedup_clusters",
+]
+
+
+def _ordered(d: dict) -> dict:
+    ordered = {n: d[n] for n in _PRIORITY if n in d}
+    ordered.update((n, v) for n, v in d.items() if n not in ordered)
+    return ordered
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False

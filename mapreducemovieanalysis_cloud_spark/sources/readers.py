@@ -27,7 +27,20 @@ _FORMATS = ("parquet", "csv", "json", "orc")
 # re-reading parquet footers on every one of the registry's ~60 queries —
 # at cluster scale, re-building a file index over a large table is an
 # O(files) driver-side stall repeated per query.
+#
+# Contract: an sf_dir is immutable for the lifetime of a Spark application —
+# the cached plan freezes the file index, so files added/rewritten after the
+# first load are invisible until ``clear_table_cache()`` (which test
+# harnesses that regenerate data must call). Entries from other application
+# ids (stopped sessions) are evicted on access so the memo can't grow across
+# session restarts in one process.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every memoized table plan (use after rewriting files in an
+    sf_dir mid-application)."""
+    _TABLE_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,7 +52,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with integer division (``div`` — float division would lose precision at
     1.7e18 ns magnitudes), matching DuckDB's nanos→micros truncation.
     """
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
+    key = (app_id, sf_dir.rstrip("/"), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

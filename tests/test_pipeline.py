@@ -95,3 +95,108 @@ def test_ann_ivf_recall_vs_bruteforce(spark, oracle_sf_dir):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
     for pair in hits:
         assert exact_pairs[pair] == approx_pairs[pair], pair
+
+
+def test_ppjoin_prefix_exact_at_awkward_threshold(spark):
+    """threshold=0.55 over 100-shingle docs: 0.55*100 rounds UP in float
+    (55.00000000000001 → ceil 56), which would shorten the PPJoin prefix by
+    one and silently drop qualifying pairs. The filtered result must equal
+    the brute-force all-pairs join at every threshold."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_sets,
+    )
+
+    # Two docs sharing exactly 71 of their 100 3-shingles: 102 tokens each,
+    # first 73 tokens common → jaccard = 71/129 ≈ 0.5504 — right at the
+    # boundary the broken ceil would lose.
+    common = [f"w{i}" for i in range(73)]
+    a_txt = " ".join(common + [f"a{i}" for i in range(29)])
+    b_txt = " ".join(common + [f"b{i}" for i in range(29)])
+    docs = spark.createDataFrame(
+        [(0, a_txt), (1, b_txt)], ["doc_id", "text"]
+    )
+    sizes = {
+        r.doc_id: r.n
+        for r in shingle_sets(docs)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes == {0: 100, 1: 100}
+    # jaccard = 71/129 ≈ 0.550388
+    for thr in (0.55, 0.5503):
+        got = jaccard_pairs(docs, threshold=thr).collect()
+        assert [(r.doc_a, r.doc_b, r.n_common) for r in got] == [(0, 1, 71)], (
+            f"threshold={thr}: prefix filter dropped the qualifying pair"
+        )
+    assert jaccard_pairs(docs, threshold=0.5504).collect() == []
+
+
+def test_decode_media_codec_injection(spark):
+    """The decoder swap-in contract: a custom codec replaces the stub with no
+    change to schema, Arrow plumbing, or row alignment."""
+    from mapreducemovieanalysis_cloud_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(b"\x89PNG\x0d\x0a"), "s3://x/1"),
+            (2, "audio/wav", bytearray(b"RIFF\x00\x01\x02\x03"), "s3://x/2"),
+        ],
+        "media_id LONG, media_type STRING, data BINARY, source STRING",
+    )
+
+    def fake_codec(media_type: str, data: bytes) -> dict:
+        return {
+            "n_bytes": len(data),
+            "first_byte": data[0],
+            "width": 640 if media_type.startswith("image") else 0,
+            "height": 480 if media_type.startswith("image") else 0,
+        }
+
+    out = decode_media(media, decoder=fake_codec)
+    assert out.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].first_byte == 0x89 and rows[1].width == 640
+    assert rows[2].first_byte == ord("R") and rows[2].width == 0
+
+
+def test_extract_features_survives_non_utf8_payload(spark):
+    """Binary payloads are opaque media — a non-UTF-8 byte stream must not
+    kill the stage (decode uses errors='replace'; U+FFFD per bad byte)."""
+    from mapreducemovieanalysis_cloud_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(7, "image/fake", bytearray(b"\xff\xfe ok"), "s")],
+        "media_id LONG, media_type STRING, data BINARY, source STRING",
+    )
+    [row] = extract_features(media, dim=2).collect()
+    assert row.media_id == 7
+    # \xff\xfe -> two U+FFFD (65533), then " ok" = 32, 111, 107
+    assert row.features == [65533 + 32 + 107, 65533 + 111]
+
+
+def test_components_converge_on_long_chain(spark):
+    """A diameter-6 path graph must collapse to ONE component — the failure
+    mode of a fixed 4-round propagation budget (nodes >4 hops from the min
+    id kept stale labels)."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    got = {
+        r.doc_id: r.component
+        for r in label_propagation_components(nodes, chain).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
