@@ -169,24 +169,28 @@ def winnow_fingerprints(
     )
 
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # max_pos is known before exploding (shingle count = tokens - n + 1), so
+    # carry it as a scalar instead of re-deriving it with a second
+    # unbounded max() window over the exploded rows — one window pass and
+    # one sort-free stage cheaper, same rows out.
     sh = toked.select(
         F.col(id_col),
+        (F.size("__toks") - F.lit(n)).alias("max_pos"),
         F.posexplode(shingles_from_tokens(F.col("__toks"), n)).alias(
             "pos", "shingle"
         ),
     )
     h = sh.select(
         id_col,
+        "max_pos",
         "pos",
         F.substring(
             F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 8
         ).alias("h"),
     )
-    doc_w = W.partitionBy(id_col)
     roll_w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     return (
-        h.withColumn("max_pos", F.max("pos").over(doc_w))
-        .withColumn("wmin", F.min("h").over(roll_w))
+        h.withColumn("wmin", F.min("h").over(roll_w))
         .where(F.col("pos") <= F.col("max_pos") - (window - 1))
         .select(F.col(id_col), F.col("wmin").alias("fp"))
         .distinct()
