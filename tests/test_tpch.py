@@ -16,6 +16,16 @@ TPCH = (
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
     "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
 )
 
 
@@ -55,3 +65,37 @@ def test_q1_single_shuffle(spark, sf_dir):
     df = registry.queries()["tpch_q1_pricing_summary"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS must plan as one LeftSemi and one LeftAnti
+    join on the fact key — never a correlated re-scan per row."""
+    df = registry.queries()["tpch_q21_suppliers_waiting"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q6_sql_entry_pushes_all_predicates(spark, sf_dir):
+    """Q6 enters through spark.sql(); every predicate must still reach the
+    parquet scan (entry path must not cost pushdown)."""
+    df = registry.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:", 1)[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q10_topk_take_ordered(spark, sf_dir):
+    """Q10's top-20 must be per-partition heaps, not a global sort."""
+    df = registry.queries()["tpch_q10_returned_items"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_broadcasts_filtered_part(spark, sf_dir):
+    """Q17's brand-filtered part (and the per-part avg at this SF) come in
+    as broadcast joins so lineitem shuffles at most for the avg agg."""
+    df = registry.queries()["tpch_q17_small_quantity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
