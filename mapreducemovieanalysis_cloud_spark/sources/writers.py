@@ -34,3 +34,33 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...],
+    num_buckets: int,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-ordered) catalog
+    table — the co-located-join layout for repeated fact-fact joins.
+
+    Two tables bucketed on the same key with the same ``num_buckets`` join
+    with NO exchange on either side: each task reads matching bucket files
+    directly, so a 100 TB orders⋈lineitem that runs nightly pays the
+    shuffle once at write time instead of per query. ``sort_by`` orders
+    rows within each bucket file, which additionally removes the join's
+    sort step. Bucketing requires the catalog (``saveAsTable``) — a plain
+    ``save(path)`` silently drops bucket metadata, which is why this is a
+    separate entry point from ``write_table``.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

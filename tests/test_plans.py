@@ -86,3 +86,39 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     n_total = events.count()
     n_day = one_day.count()
     assert 0 < n_day < n_total
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange operators — the write-once/join-many layout
+    for recurring fact-fact joins at 100 TB."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "orders_b", ("o_orderkey",), 4,
+                   sort_by=("o_orderkey",))
+    write_bucketed(lineitem, "lineitem_b", ("l_orderkey",), 4,
+                   sort_by=("l_orderkey",))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("orders_b").join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = plans.executed_plan(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
