@@ -603,3 +603,120 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return multimodal.extract_features(media, dim=8)
+
+
+def _curate_oracle(min_quality: float = 0.75) -> str:
+    """Full curation pipeline in one SQL: the same lang/quality/fingerprint
+    arithmetic as the lang_id / quality_score / dedup_exact oracles, fused."""
+    from mapreducemovieanalysis_cloud_spark.functions import text as T
+
+    toks = r"string_split_regex(trim(text), '\s+')"
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        return (
+            f"CAST(len(list_filter({toks}, "
+            f"t -> list_contains([{words}], t))) AS INT)"
+        )
+
+    return rf"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             CAST(len({toks}) AS INT) AS n_tok,
+             CAST(len(list_distinct({toks})) AS INT) AS n_distinct,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)
+               AS n_alpha,
+             {score('en')} AS s_en, {score('es')} AS s_es,
+             {score('de')} AS s_de, {score('fr')} AS s_fr
+      FROM documents),
+    g AS (
+      SELECT doc_id, fp, n_tok AS n_tokens,
+             ((CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_distinct * 10 > n_tok * 3 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_alpha >= n_tok * 3 AND n_alpha <= n_tok * 12
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN n_alpha * 10 > n_chars * 6 THEN 1 ELSE 0 END))
+            / 4.0 AS quality,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM m),
+    gated AS (SELECT * FROM g
+              WHERE quality >= {min_quality} AND predicted_lang = 'en'),
+    surv AS (SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+             FROM gated GROUP BY 1)
+    SELECT s.doc_id AS doc_id, g.n_tokens AS n_tokens,
+           g.quality AS quality, s.dup_count AS dup_count
+    FROM surv s JOIN gated g ON g.doc_id = s.doc_id
+    """
+
+
+@query("curate_corpus", oracle=_curate_oracle())
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass a training-data pipeline runs first:
+    language gate (stopword lang-ID = 'en'), quality gate (Gopher/C4-style
+    score >= 0.75), exact-dedup survivor selection (min doc_id per
+    normalized-text fingerprint), emitting each survivor with its token
+    count and how many duplicates it absorbed.
+
+    One plan, tokenize-once: every per-doc metric (lang scores, quality
+    counts, fingerprint) comes out of a single projection over one scan,
+    the gates are row-local filters (no shuffle), and survivor selection
+    is one window over fp (row_number + count) — ONE shuffle carrying
+    (fp, id, three small ints) per gated row, no join back, no second
+    scan (plan-guarded: one FileScan, text never crosses an Exchange).
+    Quality is k/4.0 so the threshold compare is float-exact."""
+    from mapreducemovieanalysis_cloud_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "text", T.tokens("text").alias("__toks"))
+    scores = T.lang_scores_from_tokens(F.col("__toks"))
+    m = toked.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+        F.length("text").alias("__n_chars"),
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).alias(
+            "__n_alpha"
+        ),
+        *[scores[lang].alias(f"s_{lang}") for lang in T.LANG_PRIORITY],
+    )
+    n_tok, n_distinct = F.col("n_tokens"), F.col("__n_distinct")
+    n_chars, n_alpha = F.col("__n_chars"), F.col("__n_alpha")
+    quality = (
+        (
+            F.when((n_tok >= 10) & (n_tok <= 100000), 1).otherwise(0)
+            + F.when(n_distinct * 10 > n_tok * 3, 1).otherwise(0)
+            + F.when(
+                (n_alpha >= n_tok * 3) & (n_alpha <= n_tok * 12), 1
+            ).otherwise(0)
+            + F.when(n_alpha * 10 > n_chars * 6, 1).otherwise(0)
+        ).cast("double")
+        / 4.0
+    )
+    pred = T.predicted_lang_from_scores(
+        {lang: F.col(f"s_{lang}") for lang in T.LANG_PRIORITY}
+    )
+    gated = m.select(
+        "doc_id",
+        "fp",
+        "n_tokens",
+        quality.alias("quality"),
+        pred.alias("predicted_lang"),
+    ).where((F.col("quality") >= 0.75) & (F.col("predicted_lang") == "en"))
+    from pyspark.sql import Window as W
+
+    fp_w = W.partitionBy("fp")
+    return (
+        gated.withColumn("dup_count", F.count(F.lit(1)).over(fp_w))
+        .withColumn(
+            "__rn", F.row_number().over(fp_w.orderBy("doc_id"))
+        )
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "quality", "dup_count")
+    )

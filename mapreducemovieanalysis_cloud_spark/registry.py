@@ -70,6 +70,7 @@ _PRIORITY = [
     "window_session",
     "join_interval_events",
     # pipeline operators driver-unchecked in r1
+    "curate_corpus",
     "dedup_minhash_lsh",
     "fingerprint_winnow",
     "dedup_simhash",

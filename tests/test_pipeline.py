@@ -200,3 +200,25 @@ def test_components_converge_on_long_chain(spark):
         for r in label_propagation_components(nodes, chain).collect()
     }
     assert got == {i: 0 for i in range(7)}
+
+
+def test_curate_corpus_matches_oracle(spark, oracle_sf_dir):
+    from mapreducemovieanalysis_cloud_spark import registry
+    from tests.oracle import assert_matches_oracle
+
+    q = registry.queries()["curate_corpus"]
+    sql = registry.oracle_sql()["curate_corpus"]
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_curate_corpus_single_scan_no_text_shuffle(spark, oracle_sf_dir):
+    """The curation pass must read documents ONCE and never shuffle the
+    text column — only (fp, id, small ints) move."""
+    from mapreducemovieanalysis_cloud_spark import plans, registry
+
+    df = registry.queries()["curate_corpus"](spark, oracle_sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    for part in plan.split("Exchange")[1:]:
+        head = part[:400]
+        assert "text#" not in head, head
