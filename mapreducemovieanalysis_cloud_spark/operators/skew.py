@@ -46,6 +46,42 @@ def salted_agg(
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact side, replicate the dim side.
+
+    Each fact row gets a deterministic salt in [0, salt_buckets); the dim
+    side is exploded ``salt_buckets``× so every (key, salt) bucket finds
+    its match. A hot fact key that would funnel into one join task now
+    spreads over ``salt_buckets`` tasks, at the cost of replicating only
+    the SMALL side — the classic manual alternative when AQE's runtime
+    skew split can't kick in (e.g. the skew is inside one already-small
+    partition file, or the join is inside a cached subtree AQE won't
+    replan). Result is row-identical to the plain join: salting only
+    routes rows, every fact row still meets exactly its key's dim row.
+    """
+    salted = facts.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*facts.columns), F.lit(salt_buckets)).cast("int"),
+    )
+    replicated = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")
+        ),
+    )
+    joined = salted.join(
+        replicated,
+        (F.col(key) == F.col(dim_key)) & (salted["__salt"] == replicated["__salt"]),
+    )
+    return joined.drop("__salt")
+
+
 def salted_count_sum_cents(
     df: DataFrame,
     keys: list[str],

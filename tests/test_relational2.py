@@ -39,3 +39,33 @@ def test_matches_oracle_sf001(spark, oracle_sf_dir, name):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
+    """salted_join must return exactly the plain join's rows — salting only
+    routes rows across tasks. Key chosen for maximal skew (3 values)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.skew import salted_join
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("flag_rows"))
+    )
+    got = (
+        salted_join(li, dim, "l_returnflag", "flag", salt_buckets=8)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_rows")
+        .collect()
+    )
+    want = (
+        li.join(dim, F.col("l_returnflag") == F.col("flag"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_rows")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == li.count()
