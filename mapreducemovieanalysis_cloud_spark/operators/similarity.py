@@ -290,3 +290,121 @@ def cosine_dup_pairs(
         .select("id_a", "id_b", _pair_cosine("id_a", "id_b"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _ivf_cells(
+    side: DataFrame,
+    cents: DataFrame,
+    side_id: str,
+    keep: int,
+) -> DataFrame:
+    """Best ``keep`` cells per vector: argmax integer dot against the
+    broadcast centroids, centroid id as the deterministic tie-break."""
+    scored = side.join(F.broadcast(cents)).withColumn(
+        "cdot", qdot_arrow(F.col(f"qv_{side_id}"), F.col("qv_cent"))
+    )
+    w = Window.partitionBy(side_id).orderBy(
+        F.col("cdot").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= keep)
+        .drop("qv_cent", "cdot", "cell_rank")
+        .withColumnRenamed("cent_id", "cell")
+    )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: vectors stored hive-partitioned by their
+    cell, centroids alongside — the write-once/probe-many layout
+    ``ann_ivf_topk``'s docstring promises at 100 TB.
+
+    Probes then read only ``nprobe`` partition directories (partition
+    pruning at the file-listing level), so per-query scan cost is
+    ~nprobe/n_centroids of the corpus no matter how large the corpus
+    grows. Centroid policy mirrors ``ann_ivf_topk`` (first ``n_centroids``
+    ids), so a probe of the stored index returns exactly what the inline
+    operator computes."""
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    qcents = cents.select(
+        "cent_id", quantize("cent_vec").alias("qv_cent")
+    )
+    assigned = _ivf_cells(
+        _with_qv(corpus, id_col, vec_col, "nid"), qcents, "nid", 1
+    ).select(
+        F.col("nid").alias(id_col),
+        F.col(f"qv_nid").alias("qv"),
+        F.col(f"nrm_nid").alias("nrm"),
+        "cell",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k against a stored IVF index (see ``ivf_write_index``).
+
+    The probe-cell set is collected to the driver — it is at most
+    nprobe x |queries| small ints (the same boundedness argument as a
+    broadcast variable), and inlining it as a literal IN-filter guarantees
+    static partition pruning on the cells read (``PartitionFilters`` in
+    the scan, pinned by test) rather than depending on runtime DPP
+    heuristics. Scoring re-ranks with the same exact quantized cosine as
+    the inline operator."""
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        "cent_id", quantize("cent_vec").alias("qv_cent")
+    )
+    q = _ivf_cells(
+        _with_qv(queries, query_id_col, vec_col, query_id_col),
+        cents,
+        query_id_col,
+        nprobe,
+    )
+    probe_cells = sorted(
+        {r.cell for r in q.select("cell").distinct().collect()}
+    )
+    idx = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qv").alias("qv_neighbor_id"),
+            F.col("nrm").alias("nrm_neighbor_id"),
+            "cell",
+        )
+    )
+    scored = idx.join(F.broadcast(q), "cell").select(
+        query_id_col,
+        "neighbor_id",
+        _pair_cosine(query_id_col, "neighbor_id"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -222,3 +222,33 @@ def test_curate_corpus_single_scan_no_text_shuffle(spark, oracle_sf_dir):
     for part in plan.split("Exchange")[1:]:
         head = part[:400]
         assert "text#" not in head, head
+
+
+def test_ivf_stored_index_matches_inline_operator(spark, oracle_sf_dir, tmp_path):
+    """Probing the materialized IVF index must return exactly what the
+    inline ann_ivf_topk computes, and the probe scan must partition-prune
+    to the probed cells."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    corpus = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = (
+        corpus.where(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(5)
+    )
+    inline = ann_ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=2)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, n_centroids=8)
+    probed = ivf_probe_index(spark, path, queries, k=5, nprobe=2)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("\n", " "), plan
