@@ -464,3 +464,54 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def decontaminate(
+    batch: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    window: int = 4,
+    min_shared: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination / incremental near-dup gate: score each
+    batch document by how many of its winnowing fingerprints appear
+    anywhere in ``reference``.
+
+    The training-data use is dropping (or flagging) incoming documents
+    that overlap a held-out benchmark or an already-ingested corpus —
+    n-gram-overlap decontamination computed with winnowing's guarantee
+    that any shared run of ``n + window - 1`` tokens yields a shared
+    fingerprint.
+
+    Scale shape: both sides reduce to (id, fp) / (fp) rows before anything
+    joins — the reference side collapses to DISTINCT fingerprints (set
+    semantics, a fraction of its text volume), the join partitions on fp,
+    and per-doc scoring is a count aggregate. Nothing rescans text after
+    the fingerprint stage, so a growing reference corpus costs its
+    fingerprint-set size, not its byte size. Documents shorter than
+    ``n`` tokens have no fingerprints and are absent from the output
+    (they cannot overlap anything).
+    """
+    bfp = winnow_fingerprints(batch, n, window, id_col, text_col)
+    rfp = (
+        winnow_fingerprints(reference, n, window, id_col, text_col)
+        .select("fp")
+        .distinct()
+    )
+    per_doc = bfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = (
+        bfp.join(rfp, "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        per_doc.join(shared, id_col, "left")
+        .select(
+            id_col,
+            "n_fps",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        )
+        .withColumn("contaminated", F.col("n_shared") >= min_shared)
+    )

@@ -720,3 +720,56 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("doc_id", "n_tokens", "quality", "dup_count")
     )
+
+
+_BATCH_SOURCES = "'src0','src1','src2','src3','src4'"
+
+
+@query(
+    "decontaminate_batch",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT doc_id, source, i,
+                  substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)
+                    AS h
+           FROM pos),
+    win AS (SELECT doc_id, source, i,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS wmin,
+                   MAX(i) OVER (PARTITION BY doc_id) AS max_i
+            FROM sh),
+    fp AS (SELECT DISTINCT doc_id, source, wmin AS fp FROM win
+           WHERE i <= max_i - 3),
+    batch AS (SELECT doc_id, fp FROM fp
+              WHERE source IN ({_BATCH_SOURCES})),
+    ref AS (SELECT DISTINCT fp FROM fp
+            WHERE source NOT IN ({_BATCH_SOURCES})),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_fps FROM batch GROUP BY 1),
+    shared AS (SELECT b.doc_id, COUNT(*) AS n_shared
+               FROM batch b JOIN ref r ON r.fp = b.fp GROUP BY 1)
+    SELECT p.doc_id AS doc_id,
+           CAST(p.n_fps AS BIGINT) AS n_fps,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(s.n_shared, 0) >= 10 AS contaminated
+    FROM per_doc p LEFT JOIN shared s ON s.doc_id = p.doc_id
+    """,
+)
+def decontaminate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination pass: treat sources src0-src4 as the
+    incoming batch and every other source as the reference corpus; score
+    each batch document by shared winnowing fingerprints and flag overlap
+    >= 10 (the n-gram-overlap decontamination gate a training pipeline
+    runs before ingesting a crawl against held-out benchmarks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    batch = docs.where(F.col("source").isin(batch_srcs))
+    reference = docs.where(~F.col("source").isin(batch_srcs))
+    return dedup.decontaminate(
+        batch, reference, n=3, window=4, min_shared=10
+    )

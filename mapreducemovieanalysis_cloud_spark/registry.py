@@ -71,6 +71,7 @@ _PRIORITY = [
     "join_interval_events",
     # pipeline operators driver-unchecked in r1
     "curate_corpus",
+    "decontaminate_batch",
     "dedup_minhash_lsh",
     "fingerprint_winnow",
     "dedup_simhash",

@@ -252,3 +252,30 @@ def test_ivf_stored_index_matches_inline_operator(spark, oracle_sf_dir, tmp_path
     assert got == want
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan.replace("\n", " "), plan
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A batch doc sharing a long run with the reference must be flagged;
+    a disjoint doc must survive with zero shared fingerprints."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench_text = " ".join(f"bench{i}" for i in range(60))
+    clean_text = " ".join(f"clean{i}" for i in range(60))
+    batch = spark.createDataFrame(
+        [(1, bench_text + " tail0 tail1"), (2, clean_text)],
+        ["doc_id", "text"],
+    )
+    reference = spark.createDataFrame(
+        [(100, bench_text), (101, "unrelated words here entirely")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in decontaminate(
+            batch, reference, n=3, window=4, min_shared=5
+        ).collect()
+    }
+    assert rows[1].contaminated and rows[1].n_shared >= 5
+    assert not rows[2].contaminated and rows[2].n_shared == 0
