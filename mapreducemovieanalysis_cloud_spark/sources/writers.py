@@ -64,3 +64,35 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact_table(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table into ~``target_file_bytes`` files; returns the file
+    count written.
+
+    The small-files problem at 100 TB: a streaming sink or a
+    many-partition job leaves thousands of KB-scale files whose per-file
+    open/footer cost dominates later scans and whose listing stalls the
+    driver. Compaction sizes the rewrite from the actual byte size
+    (Hadoop FileSystem metadata — an O(files) driver-side listing, the
+    thing being eliminated), then round-robin repartitions so output
+    files are uniform. Runs scoped to one partition directory of a
+    hive-partitioned table compact incrementally."""
+    df = spark.read.format(fmt).load(src_path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    n_files = max(1, -(-total // target_file_bytes))
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(
+        dest_path
+    )
+    return n_files

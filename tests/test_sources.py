@@ -139,3 +139,28 @@ def test_permissive_csv_captures_corrupt_rows(spark, tmp_path):
     assert good.count() == 2
     assert bad.count() == 1
     assert "Broken Row" in bad.first()._corrupt_record
+
+
+def test_compact_table_merges_small_files(spark, sf_dir, tmp_path):
+    """A 32-way fragmented write compacts to the byte-sized file count with
+    identical rows."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        compact_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(32).write.parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    assert len(fragmented.inputFiles()) == 32
+    compacted = str(tmp_path / "compacted")
+    n = compact_table(spark, frag, compacted, target_file_bytes=1 << 30)
+    out = spark.read.parquet(compacted)
+    assert n == 1 and len(out.inputFiles()) == 1
+    assert out.count() == li.count()
+    a = out.agg(F.sum(F.round(F.col("l_extendedprice") * 100))).collect()
+    b = li.agg(F.sum(F.round(F.col("l_extendedprice") * 100))).collect()
+    assert a == b
