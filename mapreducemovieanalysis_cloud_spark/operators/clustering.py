@@ -123,16 +123,18 @@ def label_propagation_components(
     """
     # Every round re-reads the edge list: persist it once instead of
     # re-deriving its (possibly expensive — LSH candidate generation)
-    # lineage per iteration. Disk-only: the edge list is the largest state
-    # and must not evict executor memory at corpus scale.
+    # lineage per iteration. MEMORY_AND_DISK: the edge list is the largest
+    # state; unified-memory eviction spills it to disk under execution
+    # pressure rather than letting it crowd the shuffle working set, and
+    # the disk copy keeps per-round re-reads from recomputing lineage.
     sym = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
         .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u")))
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     persisted = nodes.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("lbl")
-    ).persist(StorageLevel.DISK_ONLY)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = persisted
     for _ in range(max_iters):
         neighbor_min = (
@@ -154,7 +156,7 @@ def label_propagation_components(
                     F.col("lbl"), F.coalesce(F.col("n_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist(StorageLevel.DISK_ONLY)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # The count materializes `stepped` to disk; only then is the previous
         # round's backing store safe to drop (unpersisting earlier would

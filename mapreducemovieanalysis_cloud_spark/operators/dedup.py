@@ -91,7 +91,7 @@ def jaccard_pairs(
     brute-force join the oracle runs.
     """
     sh = shingle_sets(docs, n, id_col, text_col).persist(
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
@@ -291,11 +291,15 @@ def minhash_lsh_dedup(
     with exact Jaccard (join back to shingle sets). Only candidate pairs pay
     the verification cost — the LSH recall/precision tradeoff is in
     (num_hashes, bands)."""
-    # Re-read twice (signatures + verification join); disk-persist rather
-    # than cache — the exploded shingle set is the largest intermediate in
-    # the pipeline and would evict executor memory at corpus scale.
+    # Re-read twice (signatures + verification join). MEMORY_AND_DISK, not
+    # MEMORY_ONLY: the exploded shingle set is the largest intermediate in
+    # the pipeline, and under Spark's unified memory manager storage blocks
+    # are evictable when execution needs the space — so at corpus scale the
+    # overflow spills to local disk instead of either strangling the
+    # shuffle working set or (MEMORY_ONLY) silently dropping partitions and
+    # recomputing the explode per re-read.
     sh = shingle_sets(docs, n, id_col, text_col).persist(
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     sigs = minhash_signatures(
@@ -424,7 +428,7 @@ def simhash_pairs(
             "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
         )
     sigs = simhash64_blocks(docs, id_col, text_col).persist(
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     blocked = sigs.select(
         F.col(id_col),
