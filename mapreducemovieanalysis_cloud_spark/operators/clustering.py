@@ -147,6 +147,16 @@ def label_propagation_components(
             .groupBy("v")
             .agg(F.min("u_lbl").alias("n_lbl"))
         )
+        # Eager localCheckpoint instead of persist: it materializes the
+        # round AND truncates lineage, so round r's plan is O(1) — with
+        # plain persist the logical plan still chains through every prior
+        # round and per-round planning/serialization grows O(r), O(r²)
+        # total (visible as hundreds of Exchanges in PLANS.md before this
+        # fix). Blocks of dropped rounds are reclaimed by the
+        # ContextCleaner once unreferenced; a production run on a real
+        # cluster sets a checkpoint dir and uses reliable checkpoint()
+        # every few rounds instead (localCheckpoint does not survive
+        # executor loss).
         stepped = (
             labels.join(neighbor_min, "v", "left")
             .select(
@@ -156,21 +166,18 @@ def label_propagation_components(
                     F.col("lbl"), F.coalesce(F.col("n_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        # The count materializes `stepped` to disk; only then is the previous
-        # round's backing store safe to drop (unpersisting earlier would
-        # chain the recompute all the way back to round 0).
         changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
-        persisted.unpersist()
-        persisted = stepped
+        if persisted is not None:
+            persisted.unpersist()
+            persisted = None
         labels = stepped.select("v", "lbl")
         if changed == 0:
             break
     sym.unpersist()
-    # `persisted` (the last round) stays materialized — it backs the
-    # returned frame; dropping it would force a full-lineage recompute in
-    # the consumer.
+    # The last round's checkpoint blocks back the returned frame; they are
+    # reclaimed by the ContextCleaner when the consumer drops the frame.
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("component")
     )
