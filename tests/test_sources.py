@@ -164,3 +164,44 @@ def test_compact_table_merges_small_files(spark, sf_dir, tmp_path):
     a = out.agg(F.sum(F.round(F.col("l_extendedprice") * 100))).collect()
     b = li.agg(F.sum(F.round(F.col("l_extendedprice") * 100))).collect()
     assert a == b
+
+
+def test_upsert_partitions_touches_only_carried_partitions(
+    spark, sf_dir, tmp_path
+):
+    """A batch carrying one day must replace that day's partition and leave
+    every other day byte-identical (no full-table truncate)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        upsert_partitions,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    upsert_partitions(spark, events, path, ("day",))
+    days = [r.day for r in events.select("day").distinct().collect()]
+    target, keep = sorted(days)[0], sorted(days)[1]
+    untouched_before = {
+        f for f in spark.read.parquet(path).inputFiles() if f"day={keep}" in f
+    }
+    patch = (
+        events.where(F.col("day") == target)
+        .limit(5)
+        .withColumn("user_id", F.lit(-1).cast(events.schema["user_id"].dataType))
+    )
+    upsert_partitions(spark, patch, path, ("day",))
+    after = spark.read.parquet(path)
+    got_target = after.where(F.col("day") == target)
+    assert got_target.count() == 5
+    assert got_target.where(F.col("user_id") == -1).count() == 5
+    untouched_after = {
+        f for f in after.inputFiles() if f"day={keep}" in f
+    }
+    assert untouched_before == untouched_after
+    assert after.where(F.col("day") == keep).count() == events.where(
+        F.col("day") == keep
+    ).count()
