@@ -214,3 +214,23 @@ def test_cli_reference_invocation(spark, tmp_path):
     assert set(titles) == {
         "Shawshank Redemption, The (1994)", "Tie A (2001)", "Tie B (2001)"
     }
+
+
+def test_cli_generic_query_runner(spark, tmp_path, sf_dir):
+    """`cli query <name> <out>` runs any registered query and writes its
+    result — the operational entry for the widened engine surface."""
+    from mapreducemovieanalysis_cloud_spark import cli
+
+    out = cli.run(
+        [
+            "query",
+            "tpch_q1_pricing_summary",
+            str(tmp_path / "q1_out"),
+            "--sf-dir",
+            sf_dir,
+        ],
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "sum_qty_cents" in got.columns
