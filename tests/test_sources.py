@@ -205,3 +205,22 @@ def test_upsert_partitions_touches_only_carried_partitions(
     assert after.where(F.col("day") == keep).count() == events.where(
         F.col("day") == keep
     ).count()
+
+
+def test_merge_schema_reads_evolved_table(spark, sf_dir, tmp_path):
+    """Schema evolution: a table whose later partitions added a column reads
+    with the unioned schema under mergeSchema, old rows null-filled."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    path = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_dir, "region")
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = v1.withColumn("ingest_quality", F.lit(0.9))
+    v2.write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "ingest_quality" in merged.columns
+    assert merged.count() == v1.count() * 2
+    nulls = merged.where(F.col("ingest_quality").isNull()).count()
+    assert nulls == v1.count()

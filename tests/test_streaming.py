@@ -266,3 +266,53 @@ def test_checkpoint_recovery_no_duplicates(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_foreach_batch_partition_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming ingest through foreachBatch + dynamic partition upsert:
+    each micro-batch replaces only the day partitions it carries — the
+    exactly-once-per-partition sink a continuous 100 TB ingest uses when
+    the target is a plain partitioned parquet table."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        upsert_partitions,
+    )
+
+    events, stream = _event_stream(spark, sf_dir, tmp_path)
+    dest = str(tmp_path / "ingested")
+
+    def sink(batch_df, batch_id):
+        upsert_partitions(
+            spark,
+            batch_df.withColumn("day", F.date_format("ts", "yyyy-MM-dd")),
+            dest,
+            ("day",),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(dest)
+    assert got.count() == events.count()
+    days_in = {
+        r.day
+        for r in events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).distinct().collect()
+    }
+    # hive partition values round-trip through directory names; Spark's
+    # partition-column inference reads day=2024-01-01 back as DATE
+    days_out = {
+        r.day
+        for r in got.select(
+            F.col("day").cast("string").alias("day")
+        ).distinct().collect()
+    }
+    assert days_out == days_in
