@@ -1,0 +1,204 @@
+"""Corpus-curation operators beyond dedup: repetition statistics, corpus
+n-gram/document-frequency tables, per-group balancing caps, PII scrubbing,
+and gap-based sessionization.
+
+These are the remaining filters a large-scale training-data pipeline runs
+between raw scans and dedup (Gopher/C4-style repetition gates, source
+balancing, PII redaction) — absent from the reference (two fixed MR jobs,
+``/root/reference/MovieRank.java``, ``MovieRating.java``), required by the
+gap categories in SURVEY.md §2.2.
+
+Scale posture: every operator here is a single scan plus at most one hash
+exchange on a bounded-cardinality key (doc_id, n-gram, source, user_id).
+Nothing materializes per-pair state; the explode outputs are (id, gram)
+pairs of ~tens of bytes that partial-aggregate map-side before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions import text as T
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality gates)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document n-gram repetition statistics.
+
+    For each doc: total n-grams, distinct n-grams, the count of the most
+    frequent n-gram, and the duplicate-gram fraction
+    ``(total - distinct) / total`` — the standard Gopher repetition gate
+    inputs ("fraction of duplicated n-grams").
+
+    Plan: tokenize once (projected — CSE does not reach into lambda trees),
+    explode positional n-grams, two-level aggregate. The explode shuffles
+    (doc_id, gram) with map-side partial counts; the second aggregate is a
+    near-no-op re-group on doc_id. Docs with fewer than ``n`` tokens have no
+    n-grams and are absent from the output (same as the SQL oracle).
+    """
+    toks = df.select("doc_id", T.tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(T.shingles_from_tokens(F.col("toks"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("cnt").cast("long").alias("top_gram_count"),
+        (
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("dup_gram_ratio"),
+    )
+
+
+def ngram_corpus_topk(df: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k n-grams by total occurrence count.
+
+    Output: gram, total_count (all occurrences), doc_freq (documents
+    containing it), ordered by total_count desc with the gram string as the
+    unique deterministic tie-break. One explode + one exchange on the gram;
+    top-k executes as TakeOrderedAndProject (per-partition heaps), never a
+    global sort.
+    """
+    toks = df.select("doc_id", T.tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(T.shingles_from_tokens(F.col("toks"), n)).alias("gram")
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("total_count"), F.asc("gram")).limit(k)
+
+
+def token_doc_frequency(df: DataFrame, k: int = 30) -> DataFrame:
+    """Token document-frequency table (the IDF building block), top-k by
+    doc_freq with the token as tie-break. Integer outputs only — IDF's
+    ``ln`` is left to the consumer so the result stays engine-exact.
+
+    corpus_freq counts every occurrence; doc_freq counts distinct docs.
+    Both come out of ONE explode + one exchange (count + count_distinct in
+    the same aggregate; Spark plans the distinct via expand, still a single
+    shuffle stage group).
+    """
+    toks = df.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("corpus_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("doc_freq"), F.asc("token")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# per-group balancing cap
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by a deterministic
+    pseudo-random order (md5 of the row id) so the kept subset is unbiased
+    but bit-reproducible across engines, retries, and partitionings.
+
+    This is the "per-source cap" balancing step of corpus curation: bound
+    any single domain's contribution before training. One exchange on
+    ``group_col`` + per-partition sort; no global sort. Skewed sources are
+    exactly the sources this op truncates, so the window partition that
+    matters most shrinks to ``cap`` rows on output.
+    """
+    order_key = F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .select(id_col, group_col, "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact email/phone PII patterns; emit per-doc counts and
+    the md5 fingerprint of the redacted text (the fingerprint keeps the
+    oracle comparison exact without hauling full redacted bodies around).
+
+    Pure JVM regex expressions over the scan — zero shuffles, no UDF. The
+    patterns use the Java-regex/RE2 common subset so any engine replicates
+    them byte-for-byte.
+    """
+    c = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (batch)
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Split each user's event stream into sessions at inactivity gaps
+    > ``gap_seconds``; aggregate one row per session.
+
+    The classic batch sessionization: lag over (user, ts) marks boundaries,
+    a running sum numbers the sessions, a group-by collapses them. Both
+    window passes and the final aggregate share ONE exchange on user_id —
+    Spark reuses the partitioning across the two sorts and the group-by, so
+    the whole operator is a single shuffle regardless of event volume.
+    (The streaming twin is ``session_window`` in streaming/windows.py.)
+
+    Timestamps compare in integer microseconds (``unix_micros``) so the gap
+    predicate and durations are exact in any engine.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_us = gap_seconds * 1_000_000
+    with_bounds = df.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_bounds.groupBy(user_col, "session_idx").agg(
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.max(us) - F.min(us)) / F.lit(1_000_000)
+        ).cast("long").alias("duration_s"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )

@@ -85,6 +85,13 @@ _PRIORITY = [
     "multimodal_features",
     "kmeans_embeddings",
     "dedup_clusters",
+    # curation batch (new in r2: repetition/balancing/PII/sessionization)
+    "repetition_stats",
+    "ngram_corpus_topk",
+    "token_doc_freq",
+    "per_source_cap",
+    "pii_scrub",
+    "sessionize_events",
 ]
 
 
@@ -119,6 +126,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.relational2  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.functions_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.pipeline_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.curation_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
     except ImportError:
