@@ -316,3 +316,95 @@ def test_foreach_batch_partition_upsert_sink(spark, sf_dir, tmp_path):
         ).distinct().collect()
     }
     assert days_out == days_in
+
+
+def test_stream_static_broadcast_join_converges(spark, sf_dir, tmp_path):
+    """Stream-static join: each micro-batch joins against a broadcast static
+    dimension (re-read per batch in real pipelines — here a derived cohort
+    dim). Result must equal the batch join byte-for-byte."""
+    events, stream = _event_stream(spark, sf_dir, tmp_path, "ss_join")
+    cohorts = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 5).cast("long"))
+    )
+
+    def pipeline(df):
+        return (
+            df.join(F.broadcast(cohorts), "user_id")
+            .groupBy("cohort")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+        )
+
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("ss_join_conv")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.cohort, r.n_events, r.value_cents)
+            for r in spark.sql("SELECT * FROM ss_join_conv").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.cohort, r.n_events, r.value_cents)
+        for r in pipeline(events).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_curation_gates_match_batch(spark, sf_dir, tmp_path):
+    """The curation column expressions (quality score, language ID, PII
+    counts) are engine-pure projections, so the SAME code runs over a
+    document stream unchanged — batch/streaming unification for the
+    curation pipeline."""
+    from mapreducemovieanalysis_cloud_spark.functions import text as T
+    from mapreducemovieanalysis_cloud_spark.operators.curation import EMAIL_RE
+
+    src = str(tmp_path / "docs_stream")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+
+    def gates(df):
+        toks = df.select("doc_id", "text", T.tokens("text").alias("toks"))
+        return toks.select(
+            "doc_id",
+            T.quality_score("text").alias("quality"),
+            T.predicted_lang_from_scores(
+                T.lang_scores_from_tokens(F.col("toks"))
+            ).alias("lang"),
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias(
+                "n_emails"
+            ),
+        ).where(F.col("quality") >= 0.5)
+
+    q = (
+        gates(stream)
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM curation_stream").collect()
+        }
+    finally:
+        q.stop()
+    expected = {tuple(r) for r in gates(docs).collect()}
+    assert got == expected and got
