@@ -92,6 +92,7 @@ _PRIORITY = [
     "per_source_cap",
     "pii_scrub",
     "sessionize_events",
+    "pagerank_trade_graph",
 ]
 
 
@@ -127,6 +128,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.functions_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.pipeline_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.curation_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.graph_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
     except ImportError:

@@ -1,0 +1,45 @@
+"""Oracle-diffed and semantic tests for the PageRank operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import registry
+from mapreducemovieanalysis_cloud_spark.operators.graph import SCALE, pagerank
+from tests.oracle import assert_matches_oracle
+
+
+def test_pagerank_matches_oracle_small(spark, sf_dir):
+    q = registry.queries()["pagerank_trade_graph"]
+    sql = registry.oracle_sql()["pagerank_trade_graph"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+
+
+def test_pagerank_matches_oracle_sf001(spark, oracle_sf_dir):
+    q = registry.queries()["pagerank_trade_graph"]
+    sql = registry.oracle_sql()["pagerank_trade_graph"]
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_pagerank_mass_conserved_on_cycle(spark):
+    """On a directed cycle every node keeps exactly the uniform rank (up to
+    integer-floor loss), independent of partitioning."""
+    n = 6
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert len(ranks) == n
+    assert len(set(ranks.values())) == 1  # symmetry: all equal
+    # uniform rank survives: base + d*(SCALE/n) ≈ SCALE/n
+    assert abs(next(iter(ranks.values())) - SCALE // n) <= 2
+
+
+def test_pagerank_sink_attracts_rank(spark):
+    """A node every other node points to must out-rank the pointers."""
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        ["src", "dst"],
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=2).collect()}
+    assert ranks["hub"] > ranks["b"] and ranks["hub"] > ranks["c"]
