@@ -137,3 +137,46 @@ def range_join(
         cond = cond & condition
         return left.join(right, cond, how)
     return left.join(F.broadcast(right), condition, how)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT equi keys, scalably: the pure theta
+    formulation plans as BroadcastNestedLoopJoin (O(n·m) compares, driver
+    OOM when neither side is broadcastable). Binning restores a shuffled
+    equi-join: each interval explodes to the bins it covers
+    (floor(lo/w)..floor(hi/w)), each point maps to exactly ONE bin, the
+    sides equi-join on the bin id, and the exact predicate re-verifies.
+
+    Exact (no candidate loss: a point's bin is always within its covering
+    interval's bin span) and duplicate-free (one bin per point). Shuffle
+    volume: points × 1 + intervals × (span/w + 1); pick ``bin_width`` near
+    the median interval span so interval replication is a small constant.
+    Inner-join semantics (the filter discards outer nulls).
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor(F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bin")
+    )

@@ -435,3 +435,73 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
     ).cast("long")
     return orders.where(bucket % 10 == 0).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT n.n_name AS n_name, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN nation n
+      ON e.value >= n.n_nationkey * 20.0
+     AND e.value <  (n.n_nationkey + 1) * 20.0
+    GROUP BY 1
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via the binned strategy: events.value
+    against per-nation value bands [20k, 20k+20). The oracle is the naive
+    inequality join; the engine answers it with bin-exploded equi-join
+    (operators/joins.binned_range_join) — shuffled, never a nested-loop
+    broadcast at scale."""
+    from mapreducemovieanalysis_cloud_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        (F.col("n_nationkey") * F.lit(20.0)).alias("lo"),
+        ((F.col("n_nationkey") + 1) * F.lit(20.0)).alias("hi"),
+    )
+    joined = binned_range_join(
+        events, nation, point_col="value", lo_col="lo", hi_col="hi",
+        bin_width=10.0,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+@query(
+    "variant_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                AS INT) AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                AS INT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into the binary
+    variant encoding, variant_get typed extraction, then aggregate. The
+    shredded variant scales to heterogeneous JSON where a fixed
+    from_json schema can't; for the flat {"k": int} props both plans are
+    codegen'd scans."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -93,6 +93,8 @@ _PRIORITY = [
     "pii_scrub",
     "sessionize_events",
     "pagerank_trade_graph",
+    "join_range_binned",
+    "variant_extract",
 ]
 
 

@@ -224,3 +224,34 @@ def test_merge_schema_reads_evolved_table(spark, sf_dir, tmp_path):
     assert merged.count() == v1.count() * 2
     nulls = merged.where(F.col("ingest_quality").isNull()).count()
     assert nulls == v1.count()
+
+
+def test_python_datasource_reads_deterministically(spark):
+    """The PySpark-4 Python DataSource plans the requested partitions and
+    yields the same rows regardless of partition count (round-robin split
+    of a pure doc_id -> text function)."""
+    from mapreducemovieanalysis_cloud_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {(r.doc_id, r.text) for r in df.collect()}
+    assert len(rows) == 200
+    other = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("partitions", 7)
+        .load()
+    )
+    assert {(r.doc_id, r.text) for r in other.collect()} == rows
+    # the source composes with the engine's own operators
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    assert repetition_stats(df).count() == 200
