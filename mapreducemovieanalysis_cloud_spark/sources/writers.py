@@ -126,3 +126,31 @@ def upsert_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition by ``sort_cols`` across files and sort within each —
+    the data-skipping layout for 100 TB scans.
+
+    Parquet stores per-row-group min/max statistics; after this write each
+    file/row-group covers a narrow, disjoint key range, so a pushed-down
+    range or point predicate skips everything else at the footer level
+    (the same effect clustering/Z-order gives warehouse tables, in plain
+    open-format parquet). ``repartitionByRange`` samples the key
+    distribution, so skew produces balanced files, not one hot file.
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.format(fmt).mode(mode).save(
+        path
+    )

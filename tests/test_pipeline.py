@@ -4,6 +4,7 @@ dedup, similarity search, multimodal plumbing)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark import registry
 from tests.oracle import assert_matches_oracle
@@ -279,3 +280,29 @@ def test_decontaminate_flags_planted_overlap(spark):
     }
     assert rows[1].contaminated and rows[1].n_shared >= 5
     assert not rows[2].contaminated and rows[2].n_shared == 0
+
+
+def test_observed_metrics_single_scan(spark, oracle_sf_dir):
+    """df.observe() collects pipeline health metrics (input rows, gated
+    rows, null texts) as a side product of the ONE scan the query already
+    does — the production alternative to a second count() pass over 100 TB."""
+    from pyspark.sql import Observation
+
+    from mapreducemovieanalysis_cloud_spark.functions import text as T
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    obs = Observation("curation_gates")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(
+            F.when(T.quality_score("text") >= 0.75, 1).otherwise(0)
+        ).alias("n_quality_pass"),
+        F.sum(F.col("text").isNull().cast("int")).alias("n_null_text"),
+    )
+    kept = observed.where(T.quality_score("text") >= 0.75).count()
+    metrics = obs.get
+    assert metrics["n_in"] == docs.count()
+    assert metrics["n_quality_pass"] == kept
+    assert metrics["n_null_text"] == 0

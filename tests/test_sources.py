@@ -255,3 +255,50 @@ def test_python_datasource_reads_deterministically(spark):
     )
 
     assert repetition_stats(df).count() == 200
+
+
+def test_write_sorted_produces_skippable_stats(spark, sf_dir, tmp_path):
+    """After write_sorted, parquet footers carry narrow disjoint min/max
+    ranges per file, so a point/range predicate can skip all but one file
+    — verify the stats directly and that a filtered scan still answers
+    correctly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from mapreducemovieanalysis_cloud_spark.sources.writers import write_sorted
+
+    out = str(tmp_path / "sorted_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_sorted(orders, out, sort_cols=("o_orderkey",), num_files=4)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "o_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint file ranges: each file's max < next file's min
+    assert all(hi < ranges[i + 1][0] for i, (lo, hi) in enumerate(ranges[:-1]))
+    # a range predicate over the sorted copy still answers exactly
+    probe_lo, probe_hi = ranges[1][0], ranges[1][1]
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("o_orderkey").between(probe_lo, probe_hi))
+        .count()
+    )
+    want = orders.where(
+        F.col("o_orderkey").between(probe_lo, probe_hi)
+    ).count()
+    assert got == want > 0
