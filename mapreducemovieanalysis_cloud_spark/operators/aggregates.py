@@ -58,3 +58,80 @@ def approx_distinct(
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(col, rsd).alias(alias)
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy hitters via an explicit count-min sketch, exact-oracle-able.
+
+    Builds the d×w CMS as a DataFrame (depth rows of md5-derived buckets,
+    one partial-aggregated count per cell — the sketch is depth·width
+    cells TOTAL, independent of input size), then estimates each distinct
+    key's frequency as the min over its depth cells and returns the top-k
+    by estimate with the true count alongside.
+
+    Why this shape at 100 TB: the raw stream aggregates into d·w ≈ 200
+    cells with map-side combine, so the shuffle carries cells, not keys —
+    the sketch answers "who is hot" without a full groupBy over a
+    billion-key domain. The estimate is a provable overestimate
+    (est ≥ true); the exact count is joined alongside for the probed key
+    set (at 100 TB you probe a candidate set, not the full domain).
+    Hash = leading 16 bits of md5(i:key) mod width, bit-identical in any
+    engine.
+    """
+    key_s = F.col(key_col).cast("string")
+
+    def bucket(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_s)), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row_idx", "cell.bucket")
+    cms = rows.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+    keys = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("true_count"))
+    probes = keys.select(
+        key_col,
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "true_count", "cell.row_idx", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["row_idx", "bucket"])
+        .groupBy(key_col, "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    return est.orderBy(
+        F.desc("est_count"), F.asc(key_col)
+    ).limit(k)

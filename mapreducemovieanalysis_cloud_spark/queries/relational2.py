@@ -505,3 +505,49 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def _cms_oracle(depth: int = 3, width: int = 64, k: int = 10) -> str:
+    def bucket(i: int, key: str = "user_id") -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 4))"
+            f" AS INTEGER) % {width}"
+        )
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row_idx, {bucket(i)} AS bucket FROM events"
+        for i in range(depth)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT user_id, true_count, {i} AS row_idx, {bucket(i)} AS bucket"
+        " FROM keys"
+        for i in range(depth)
+    )
+    return f"""
+    WITH cells AS ({cells}),
+    cms AS (SELECT row_idx, bucket, COUNT(*) AS cell_count
+            FROM cells GROUP BY 1, 2),
+    keys AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1),
+    probes AS ({probes}),
+    est AS (SELECT p.user_id, p.true_count,
+                   CAST(MIN(c.cell_count) AS BIGINT) AS est_count
+            FROM probes p JOIN cms c
+              ON c.row_idx = p.row_idx AND c.bucket = p.bucket
+            GROUP BY 1, 2)
+    SELECT user_id, true_count, est_count FROM est
+    ORDER BY est_count DESC, user_id ASC LIMIT {k}
+    """
+
+
+@query("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heavy-hitter users by count-min-sketch estimate (d=3, w=64),
+    exact count alongside — the sketch aggregates the stream into d·w
+    cells so the hot-key question never needs a full-domain groupBy."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id", depth=3, width=64, k=10
+    )

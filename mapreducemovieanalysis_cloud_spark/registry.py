@@ -95,6 +95,7 @@ _PRIORITY = [
     "pagerank_trade_graph",
     "join_range_binned",
     "variant_extract",
+    "cms_heavy_hitters",
 ]
 
 

@@ -24,6 +24,9 @@ ADVANCED = (
     "grouped_map_top2",
     "udtf_char_bigrams",
     "salted_hot_key_agg",
+    "join_range_binned",
+    "variant_extract",
+    "cms_heavy_hitters",
 )
 
 
@@ -69,3 +72,35 @@ def test_salted_join_row_identical_to_plain_join(spark, sf_dir):
     )
     assert sorted(got) == sorted(want)
     assert len(got) == li.count()
+
+
+def test_cms_heavy_hitters_overestimates_only(spark, oracle_sf_dir):
+    """CMS invariant: every estimate >= the true count, and the true
+    heaviest key is in the top-k."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark import registry
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    out = registry.queries()["cms_heavy_hitters"](spark, oracle_sf_dir)
+    rows = out.collect()
+    assert rows and all(r.est_count >= r.true_count for r in rows)
+    events = load_table(spark, oracle_sf_dir, "events")
+    top_true = (
+        events.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .first()
+    )
+    # the max estimate dominates the true max (est(true-top) >= its count)
+    assert max(r.est_count for r in rows) >= top_true["count"]
+    # with width >> #keys the sketch is near-collision-free and the true
+    # heavy hitter must surface in the top-k
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        cms_heavy_hitters,
+    )
+
+    wide = cms_heavy_hitters(
+        events, "user_id", depth=3, width=1024, k=10
+    ).collect()
+    assert any(r.user_id == top_true.user_id for r in wide)
