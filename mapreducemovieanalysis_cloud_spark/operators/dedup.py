@@ -519,3 +519,47 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental exact dedup against a persistent fingerprint store.
+
+    The 100 TB batch-ingest pattern: the historical corpus is NEVER
+    rescanned — each arriving batch (a) dedups within itself (min-id
+    survivor), (b) anti-joins the store's fingerprints to drop docs seen
+    in ANY earlier batch, and (c) appends only its novel fingerprints to
+    the store. Store I/O per batch is O(batch + store) parquet column
+    reads of a 2-column table (fp, doc_id) — ~40 bytes/row — not the
+    corpus text. Returns (survivors, store_df_after).
+
+    For repeated high-rate ingest, write the store with
+    ``writers.write_bucketed`` on fp so step (b) becomes a shuffle-free
+    co-located join; a bloom filter over store fps cuts the probe further.
+    """
+    spark = new_docs.sparkSession
+    batch = (
+        new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        have_store = True
+    except Exception:
+        store = None
+        have_store = False
+    novel = (
+        batch.join(store.select("fp"), "fp", "left_anti")
+        if have_store
+        else batch
+    )
+    # materialize before appending: the append must not re-run a plan that
+    # reads the store it is writing to
+    novel = novel.localCheckpoint(eager=True)
+    novel.write.mode("append").parquet(store_path)
+    return novel, spark.read.parquet(store_path)

@@ -306,3 +306,40 @@ def test_observed_metrics_single_scan(spark, oracle_sf_dir):
     assert metrics["n_in"] == docs.count()
     assert metrics["n_quality_pass"] == kept
     assert metrics["n_null_text"] == 0
+
+
+def test_incremental_exact_dedup_across_batches(spark, oracle_sf_dir, tmp_path):
+    """Batch 2 must drop every doc whose text already arrived in batch 1
+    without rescanning batch 1's corpus — only the fingerprint store."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    store = str(tmp_path / "fp_store")
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    # batch 2: genuinely new docs + re-sends of batch-1 texts under new ids
+    resent = b1.limit(50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    b2 = docs.where(F.col("doc_id") >= 250).select("doc_id", "text").union(
+        resent
+    )
+
+    s1, store_df1 = incremental_exact_dedup(b1, store)
+    s2, store_df2 = incremental_exact_dedup(b2, store)
+
+    # no resent text survives batch 2
+    b1_fps = {r.fp for r in s1.collect()}
+    s2_fps = {r.fp for r in s2.collect()}
+    assert not (b1_fps & s2_fps)
+    # the store now equals one fp per distinct text across both batches
+    distinct_texts = (
+        b1.select("text").union(b2.select("text")).distinct().count()
+    )
+    assert store_df2.select("fp").distinct().count() == distinct_texts
+    # idempotency: re-ingesting batch 2 adds nothing
+    s3, store_df3 = incremental_exact_dedup(b2, store)
+    assert s3.count() == 0
+    assert store_df3.count() == store_df2.count()
