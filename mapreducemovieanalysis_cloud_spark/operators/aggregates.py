@@ -135,3 +135,37 @@ def cms_heavy_hitters(
     return est.orderBy(
         F.desc("est_count"), F.asc(key_col)
     ).limit(k)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile: per-column null count, distinct count, and
+    min/max (stringified), all computed in ONE scan.
+
+    The validation sweep that gates every ingest batch. All metrics for
+    all columns land in a single aggregate row (one pass, map-side
+    partials; the count_distincts expand inside the same stage group),
+    then unpivot driver-free via stack(). min/max stringify so the output
+    schema is column-type-agnostic; restrict to integer/string columns
+    when an engine-exact oracle matters (float formatting differs across
+    engines).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

@@ -551,3 +551,37 @@ def cms_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(
         load_table(spark, sf_dir, "events"), "user_id", depth=3, width=64, k=10
     )
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query("profile_orders", oracle=_profile_oracle(_PROFILE_COLS))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data-quality profile of the orders table: null/distinct
+    counts and min/max per column, one scan for all metrics (stack()
+    unpivot of a single aggregate row)."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        profile_columns,
+    )
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )

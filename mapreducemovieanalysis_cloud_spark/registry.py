@@ -96,6 +96,7 @@ _PRIORITY = [
     "join_range_binned",
     "variant_extract",
     "cms_heavy_hitters",
+    "profile_orders",
 ]
 
 

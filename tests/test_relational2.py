@@ -27,6 +27,7 @@ ADVANCED = (
     "join_range_binned",
     "variant_extract",
     "cms_heavy_hitters",
+    "profile_orders",
 )
 
 
