@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 SCALE = 1_000_000_000
 
@@ -44,20 +43,25 @@ def pagerank(
     distributed end-to-end).
     """
     # edges feed degree computation plus one join per iteration, and the
-    # node set twice — persist them once rather than re-running the
-    # (possibly expensive) edge-producing lineage 2+iters times.
-    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # node set twice. Eager localCheckpoint (not just persist) both reuses
+    # the materialized partitions AND truncates lineage, so the final plan
+    # references the checkpointed RDD instead of replaying the
+    # edge-producing subtree once per consumer (same rationale as
+    # clustering.py's label-propagation loop).
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("n_total"))
-    nodes_n = nodes.crossJoin(F.broadcast(n_total)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    nodes_n = nodes.crossJoin(F.broadcast(n_total)).localCheckpoint(
+        eager=True
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
 
     base_num = (100 - damping_pct) * SCALE
