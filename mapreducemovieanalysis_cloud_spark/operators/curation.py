@@ -162,6 +162,8 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Split each user's event stream into sessions at inactivity gaps
     > ``gap_seconds``; aggregate one row per session.
@@ -174,10 +176,12 @@ def sessionize(
     (The streaming twin is ``session_window`` in streaming/windows.py.)
 
     Timestamps compare in integer microseconds (``unix_micros``) so the gap
-    predicate and durations are exact in any engine.
+    predicate and durations are exact in any engine. ``tiebreak_col`` makes
+    the within-timestamp order deterministic; ``value_col`` is summed in
+    exact cents.
     """
     us = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_seconds * 1_000_000
     with_bounds = df.withColumn(
         "new_sess",
@@ -198,7 +202,7 @@ def sessionize(
         (
             (F.max(us) - F.min(us)) / F.lit(1_000_000)
         ).cast("long").alias("duration_s"),
-        F.sum(F.round(F.col("value") * 100).cast("long"))
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
         .cast("long")
         .alias("value_cents"),
     )

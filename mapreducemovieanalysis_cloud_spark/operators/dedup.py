@@ -547,10 +547,15 @@ def incremental_exact_dedup(
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
+    from pyspark.errors import AnalysisException
+
     try:
         store = spark.read.parquet(store_path)
         have_store = True
-    except Exception:
+    except AnalysisException:
+        # first batch: no store yet. Other failures (corrupt files,
+        # permissions) must propagate — treating them as "empty store"
+        # would silently re-admit the whole history's duplicates.
         store = None
         have_store = False
     novel = (
