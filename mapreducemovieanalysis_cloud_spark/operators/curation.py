@@ -206,3 +206,38 @@ def sessionize(
         .cast("long")
         .alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep ``rates_pct[group]`` percent
+    of each group's rows, selected by md5-bucket of the row id — the
+    language/source-rebalancing counterpart to ``cap_per_group`` (rates
+    instead of absolute caps).
+
+    Like ``sample_deterministic``, membership is a pure function of the
+    KEY: stable across engines, partitionings, retries, and appends (a new
+    batch's rows don't perturb which old rows are in-sample — critical for
+    reproducible training mixes). Zero shuffles: the gate is a map-side
+    predicate on md5(id) mod 100.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for g, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(pct)).otherwise(rate)
+    return df.where(bucket < rate)

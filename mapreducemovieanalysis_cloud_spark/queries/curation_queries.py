@@ -191,3 +191,27 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.sessionize(
         load_table(spark, sf_dir, "events"), gap_seconds=1800
     )
+
+
+@query(
+    "sample_stratified_lang",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100
+          < CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 25 ELSE 10 END
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 60% of en, 25% of es, 10%
+    otherwise, by deterministic md5 bucket of doc_id — membership is a
+    pure key function, so the mix is reproducible across engines,
+    retries, and later appends."""
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        sample_stratified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_stratified(
+        docs, "lang", "doc_id", {"en": 60, "es": 25}, default_pct=10
+    )

@@ -16,6 +16,7 @@ CURATION = (
     "per_source_cap",
     "pii_scrub",
     "sessionize_events",
+    "sample_stratified_lang",
 )
 
 
