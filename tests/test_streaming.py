@@ -408,3 +408,52 @@ def test_streaming_curation_gates_match_batch(spark, sf_dir, tmp_path):
         q.stop()
     expected = {tuple(r) for r in gates(docs).collect()}
     assert got == expected and got
+
+
+def test_streaming_incremental_dedup_foreach_batch(spark, sf_dir, tmp_path):
+    """Streaming ingest dedup: each micro-batch runs incremental exact
+    dedup against the persistent fingerprint store via foreachBatch — docs
+    re-sent in ANY later batch are dropped without rescanning history.
+    maxFilesPerTrigger=1 forces multiple micro-batches so the cross-batch
+    path actually executes."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # batch files written separately => separate micro-batches; file 2
+    # re-sends file 1's texts under shifted ids
+    docs.where(F.col("doc_id") < 60).coalesce(1).write.parquet(src + "/b1")
+    docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    store = str(tmp_path / "fp_store")
+    survivors_path = str(tmp_path / "survivors")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def sink(batch_df, batch_id):
+        novel, _ = incremental_exact_dedup(batch_df, store)
+        novel.write.mode("append").parquet(survivors_path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    surv = spark.read.parquet(survivors_path)
+    n_texts = docs.where(F.col("doc_id") < 60).select("text").distinct().count()
+    assert surv.count() == n_texts
+    # nothing from the re-sent range survived
+    assert surv.where(F.col("doc_id") >= 500000).count() == 0
