@@ -66,35 +66,33 @@ def cms_heavy_hitters(
     depth: int = 3,
     width: int = 64,
     k: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy hitters via an explicit count-min sketch, exact-oracle-able.
 
     Builds the d×w CMS as a DataFrame (depth rows of md5-derived buckets,
     one partial-aggregated count per cell — the sketch is depth·width
-    cells TOTAL, independent of input size), then estimates each distinct
+    cells TOTAL, independent of input size), then estimates each probed
     key's frequency as the min over its depth cells and returns the top-k
     by estimate with the true count alongside.
 
-    Why this shape at 100 TB: the raw stream aggregates into d·w ≈ 200
-    cells with map-side combine, so the shuffle carries cells, not keys —
-    the sketch answers "who is hot" without a full groupBy over a
-    billion-key domain. The estimate is a provable overestimate
-    (est ≥ true); the exact count is joined alongside for the probed key
-    set (at 100 TB you probe a candidate set, not the full domain).
-    Hash = leading 16 bits of md5(i:key) mod width, bit-identical in any
-    engine.
+    The sketch BUILD is the scale win: the raw stream aggregates into
+    d·w ≈ 200 cells with map-side combine, so that shuffle carries cells,
+    not keys. The PROBE side is as big as the key set you probe: pass
+    ``candidates`` (a DataFrame with ``key_col`` — e.g. last window's
+    hitters, a sampled key set, or a per-partition top-m pre-pass) to keep
+    the probe and its exact-count join proportional to the candidate set.
+    With ``candidates=None`` every distinct key is probed via a full
+    groupBy — fine for tests and bounded domains, NOT the billion-key
+    path. The estimate is a provable overestimate (est ≥ true). Hash =
+    leading 16 bits of md5(i:key) mod width, bit-identical in any engine.
     """
-    key_s = F.col(key_col).cast("string")
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
 
     def bucket(i: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_s)), 1, 4),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
+        return md5_bucket(key_col, width, salt=f"{i}:")
 
     rows = df.select(
         F.explode(
@@ -112,7 +110,14 @@ def cms_heavy_hitters(
         F.count(F.lit(1)).alias("cell_count")
     )
 
-    keys = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("true_count"))
+    probe_src = (
+        df.join(F.broadcast(candidates.select(key_col).distinct()), key_col)
+        if candidates is not None
+        else df
+    )
+    keys = probe_src.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
     probes = keys.select(
         key_col,
         "true_count",

@@ -8,10 +8,12 @@ balancing, PII redaction) — absent from the reference (two fixed MR jobs,
 ``/root/reference/MovieRank.java``, ``MovieRating.java``), required by the
 gap categories in SURVEY.md §2.2.
 
-Scale posture: every operator here is a single scan plus at most one hash
-exchange on a bounded-cardinality key (doc_id, n-gram, source, user_id).
-Nothing materializes per-pair state; the explode outputs are (id, gram)
-pairs of ~tens of bytes that partial-aggregate map-side before the shuffle.
+Scale posture: every operator here is a single scan plus at most two hash
+exchanges on bounded-cardinality keys (doc_id, n-gram, source, user_id) —
+most need one, repetition_stats needs two (per-gram then per-doc; see its
+docstring and the PLANS.md audit). Nothing materializes per-pair state;
+the explode outputs are (id, gram) pairs of ~tens of bytes that
+partial-aggregate map-side before the shuffle.
 """
 
 from __future__ import annotations
@@ -231,12 +233,11 @@ def sample_stratified(
     reproducible training mixes). Zero shuffles: the gate is a map-side
     predicate on md5(id) mod 100.
     """
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 100
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
     )
+
+    bucket = md5_bucket(id_col, 100)
     rate = F.lit(default_pct)
     for g, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(group_col) == g, F.lit(pct)).otherwise(rate)

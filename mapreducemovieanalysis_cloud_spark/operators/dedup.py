@@ -526,6 +526,7 @@ def incremental_exact_dedup(
     store_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    survivors_path: str | None = None,
 ):
     """Incremental exact dedup against a persistent fingerprint store.
 
@@ -536,6 +537,19 @@ def incremental_exact_dedup(
     the store. Store I/O per batch is O(batch + store) parquet column
     reads of a 2-column table (fp, doc_id) — ~40 bytes/row — not the
     corpus text. Returns (survivors, store_df_after).
+
+    Failure semantics: pass ``survivors_path`` so survivors are persisted
+    BEFORE the store append. A crash between the two writes then means the
+    next retry re-emits some survivors (at-least-once, dedupable by fp
+    downstream) — never the reverse order, where a crash after the store
+    append would mark the batch's documents as already-seen and silently
+    drop them from survivor output forever. Callers that consume the
+    returned ``novel`` DataFrame directly instead of passing
+    ``survivors_path`` must durably persist it BEFORE calling this
+    function again for the same data (e.g. not from a retried
+    foreachBatch). Exactly-once requires a batch-id-transactional sink —
+    see the ``upsert_partitions`` foreachBatch pattern in
+    sources/writers.py.
 
     For repeated high-rate ingest, write the store with
     ``writers.write_bucketed`` on fp so step (b) becomes a shuffle-free
@@ -566,5 +580,8 @@ def incremental_exact_dedup(
     # materialize before appending: the append must not re-run a plan that
     # reads the store it is writing to
     novel = novel.localCheckpoint(eager=True)
+    if survivors_path is not None:
+        # survivors FIRST, store second (see failure semantics above)
+        novel.write.mode("append").parquet(survivors_path)
     novel.write.mode("append").parquet(store_path)
     return novel, spark.read.parquet(store_path)

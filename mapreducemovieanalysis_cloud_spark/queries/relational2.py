@@ -430,11 +430,14 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is stable across engines, partitionings, and reruns, and the same
     row set can be re-derived anywhere (train/test splits that survive
     re-partitioning at 100 TB)."""
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
-    ).cast("long")
-    return orders.where(bucket % 10 == 0).select("o_orderkey", "o_custkey")
+    return orders.where(md5_bucket("o_orderkey", 10) == 0).select(
+        "o_orderkey", "o_custkey"
+    )
 
 
 @query(
@@ -499,7 +502,10 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (
         events.select(k.alias("k"))
-        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        # `div`, not floor(k/10): DuckDB's `//` truncates toward zero
+        # (probed: -7//10 = 0, -17//10 = -1), and Spark's `div` matches;
+        # floor() would diverge for negative k.
+        .groupBy(F.expr("k div 10").cast("int").alias("k_decile"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max("k").alias("max_k"),

@@ -81,6 +81,34 @@ def test_sessionize_respects_gap(spark, oracle_sf_dir):
 def test_pii_scrub_redacts_everything(spark, oracle_sf_dir):
     """After redaction no document fingerprint equals the pre-redaction
     fingerprint and every doc reports at least one email and one phone."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
     q = registry.queries()["pii_scrub"]
     out = q(spark, oracle_sf_dir)
     assert out.where((F.col("n_emails") < 1) | (F.col("n_phones") < 1)).count() == 0
+    # redaction actually changed the text: the redacted fingerprint never
+    # equals the fingerprint of the augmented (pre-redaction) text. This
+    # is the one check independent of the oracle, which applies the same
+    # regexes and so could be mutually wrong with the engine.
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    aug_fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+                "UTF-8",
+            )
+        ).alias("aug_fp"),
+    )
+    unchanged = (
+        out.join(aug_fp, "doc_id")
+        .where(F.col("redacted_fp") == F.col("aug_fp"))
+        .count()
+    )
+    assert unchanged == 0

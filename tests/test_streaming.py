@@ -439,8 +439,12 @@ def test_streaming_incremental_dedup_foreach_batch(spark, sf_dir, tmp_path):
     )
 
     def sink(batch_df, batch_id):
-        novel, _ = incremental_exact_dedup(batch_df, store)
-        novel.write.mode("append").parquet(survivors_path)
+        # survivors_path goes through the operator so survivors persist
+        # BEFORE the store append — a retried batch re-emits rather than
+        # silently dropping (at-least-once; see the operator docstring)
+        incremental_exact_dedup(
+            batch_df, store, survivors_path=survivors_path
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)
