@@ -174,3 +174,39 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def int_histogram(
+    df: DataFrame,
+    cents_col: Column,
+    bucket_width_cents: int,
+) -> DataFrame:
+    """Fixed-width histogram over an integer-cents measure: one row per
+    occupied bucket with its inclusive lower bound, row count, and exact
+    cents sum.
+
+    Entirely integer arithmetic (`div`, never float division + floor, whose
+    double rounding can misplace exact-boundary values), so the bucket
+    assignment is bit-identical in any engine. One scan, one shuffle on the
+    small bucket-id key with map-side partials — the classic
+    aggregation-tree histogram, O(buckets) output at any input scale.
+    """
+    bucketed = df.select(
+        cents_col.alias("__cents")
+    ).select(
+        F.expr(f"__cents div {bucket_width_cents}").alias("bucket"),
+        F.col("__cents"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__cents").alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_width_cents).alias("bucket_lo_cents"),
+            "n_rows",
+            "sum_cents",
+        )
+    )

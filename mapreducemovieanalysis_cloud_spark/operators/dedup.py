@@ -585,3 +585,56 @@ def incremental_exact_dedup(
         novel.write.mode("append").parquet(survivors_path)
     novel.write.mode("append").parquet(store_path)
     return novel, spark.read.parquet(store_path)
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    topk: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-passage detection: every n-token sliding window that
+    recurs across >= ``min_docs`` distinct documents (the passage-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — windowed-hash formulation instead of a suffix array, which
+    has no distributed-friendly construction).
+
+    One scan explodes each doc into its (len - n + 1) windows; the groupBy
+    keys on the 32-byte md5 of the window — never on raw text — so the
+    shuffle is fingerprint-sized. Partial aggregation collapses same-doc
+    repeats map-side. Output: the passage text (min over an md5 group is
+    the passage itself), distinct-doc count, total occurrences, and the
+    lowest containing doc id; ordered by occurrences desc with the passage
+    string as the unique tie-break.
+
+    Scale: rows exploded = total tokens (same order as any tokenize pass);
+    at 100 TB pick n >= 32 so window cardinality approaches uniqueness and
+    the having-filter drops ~everything before the top-k.
+    """
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    wins = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+            )
+        ).alias("passage"),
+    )
+    return (
+        wins.groupBy(F.md5("passage").alias("__fp"))
+        .agg(
+            F.min("passage").alias("passage"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("passage", "n_docs", "n_occurrences", "first_doc")
+        .orderBy(F.col("n_occurrences").desc(), F.col("passage").asc())
+        .limit(topk)
+    )

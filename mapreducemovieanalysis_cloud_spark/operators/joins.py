@@ -139,6 +139,42 @@ def range_join(
     return left.join(F.broadcast(right), condition, how)
 
 
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Runtime-filtered join: broadcast a Bloom-style bucket set built from
+    the dim keys and semi-filter the fact side BEFORE its shuffle.
+
+    The filter is a one-hash Bloom — the distinct set of
+    ``xxhash64(key) mod m`` buckets — applied as a broadcast left-semi
+    join. False positives pass through and are discarded by the exact join
+    that follows; false negatives are impossible, so the result is
+    row-identical to the plain join (which is what the oracle runs).
+
+    Scale: the broadcast is at most ``min(|dim keys|, m)`` longs (m = 2^20
+    is <= 8 MB); size m ~8-16x the dim key cardinality to keep the false-
+    positive rate low. At 100 TB the payoff is that the semi join runs
+    map-side over the fact scan, so only the ~selectivity fraction of the
+    fact table ever enters the shuffle Exchange for the main join —
+    the same effect as Spark's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), but explicit,
+    engine-independent, and usable when the dim side is a subquery the
+    optimizer won't infer a filter from.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(on)), F.lit(num_buckets))
+    buckets = dim.select(bucket.alias("__bucket")).distinct()
+    pre = (
+        fact.withColumn("__bucket", bucket)
+        .join(F.broadcast(buckets), "__bucket", "left_semi")
+        .drop("__bucket")
+    )
+    return pre.join(dim, on, how)
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,

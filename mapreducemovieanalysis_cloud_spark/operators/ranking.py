@@ -1,0 +1,145 @@
+"""Relevance ranking over the documents table: BM25 scoring.
+
+Search-style retrieval is the read side of a training-data pipeline
+(mining documents similar to a seed set, building eval retrieval sets),
+so BM25 joins dedup/quality as a first-class corpus operator.
+
+Determinism contract (registry conventions): every input to the score is
+an integer (tf, df, N, dl, sum_dl) and the score is a fixed-shape tree of
+IEEE +,-,*,/ over those integers — no ln()/exp(), whose last-ulp behavior
+differs across engines. We therefore use the *rank-odds* form of the BM25
+IDF, ``(N - df + 0.5) / (df + 0.5)``, a strictly monotone transform of the
+usual ``ln`` IDF: rankings are identical, values are bit-reproducible in
+any IEEE engine. Per-(doc, term) scores are quantized to integer
+micro-units BEFORE the per-doc sum so float summation order can never
+flip the hash.
+
+Scale: one scan of the corpus; tf for only the |Q| query terms survives
+the explode filter, so the shuffle is O(matching doc-terms), not
+O(corpus tokens); df and corpus stats are tiny broadcasts. Final top-k is
+a TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+K1 = 1.2
+B = 0.75
+# Pre-fold the composite constants in Python once; both the Spark plan and
+# the DuckDB oracle are built from repr() of THESE floats, so the two
+# engines start from bit-identical literals.
+K1_PLUS_1 = K1 + 1.0
+ONE_MINUS_B = 1.0 - B
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    topk: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 over ``terms``: top-``topk`` docs by summed
+    micro-unit score (desc), id ascending as the unique tie-break.
+
+    Output: (id, bm25_micro BIGINT, n_terms_hit BIGINT).
+    """
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    dl = toked.select(F.col(id_col), F.size("__t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    tf = (
+        toked.select(F.col(id_col), F.explode("__t").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Shape of the score tree mirrors the oracle SQL exactly:
+    #   idf_odds = (N - df + 0.5) / (df + 0.5)
+    #   denom    = tf + k1 * ((1 - b) + (b * dl) / (sum_dl / N))
+    #   micro    = round((idf_odds * ((tf * (k1+1)) / denom)) * 1e6)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_odds",
+            (F.col("n_docs_total") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .withColumn(
+            "denom",
+            F.col("tf")
+            + F.lit(K1)
+            * (
+                F.lit(ONE_MINUS_B)
+                + (F.lit(B) * F.col("dl"))
+                / (F.col("sum_dl") / F.col("n_docs_total"))
+            ),
+        )
+        .withColumn(
+            "score_micro",
+            F.round(
+                (
+                    F.col("idf_odds")
+                    * ((F.col("tf") * F.lit(K1_PLUS_1)) / F.col("denom"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("score_micro").alias("bm25_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+
+
+def bm25_oracle_sql(terms: list[str], topk: int = 50) -> str:
+    """DuckDB oracle with the identical literal constants and the identical
+    parenthesization as :func:`bm25_scores` (see module docstring)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    # DuckDB parses bare decimal literals as DECIMAL (exact) arithmetic,
+    # which rounds differently from IEEE doubles — CAST every float literal
+    # to DOUBLE so both engines run the same double-precision tree.
+    half = "CAST(0.5 AS DOUBLE)"
+    k1 = f"CAST({K1!r} AS DOUBLE)"
+    k1p1 = f"CAST({K1_PLUS_1!r} AS DOUBLE)"
+    omb = f"CAST({ONE_MINUS_B!r} AS DOUBLE)"
+    b = f"CAST({B!r} AS DOUBLE)"
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs_total,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({term_list}) GROUP BY 1, 2),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+             CAST(ROUND(
+               (((n_docs_total - df + {half}) / (df + {half}))
+                * ((tf * {k1p1})
+                   / (tf + {k1} * ({omb}
+                      + ({b} * dl) / (CAST(sum_dl AS DOUBLE) / n_docs_total)))))
+               * 1000000.0) AS BIGINT) AS score_micro
+           FROM tf JOIN dfx USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,
+           COUNT(*) AS n_terms_hit
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT {topk}
+    """

@@ -137,6 +137,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.graph_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

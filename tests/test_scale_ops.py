@@ -1,0 +1,216 @@
+"""Round-2b scale operators: bloom prefilter join, BM25, duplicate
+passages, SCD2 intervals, integer histograms."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import plans
+from mapreducemovieanalysis_cloud_spark.operators import (
+    aggregates,
+    cdc,
+    dedup,
+    joins,
+    ranking,
+)
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# bloom_prefilter_join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 3)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    got = joins.bloom_prefilter_join(orders, dim, on="o_custkey")
+    want = orders.join(dim, "o_custkey")
+    assert got.count() == want.count()
+    assert (
+        got.select(F.sum("o_orderkey"), F.sum("c_nationkey")).collect()
+        == want.select(F.sum("o_orderkey"), F.sum("c_nationkey")).collect()
+    )
+
+
+def test_bloom_prefilter_semi_join_is_broadcast(spark, sf_dir):
+    """The bucket-set filter must apply as a broadcast (map-side) semi join
+    — if it planned as a shuffled join the prefilter would cost the very
+    Exchange it exists to avoid."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") < 3)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    plan = plans.executed_plan(
+        joins.bloom_prefilter_join(orders, dim, on="o_custkey")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_bloom_prefilter_tiny_bucket_space_still_exact(spark):
+    """Saturated filter (m=2): every fact row passes the prefilter, the
+    exact join still discards the false positives."""
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"))
+    dim = spark.createDataFrame([(5, "a"), (7, "b")], ["k", "v"])
+    got = joins.bloom_prefilter_join(fact, dim, on="k", num_buckets=2)
+    assert sorted(r.k for r in got.collect()) == [5, 7]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_bm25_matches_hand_computation(spark):
+    texts = [
+        "join join join filter scan",
+        "join scan",
+        "filter filter scan scan scan",
+        "vector stream",
+    ]
+    out = {
+        r.doc_id: (r.bm25_micro, r.n_terms_hit)
+        for r in ranking.bm25_scores(
+            _mk_docs(spark, texts), ["join", "vector"], topk=10
+        ).collect()
+    }
+    # hand computation with the same constants
+    n, dls = 4, [5, 2, 5, 2]
+    avgdl = sum(dls) / n
+    def score(tf, df, dl):
+        idf = (n - df + 0.5) / (df + 0.5)
+        return round(
+            idf * ((tf * ranking.K1_PLUS_1)
+                   / (tf + ranking.K1 * (ranking.ONE_MINUS_B
+                      + (ranking.B * dl) / avgdl))) * 1e6
+        )
+    want = {
+        0: (score(3, 2, 5), 1),
+        1: (score(1, 2, 2), 1),
+        3: (score(1, 1, 2), 1),
+    }
+    assert out == want
+
+
+def test_bm25_rewards_tf_and_penalizes_common_terms(spark):
+    texts = [
+        "rare rare common filler filler",   # doc 0: high tf of rare term
+        "rare common filler filler filler", # doc 1
+        "common filler filler filler text", # doc 2
+        "common filler filler filler text", # doc 3
+    ]
+    ranked = ranking.bm25_scores(
+        _mk_docs(spark, texts), ["rare", "common"], topk=4
+    ).collect()
+    assert ranked[0].doc_id == 0  # tf=2 of the rarest term wins
+    # 'common' appears in all 4 docs -> tiny idf; doc 2/3 score lowest
+    assert {r.doc_id for r in ranked[-2:]} == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# duplicate_passages
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_passages_finds_planted_passage(spark):
+    planted = "a b c d e f g h"
+    texts = [
+        f"x1 x2 {planted} y1 y2",
+        f"z1 {planted} z2 z3",
+        "unrelated words only here padding padding padding padding",
+    ]
+    out = dedup.duplicate_passages(_mk_docs(spark, texts), n=8).collect()
+    by_passage = {r.passage: r for r in out}
+    assert planted in by_passage
+    r = by_passage[planted]
+    assert r.n_docs == 2 and r.n_occurrences == 2 and r.first_doc == 0
+    # no window crossing the planted region recurs in both docs
+    assert all(
+        p == planted or by_passage[p].n_docs < 2 for p in by_passage
+    )
+
+
+def test_duplicate_passages_counts_within_doc_repeats(spark):
+    eight = "p q r s t u v w"
+    texts = [f"{eight} {eight}", f"junk {eight} junk2"]
+    out = dedup.duplicate_passages(_mk_docs(spark, texts), n=8).collect()
+    row = next(r for r in out if r.passage == eight)
+    assert row.n_docs == 2 and row.n_occurrences == 3
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_scd2_intervals_chain(spark):
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+        (1, 2, _ts("2024-01-01 01:00:00"), "view"),
+        (1, 3, _ts("2024-01-01 02:00:00"), "click"),
+        (1, 4, _ts("2024-01-01 03:00:00"), "view"),
+        (2, 5, _ts("2024-01-01 00:30:00"), "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    )
+    out = {
+        (r.user_id, r.version): r
+        for r in cdc.scd2_intervals(df).collect()
+    }
+    assert len(out) == 4
+    v1 = out[(1, 1)]
+    assert (v1.state, v1.n_events) == ("view", 2)
+    assert v1.valid_from == "2024-01-01 00:00:00"
+    assert v1.valid_to == "2024-01-01 02:00:00"  # next run's start
+    v2 = out[(1, 2)]
+    assert (v2.state, v2.valid_to) == ("click", "2024-01-01 03:00:00")
+    v3 = out[(1, 3)]
+    assert (v3.state, v3.valid_to) == ("view", cdc.OPEN_END)
+    assert out[(2, 1)].valid_to == cdc.OPEN_END
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both windows, the run group-by, and the closing lead all cluster on
+    user_id — the whole operator must plan exactly ONE shuffle."""
+    df = cdc.scd2_intervals(load_table(spark, sf_dir, "events"))
+    plan = plans.executed_plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# int_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_int_histogram_exact_boundaries(spark):
+    cents = [0, 1, 2_499_999, 2_500_000, 4_999_999, 5_000_000, 7_400_000]
+    df = spark.createDataFrame([(c,) for c in cents], ["c"])
+    out = {
+        r.bucket: (r.bucket_lo_cents, r.n_rows, r.sum_cents)
+        for r in aggregates.int_histogram(
+            df, F.col("c"), bucket_width_cents=2_500_000
+        ).collect()
+    }
+    assert out[0] == (0, 3, 2_500_000)
+    assert out[1] == (2_500_000, 2, 7_499_999)
+    assert out[2] == (5_000_000, 2, 12_400_000)
