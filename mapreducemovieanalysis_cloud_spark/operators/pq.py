@@ -1,0 +1,168 @@
+"""Product-quantization ANN: compressed codes + asymmetric distance.
+
+The third similarity tier after brute-force and bucketed probing
+(operators/similarity.py): compress each embedding to ``m`` small integer
+codes (one per vector slice, each code naming that slice's nearest
+per-subspace k-means centroid), then answer queries against the CODES —
+``m`` table lookups per candidate instead of a d-dim dot product. At 100 TB
+the corpus shrinks from d·4 bytes to m bytes per vector (64-dim float →
+4 bytes at m=4), which is what lets a billion-vector index fit a cluster's
+memory; the scan side becomes an integer-sum over a broadcast distance
+table.
+
+Built entirely from the engine's deterministic k-means kernel
+(operators/clustering.py): quantized int64 vectors, exact integer squared
+distances with cell-id tie-breaks, rounded-mean centroid updates — every
+step bit-reproducible, so even this three-stage iterative index is
+oracle-checkable (unrolled-CTE SQL, same pattern as kmeans_embeddings).
+
+Asymmetric distance (ADC): for query q and code vector c(v),
+``d2(q, v) ≈ Σ_j ||q_j − centroid_{j, c_j(v)}||²`` — computed relationally:
+the per-(query, subspace, centroid) distance table joins the exploded
+codes on (subspace, code) and a sum-aggregate folds the m terms. No UDF,
+no per-row loops; the distance table is |Q|·m·k rows, always broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions.vector import (
+    qdot_arrow,
+    qnorm2,
+    quantize,
+)
+
+
+def _subspace_points(
+    emb: DataFrame, m: int, subdim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, j, sv, sn2): quantized subvector per (vector, subspace)."""
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    )
+    slices = F.array(
+        *[F.slice("qv", j * subdim + 1, subdim) for j in range(m)]
+    )
+    return pts.select(
+        "vec_id", F.posexplode(slices).alias("j", "sv")
+    ).withColumn("sn2", qnorm2(F.col("sv")))
+
+
+def _assign_sub(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per (vector, subspace) — clustering._assign with the
+    subspace id as an extra join/window key."""
+    scored = sub.join(F.broadcast(cents), "j").withColumn(
+        "d2",
+        F.col("sn2") - 2 * qdot_arrow(F.col("sv"), F.col("cv")) + F.col("cn2"),
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", "sv", "sn2", "cell")
+    )
+
+
+def _update_sub(assigned: DataFrame) -> DataFrame:
+    """Rounded-mean centroid per (subspace, cell) — clustering._update with
+    the subspace key; exact int64 sums, one IEEE division per dim."""
+    exploded = assigned.select(
+        "j", "cell", F.posexplode("sv").alias("pos", "v")
+    )
+    per_dim = exploded.groupBy("j", "cell", "pos").agg(
+        F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv_v")
+    )
+    return (
+        per_dim.groupBy("j", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv_v"))),
+                lambda s: s.cv_v,
+            ).alias("cv")
+        )
+        .withColumn("cn2", qnorm2(F.col("cv")))
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns ``(codes, centroids)``: codes = (vec_id, j, code) — m rows per
+    vector; centroids = (j, cell, cv, cn2), the codebooks the codes refer
+    to (the ones used by the FINAL assignment, mirroring
+    ``kmeans_assignments``' assign/update schedule). Seeds are the first-k
+    vectors' subvectors, like the k-means seeds.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = _subspace_points(emb, m, dim // m, id_col, vec_col)
+    cents = sub.where(F.col("vec_id") < k).select(
+        "j",
+        F.col("vec_id").alias("cell"),
+        F.col("sv").alias("cv"),
+        F.col("sn2").alias("cn2"),
+    )
+    assigned = None
+    for it in range(iters):
+        assigned = _assign_sub(sub, cents)
+        if it < iters - 1:
+            cents = _update_sub(assigned)
+    codes = assigned.select("vec_id", "j", F.col("cell").alias("code"))
+    return codes, cents
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: (query_id, neighbor_id,
+    adc_d2 BIGINT, rank INT), rank 1..topk per query by (adc_d2 asc,
+    neighbor_id asc)."""
+    codes, cents = pq_codes(corpus, m, k, iters, dim, id_col, vec_col)
+    qsub = _subspace_points(
+        queries, m, dim // m, query_id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    dtab = qsub.join(F.broadcast(cents), "j").select(
+        "query_id",
+        "j",
+        F.col("cell").alias("code"),
+        (
+            F.col("sn2")
+            - 2 * qdot_arrow(F.col("sv"), F.col("cv"))
+            + F.col("cn2")
+        ).alias("d2q"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

@@ -14,7 +14,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducemovieanalysis_cloud_spark.operators import aggregates, cdc, dedup, joins, ranking
+from mapreducemovieanalysis_cloud_spark.operators import (
+    aggregates,
+    cdc,
+    dedup,
+    joins,
+    pq,
+    ranking,
+)
+from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+    _QUANT,
+    _dot,
+    _norm2,
+)
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
@@ -149,3 +161,92 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long"),
         bucket_width_cents=2_500_000,
     )
+
+
+def _pq_oracle(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> str:
+    """Unrolled-CTE mirror of operators.pq (same schedule as the
+    kmeans_embeddings oracle: assign/update per iteration, codes from the
+    final assign, distance table against the centroids that assign used)."""
+    subdim = dim // m
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (SELECT vec_id, j, sv, sn2, cell FROM (
+        SELECT p.vec_id, p.j, p.sv, p.sn2, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.j
+                 ORDER BY p.sn2 - 2 * {_dot('p.sv', 'c.cv')} + c.cn2 ASC,
+                          c.cell ASC) AS rn
+        FROM pn p JOIN {cents} c ON p.j = c.j) WHERE rn = 1)"""
+
+    def update(src: str, out: str) -> str:
+        return f"""
+    {out}_dims AS (SELECT j, cell, i,
+                          CAST(ROUND(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*))
+                               AS BIGINT) AS v
+                   FROM {src} CROSS JOIN generate_series(1, {subdim}) g(i)
+                   GROUP BY j, cell, i),
+    {out}_arr AS (SELECT j, cell, list(v ORDER BY i) AS cv
+                  FROM {out}_dims GROUP BY j, cell),
+    {out} AS (SELECT j, cell, cv, {_norm2('cv')} AS cn2 FROM {out}_arr)"""
+
+    parts = [
+        f"""WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    sub AS (SELECT vec_id, j,
+                   list_slice(qv, j * {subdim} + 1, (j + 1) * {subdim}) AS sv
+            FROM base CROSS JOIN generate_series(0, {m - 1}) g(j)),
+    pn AS (SELECT vec_id, j, sv, {_norm2('sv')} AS sn2 FROM sub),
+    c0 AS (SELECT j, vec_id AS cell, sv AS cv, sn2 AS cn2 FROM pn
+           WHERE vec_id < {k})"""
+    ]
+    cents = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(cents, f"a{it}"))
+        if it < iters:
+            parts.append(update(f"a{it}", f"c{it}"))
+            cents = f"c{it}"
+    parts.append(
+        f"""
+    codes AS (SELECT vec_id, j, cell AS code FROM a{iters}),
+    qsub AS (SELECT vec_id AS query_id, j, sv, sn2 FROM pn
+             WHERE vec_id < {n_queries}),
+    dtab AS (SELECT q.query_id, q.j, c.cell AS code,
+                    q.sn2 - 2 * {_dot('q.sv', 'c.cv')} + c.cn2 AS d2q
+             FROM qsub q JOIN {cents} c ON q.j = c.j),
+    adc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+                   CAST(SUM(d.d2q) AS BIGINT) AS adc_d2
+            FROM codes co
+            JOIN dtab d ON co.j = d.j AND co.code = d.code
+            WHERE co.vec_id <> d.query_id
+            GROUP BY 1, 2)"""
+    )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+      FROM adc)
+    WHERE rank <= {topk}
+    """
+    )
+
+
+@query("ann_pq", oracle=_pq_oracle())
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks (m=4, k=16, two
+    Lloyd rounds), 4-byte codes, asymmetric-distance top-10 for 5 query
+    vectors — the compressed-index similarity tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.ann_pq_topk(emb, queries, topk=10, m=4, k=16, iters=2, dim=64)

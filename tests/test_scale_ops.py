@@ -214,3 +214,143 @@ def test_int_histogram_exact_boundaries(spark):
     assert out[0] == (0, 3, 2_500_000)
     assert out[1] == (2_500_000, 2, 7_499_999)
     assert out[2] == (5_000_000, 2, 12_400_000)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _mk_emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_codes_shape(spark):
+    import random
+
+    rng = random.Random(7)
+    emb = _mk_emb(
+        spark, [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    )
+    codes, cents = __import__(
+        "mapreducemovieanalysis_cloud_spark.operators.pq", fromlist=["pq"]
+    ).pq_codes(emb, m=2, k=4, iters=2, dim=8)
+    rows = codes.collect()
+    assert len(rows) == 40 * 2  # m codes per vector
+    assert all(0 <= r.code < 4 for r in rows)
+    crows = cents.collect()
+    assert {(r.j, r.cell) for r in crows} <= {
+        (j, c) for j in range(2) for c in range(4)
+    }
+    assert all(len(r.cv) == 4 for r in crows)  # subdim
+
+
+def test_pq_ann_recovers_cluster_structure(spark):
+    """Two well-separated clusters: PQ neighbors of a cluster-A query must
+    all come from cluster A (ADC error is far smaller than the
+    inter-cluster gap)."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.operators import pq as pqm
+
+    rng = random.Random(3)
+    a = [[1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    b = [[-1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    emb = _mk_emb(spark, a + b)  # ids 0..19 cluster A, 20..39 cluster B
+    queries = emb.where("vec_id IN (2, 25)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = pqm.ann_pq_topk(
+        emb, queries, topk=5, m=2, k=4, iters=2, dim=8
+    ).collect()
+    for r in out:
+        if r.query_id == 2:
+            assert r.neighbor_id < 20, r
+        else:
+            assert r.neighbor_id >= 20, r
+
+
+# ---------------------------------------------------------------------------
+# z-ordered write
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from mapreducemovieanalysis_cloud_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])
+    # x=0b011, y=0b101 -> z interleaves x at even, y at odd positions:
+    # bits (y2 x2 y1 x1 y0 x0) = 1 0 0 1 1 1 = 0b100111 = 39
+    z = df.select(
+        zorder_value([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).first().z
+    assert z == 39
+
+
+def test_write_zordered_prunes_on_both_dims(spark, sf_dir, tmp_path):
+    """A box predicate must overlap only a strict subset of files on EACH
+    dimension's footer stats — linear sort can only deliver that for its
+    leading column."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "zorders")
+    write_zordered(
+        orders, out, zorder_cols=("o_custkey", "o_totalprice"), num_files=8
+    )
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 8
+
+    def file_ranges(col):
+        rngs = []
+        for f in files:
+            md = pq_.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(len(md.schema))
+                if md.schema.column(i).name == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            rngs.append((min(mins), max(maxs)))
+        return rngs
+
+    ck = file_ranges("o_custkey")
+    tp = file_ranges("o_totalprice")
+    ck_lo = min(lo for lo, _ in ck)
+    ck_hi = max(hi for _, hi in ck)
+    tp_lo = min(lo for lo, _ in tp)
+    tp_hi = max(hi for _, hi in tp)
+    # box = lower quarter of each dimension
+    ck_cut = ck_lo + (ck_hi - ck_lo) / 4
+    tp_cut = tp_lo + (tp_hi - tp_lo) / 4
+    surviving = [
+        i
+        for i in range(len(files))
+        if ck[i][0] <= ck_cut and tp[i][0] <= tp_cut
+    ]
+    assert len(surviving) < len(files), (ck, tp)
+    # and the z-ordered copy still answers the box query exactly
+    got = (
+        spark.read.parquet(out)
+        .where((F.col("o_custkey") <= ck_cut) & (F.col("o_totalprice") <= tp_cut))
+        .count()
+    )
+    want = orders.where(
+        (F.col("o_custkey") <= ck_cut) & (F.col("o_totalprice") <= tp_cut)
+    ).count()
+    assert got == want > 0
