@@ -210,3 +210,55 @@ def int_histogram(
             "sum_cents",
         )
     )
+
+
+def integer_z_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cents_col: Column,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> DataFrame:
+    """Rows whose value deviates from their group mean by more than
+    (z_num/z_den) group standard deviations — decided ENTIRELY in integer
+    arithmetic, so the gate is bit-identical in any engine.
+
+    |x - mean| > z*sigma is equivalent (after multiplying through by
+    n^2 * z_den^2, all positive) to
+
+        z_den^2 * (n*x - sum)^2  >  z_num^2 * (n*sumsq - sum^2)
+
+    — every term an int64 product of exact cents sums. No sqrt, no float
+    variance, no summation-order sensitivity. One aggregate pass builds the
+    per-group (n, sum, sumsq) triple (tiny — one row per group, broadcast
+    back), one scan applies the gate.
+
+    Domain bound (int64): requires n * max|cents| < ~3e9 per group
+    (the squared term must stay below 2^63). At larger scales compute the
+    same triple per sub-partition and combine exactly — the triple is
+    associative — or lift the products to DecimalType(38).
+    """
+    stats = (
+        df.select(F.col(group_col), cents_col.alias("__x"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__s"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        )
+    )
+    dev = F.col("__n") * F.col("__x") - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    return (
+        df.select(F.col(id_col), F.col(group_col), cents_col.alias("__x"))
+        .join(F.broadcast(stats), group_col)
+        .where(
+            F.lit(z_den * z_den) * dev * dev > F.lit(z_num * z_num) * var_n2
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__x").alias("value_cents"),
+        )
+    )

@@ -92,3 +92,88 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("rank").cast("long").alias("rank"))
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    group_col: str,
+    node_col: str,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence graph: an edge (u < v) when two nodes share
+    >= ``min_shared`` groups. The self-join keys on the group id, so pair
+    cardinality is sum over groups of C(members, 2) — bounded by group
+    size, not corpus size; the count-filter then prunes weak edges before
+    any downstream traversal."""
+    g = items.select(
+        F.col(group_col).alias("__g"), F.col(node_col).alias("u")
+    ).distinct()
+    return (
+        g.join(g.select(F.col("__g"), F.col("u").alias("v")), "__g")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select("u", "v")
+    )
+
+
+def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
+    """Per-node triangle participation via degree-ordered orientation:
+    (node, n_triangles), top-``topk`` by count desc / node asc.
+
+    Each undirected edge is oriented from its lower- to its higher-degree
+    endpoint (id as tie-break), wedges are built only out of a node's
+    oriented out-edges, and a wedge closes iff its two tips are an edge in
+    the canonical (u < v) table. The orientation is the classic wedge
+    bound: out-degree <= sqrt(2m) for every node, so wedge count — the
+    only superlinear term — is O(m^1.5) worst case instead of
+    sum-of-squares of raw degrees (hub nodes stop being quadratic). Every
+    shuffle keys on a node id; nothing materializes more than the wedge
+    list. Each triangle is counted exactly once (its unique out-degree-2
+    apex), then credited to all three corners.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("f"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o2 = oriented.select(F.col("f"), F.col("t").alias("t2"))
+    wedges = (
+        oriented.join(o2, "f")
+        .where(F.col("t") < F.col("t2"))
+        .select(
+            F.col("f").alias("apex"),
+            F.col("t").alias("b"),
+            F.col("t2").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        edges,
+        (edges["u"] == F.least("b", "c")) & (edges["v"] == F.greatest("b", "c")),
+    ).select("apex", "b", "c")
+    per_node = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(topk)
+    )

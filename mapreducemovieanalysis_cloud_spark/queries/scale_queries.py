@@ -250,3 +250,152 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq.ann_pq_topk(emb, queries, topk=10, m=4, k=16, iters=2, dim=64)
+
+
+@query(
+    "triangle_counts_suppliers",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pr AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS shared
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pr WHERE shared >= 20),
+    deg AS (SELECT node, COUNT(*) AS deg FROM (
+              SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges) GROUP BY 1),
+    o AS (SELECT CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS f,
+                 CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS t
+          FROM edges e JOIN deg du ON du.node = e.u
+          JOIN deg dv ON dv.node = e.v),
+    w AS (SELECT o1.f AS apex, o1.t AS b, o2.t AS c
+          FROM o o1 JOIN o o2 ON o1.f = o2.f AND o1.t < o2.t),
+    tri AS (SELECT apex, b, c FROM w
+            JOIN edges e ON e.u = least(b, c) AND e.v = greatest(b, c)),
+    pern AS (SELECT node, COUNT(*) AS n_triangles FROM (
+               SELECT apex AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) GROUP BY 1)
+    SELECT node, n_triangles FROM pern
+    ORDER BY n_triangles DESC, node ASC LIMIT 50
+    """,
+)
+def triangle_counts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the supplier co-occurrence graph (edge =
+    two suppliers sharing >= 20 orders), degree-ordered wedge counting."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", node_col="l_suppkey", min_shared=20
+    )
+    return graph.triangle_counts(edges, topk=50).select(
+        F.col("node"), "n_triangles"
+    )
+
+
+@query(
+    "resample_hourly_locf",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+    h AS (SELECT user_id, us // 3600000000 AS hour_idx, us, event_id, cents
+          FROM e),
+    occ AS (SELECT user_id, hour_idx, COUNT(*) AS n_events FROM h
+            GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id, hour_idx
+             ORDER BY us DESC, event_id DESC) AS rn FROM h),
+    lastv AS (SELECT user_id, hour_idx, cents FROM rk WHERE rn = 1),
+    span AS (SELECT user_id, MIN(hour_idx) AS lo, MAX(hour_idx) AS hi
+             FROM h GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour_idx
+             FROM span),
+    filled AS (SELECT g.user_id, g.hour_idx,
+                      COALESCE(o.n_events, 0) AS n_events,
+                      last_value(l.cents IGNORE NULLS) OVER (
+                        PARTITION BY g.user_id ORDER BY g.hour_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS value_cents
+               FROM grid g
+               LEFT JOIN occ o ON o.user_id = g.user_id
+                              AND o.hour_idx = g.hour_idx
+               LEFT JOIN lastv l ON l.user_id = g.user_id
+                                AND l.hour_idx = g.hour_idx)
+    SELECT user_id,
+           strftime(make_timestamp(hour_idx * 3600000000),
+                    '%Y-%m-%d %H:%M:%S') AS hour,
+           n_events, value_cents
+    FROM filled
+    """,
+)
+def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's event stream with last-observation-
+    carried-forward values — the regular-grid series feature pipelines
+    consume."""
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    return timeseries.resample_hourly_locf(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s0 AS (SELECT user_id, MIN(us) AS t FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, MIN(e.us) AS t FROM e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.us > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s1.t GROUP BY 1)
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+           (SELECT COUNT(*) FROM s0) AS n_users
+    UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users reaching each stage
+    with strictly-increasing first-event times."""
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    return timeseries.funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        stages=["view", "click", "purchase"],
+    )
+
+
+@query(
+    "outliers_value_z",
+    oracle="""
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS x
+               FROM events),
+    st AS (SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sm,
+                  CAST(SUM(x * x) AS BIGINT) AS q
+           FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type, c.x AS value_cents
+    FROM c JOIN st USING (event_type)
+    WHERE (n * c.x - sm) * (n * c.x - sm) > 4 * (n * q - sm * sm)
+    """,
+)
+def outliers_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type >2-sigma outliers decided in pure integer arithmetic
+    (no sqrt, no float variance) — the engine-exact anomaly gate."""
+    events = load_table(spark, sf_dir, "events")
+    return aggregates.integer_z_outliers(
+        events,
+        group_col="event_type",
+        id_col="event_id",
+        cents_col=F.round(F.col("value") * 100).cast("long"),
+        z_num=2,
+        z_den=1,
+    )

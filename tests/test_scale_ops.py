@@ -354,3 +354,102 @@ def test_write_zordered_prunes_on_both_dims(spark, sf_dir, tmp_path):
         (F.col("o_custkey") <= ck_cut) & (F.col("o_totalprice") <= tp_cut)
     ).count()
     assert got == want > 0
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_known_graph(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["u", "v"],
+    )
+    out = {r.node: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_cooccurrence_edges_threshold(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    items = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g2", 1), ("g2", 2), ("g3", 1), ("g3", 3),
+         ("g1", 1)],  # duplicate membership must not double-count
+        ["grp", "node"],
+    )
+    got = {
+        (r.u, r.v)
+        for r in graph.cooccurrence_edges(
+            items, "grp", "node", min_shared=2
+        ).collect()
+    }
+    assert got == {(1, 2)}  # 1-3 co-occur only once
+
+
+# ---------------------------------------------------------------------------
+# resample + funnel + outliers
+# ---------------------------------------------------------------------------
+
+
+def test_resample_locf_fills_gaps(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    rows = [
+        (1, 1, _ts("2024-01-01 00:10:00"), 1.00),
+        (1, 2, _ts("2024-01-01 00:50:00"), 2.00),  # later in same hour wins
+        (1, 3, _ts("2024-01-01 03:20:00"), 5.00),  # hours 1,2 are gaps
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    )
+    out = {
+        r.hour: (r.n_events, r.value_cents)
+        for r in timeseries.resample_hourly_locf(df).collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": (2, 200),
+        "2024-01-01 01:00:00": (0, 200),  # carried forward
+        "2024-01-01 02:00:00": (0, 200),
+        "2024-01-01 03:00:00": (1, 500),
+    }
+
+
+def test_funnel_requires_strict_order(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", _ts("2024-01-01 00:00:00")),
+        (1, "click", _ts("2024-01-01 01:00:00")),
+        (1, "purchase", _ts("2024-01-01 02:00:00")),
+        # user 2 purchases BEFORE clicking -> reaches click, not purchase
+        (2, "view", _ts("2024-01-01 00:00:00")),
+        (2, "purchase", _ts("2024-01-01 00:30:00")),
+        (2, "click", _ts("2024-01-01 01:00:00")),
+        # user 3 never views -> in no stage
+        (3, "click", _ts("2024-01-01 00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r.stage: r.n_users
+        for r in timeseries.funnel_counts(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_integer_z_outliers_exact_gate(spark):
+    # group: nine 100s and one 1000 -> the 1000 is far out; also check a
+    # value exactly AT the threshold is NOT flagged (strict >)
+    rows = [("a", i, 100) for i in range(9)] + [("a", 9, 1000)]
+    df = spark.createDataFrame(rows, ["g", "id", "cents"])
+    out = aggregates.integer_z_outliers(
+        df, group_col="g", id_col="id", cents_col=F.col("cents"),
+        z_num=2, z_den=1,
+    ).collect()
+    assert [(r.id, r.value_cents) for r in out] == [(9, 1000)]
