@@ -132,7 +132,15 @@ def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
     shuffle keys on a node id; nothing materializes more than the wedge
     list. Each triangle is counted exactly once (its unique out-degree-2
     apex), then credited to all three corners.
+
+    The edge list feeds four downstream subtrees (two degree scans, the
+    orientation join, the closing-edge probe) and the oriented list two
+    (the wedge self-join); both are eagerly localCheckpointed so each is
+    computed ONCE — without it the plan replays the upstream edge
+    derivation per consumer (measured 133 shuffles vs ~10 on the
+    co-occurrence graph; same pathology pagerank's inputs hit).
     """
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -152,6 +160,7 @@ def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
     )
+    oriented = oriented.localCheckpoint(eager=True)
     o2 = oriented.select(F.col("f"), F.col("t").alias("t2"))
     wedges = (
         oriented.join(o2, "f")
