@@ -242,3 +242,109 @@ def sample_stratified(
     for g, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(group_col) == g, F.lit(pct)).otherwise(rate)
     return df.where(bucket < rate)
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_buckets: int = 16,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training data: pair
+    each row with its next ``k`` successors in md5 order within a hash
+    bucket — (id_a, id_b, neg_rank).
+
+    The md5 order is effectively random but a pure key function, so the
+    SAME negatives come out of any engine, partitioning, retry, or later
+    re-run (reproducible training mixes, same property as
+    ``sample_stratified``). One exchange on the bucket key, one
+    per-bucket sort, ``k`` lead() picks — no cross join, no global index,
+    no RNG state. Rows in a bucket's final ``k`` md5 positions emit fewer
+    pairs (no cyclic wrap — the oracle mirrors lead()'s null-drop
+    exactly); at ``num_buckets`` scaled to ~corpus/100k the loss is
+    negligible and per-bucket sorts stay memory-bounded.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+
+    keyed = df.select(
+        F.col(id_col).alias("id_a"),
+        md5_bucket(id_col, num_buckets, salt=seed + "b:").alias("__b"),
+        F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))).alias(
+            "__ord"
+        ),
+    )
+    w = Window.partitionBy("__b").orderBy("__ord", "id_a")
+    picks = [
+        F.lead("id_a", i).over(w).alias(f"__n{i}") for i in range(1, k + 1)
+    ]
+    wide = keyed.select("id_a", *picks)
+    stacked = wide.select(
+        "id_a",
+        F.posexplode(F.array(*[F.col(f"__n{i}") for i in range(1, k + 1)])).alias(
+            "__p", "id_b"
+        ),
+    )
+    return (
+        stacked.where(F.col("id_b").isNotNull())
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__p") + 1).cast("int").alias("neg_rank"),
+        )
+    )
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents against a corpus-trained vocabulary: build the
+    top-``vocab_size`` tokens (frequency desc, token asc — deterministic),
+    assign dense ids 0..V-1, and emit each doc's token-id sequence as a
+    CSV string with OOV as -1.
+
+    The id-assignment window runs over the AGGREGATED token table (V rows
+    survive the limit; the aggregate is map-side combined), so the
+    single-partition sort touches vocab-sized data, never corpus-sized.
+    Encoding is a broadcast join on token + one ordered per-doc
+    re-assembly — the standard "tokenize against a trained vocab" pass
+    of an LLM data pipeline, entirely JVM-side.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    freq = (
+        toked.select(F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    wv = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = freq.select(
+        "token", (F.row_number().over(wv) - 1).cast("long").alias("tok_id")
+    )
+    pos = toked.select(
+        F.col(id_col), F.posexplode("__t").alias("pos", "token")
+    )
+    encoded = pos.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+    )
+    return encoded.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s.tok_id.cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tok_id") == -1).cast("long")).alias("n_oov"),
+    )

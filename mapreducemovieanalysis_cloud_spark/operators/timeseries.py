@@ -137,3 +137,52 @@ def funnel_counts(
     for r in out_rows[1:]:
         result = result.unionAll(r)
     return result
+
+
+def user_event_sequences(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Ordered action sequence per user — the log-to-training-sequence
+    pass (next-action prediction corpora): (user, seq string, n_events,
+    first/last formatted timestamps).
+
+    One aggregate: events collapse into per-user sorted struct arrays
+    (map-side partial collect, exact (ts, tiebreak) order restored by
+    array_sort — no window pass, no second shuffle). Hot users bound the
+    array size; cap upstream with ``cap_per_group`` when a user can
+    exceed executor memory.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        df.select(
+            F.col(user_col),
+            us.alias("__us"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.col(type_col).alias("__ty"),
+            F.col(ts_col).alias("__ts"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__us", "__tb", "__ty"))
+                    ),
+                    lambda s: s["__ty"],
+                ),
+                sep,
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("__ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("__ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+    )

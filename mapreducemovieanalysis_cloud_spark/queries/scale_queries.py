@@ -399,3 +399,92 @@ def outliers_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_num=2,
         z_den=1,
     )
+
+
+@query(
+    "negative_pairs",
+    oracle="""
+    WITH keyed AS (SELECT doc_id AS id_a,
+             CAST(('0x' || substr(md5('negb:' || CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS INTEGER) % 16 AS b,
+             md5('neg:' || CAST(doc_id AS VARCHAR)) AS ord_key
+           FROM documents),
+    led AS (SELECT id_a,
+                   lead(id_a, 1) OVER w AS n1,
+                   lead(id_a, 2) OVER w AS n2,
+                   lead(id_a, 3) OVER w AS n3
+            FROM keyed WINDOW w AS (PARTITION BY b ORDER BY ord_key, id_a))
+    SELECT id_a, id_b, CAST(neg_rank AS INT) AS neg_rank FROM (
+      SELECT id_a, n1 AS id_b, 1 AS neg_rank FROM led
+      UNION ALL SELECT id_a, n2, 2 FROM led
+      UNION ALL SELECT id_a, n3, 3 FROM led)
+    WHERE id_b IS NOT NULL
+    """,
+)
+def negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 3 md5-ordered
+    successors per doc within 16 hash buckets — reproducible across
+    engines, retries, and appends."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    return curation.negative_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        id_col="doc_id",
+        k=3,
+        num_buckets=16,
+        seed="neg",
+    )
+
+
+@query(
+    "tokenize_to_ids",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, i, t[i] AS token
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+             ORDER BY freq DESC, token ASC LIMIT 40),
+    vocab AS (SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+                          - 1 AS BIGINT) AS tok_id
+              FROM freq),
+    enc AS (SELECT tok.doc_id, tok.i, COALESCE(v.tok_id, -1) AS tok_id
+            FROM tok LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tok_id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM enc GROUP BY doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained top-40 vocabulary, then every document encoded to a
+    dense token-id sequence (OOV = -1) — the tokenize-against-vocab pass
+    of an LLM data pipeline."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    return curation.tokenize_with_vocab(
+        load_table(spark, sf_dir, "documents"), vocab_size=40
+    )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered action sequences (log -> training-sequence pass)
+    in one map-side-combined aggregate."""
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    return timeseries.user_event_sequences(load_table(spark, sf_dir, "events"))

@@ -453,3 +453,78 @@ def test_integer_z_outliers_exact_gate(spark):
         z_num=2, z_den=1,
     ).collect()
     assert [(r.id, r.value_cents) for r in out] == [(9, 1000)]
+
+
+# ---------------------------------------------------------------------------
+# negative sampling / vocab tokenization / sequences
+# ---------------------------------------------------------------------------
+
+
+def test_negative_pairs_deterministic_and_self_free(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    a = curation.negative_pairs(docs, k=3).collect()
+    b = curation.negative_pairs(docs, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert all(r.id_a != r.id_b for r in a)  # lead() can never self-pair
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r.id_a, []).append(r.neg_rank)
+    # every doc emits at most k negatives, ranks are 1..j with no gaps
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+    assert max(len(v) for v in per_doc.values()) == 3
+
+
+def test_negative_pairs_append_stability(spark):
+    """Adding new docs must not change which negatives EXISTING pairs got
+    from predecessors... (the md5 order of old ids is unchanged; new ids
+    only insert new positions). Check pairs of old docs survive."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    old = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    both = spark.range(0, 150).select(F.col("id").alias("doc_id"))
+    pairs_old = {
+        (r.id_a, r.id_b) for r in curation.negative_pairs(old, k=1).collect()
+    }
+    pairs_both = {
+        (r.id_a, r.id_b)
+        for r in curation.negative_pairs(both, k=1).collect()
+    }
+    # at k=1 a pair (a -> successor) changes only if a new id lands between
+    # them in md5 order; most old pairs must survive an append
+    assert len(pairs_old & pairs_both) > len(pairs_old) * 0.5
+
+
+def test_tokenize_with_vocab_roundtrip(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b zzz")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in curation.tokenize_with_vocab(
+        docs, vocab_size=3
+    ).collect()}
+    # freq: b=3, a=2, c=1 -> ids b=0, a=1, c=2; zzz is OOV
+    assert out[0].ids_csv == "1,0,1,2"
+    assert (out[0].n_tokens, out[0].n_oov) == (4, 0)
+    assert out[1].ids_csv == "0,0,-1"
+    assert (out[1].n_tokens, out[1].n_oov) == (3, 1)
+
+
+def test_user_event_sequences_order(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import timeseries
+
+    rows = [
+        (1, 2, _ts("2024-01-01 01:00:00"), "click"),
+        (1, 1, _ts("2024-01-01 00:00:00"), "view"),
+        # same ts -> event_id tie-break decides order
+        (1, 4, _ts("2024-01-01 02:00:00"), "purchase"),
+        (1, 3, _ts("2024-01-01 02:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    r = timeseries.user_event_sequences(df).first()
+    assert r.seq == "view>click>view>purchase"
+    assert r.n_events == 4
+    assert r.first_ts == "2024-01-01 00:00:00"
+    assert r.last_ts == "2024-01-01 02:00:00"
