@@ -488,3 +488,25 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducemovieanalysis_cloud_spark.operators import timeseries
 
     return timeseries.user_event_sequences(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "arrow_batch_norms",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings)
+    SELECT vec_id,
+           CAST(ROUND(sqrt(CAST({_norm2('qv')} AS DOUBLE))) AS BIGINT)
+             AS l2_micro
+    FROM base
+    """,
+)
+def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized L2 norms via a raw-Arrow numpy kernel (mapInArrow) —
+    covers the zero-copy batch API tier below pandas_udf; IEEE sqrt is
+    correctly rounded so the oracle is bit-exact."""
+    from mapreducemovieanalysis_cloud_spark.operators import arrowops
+
+    return arrowops.embedding_norms_arrow(
+        load_table(spark, sf_dir, "embeddings")
+    )

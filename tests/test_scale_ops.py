@@ -528,3 +528,46 @@ def test_user_event_sequences_order(spark):
     assert r.n_events == 4
     assert r.first_ts == "2024-01-01 00:00:00"
     assert r.last_ts == "2024-01-01 02:00:00"
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_norms_match_jvm_expression(spark, sf_dir):
+    """The numpy kernel must agree bit-for-bit with the pure-JVM
+    formulation (same quantization, same IEEE sqrt)."""
+    from mapreducemovieanalysis_cloud_spark.functions.vector import (
+        qnorm2,
+        quantize,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import arrowops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: r.l2_micro
+        for r in arrowops.embedding_norms_arrow(emb).collect()
+    }
+    want = {
+        r.vec_id: r.l2
+        for r in emb.select(
+            "vec_id",
+            F.round(F.sqrt(qnorm2(quantize("embedding")).cast("double")))
+            .cast("long")
+            .alias("l2"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_arrow_norms_handles_empty_vectors(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import arrowops
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.l2_micro for r in
+           arrowops.embedding_norms_arrow(emb).collect()}
+    assert out == {1: 5_000_000, 2: 0}
