@@ -262,3 +262,100 @@ def integer_z_outliers(
             F.col("__x").alias("value_cents"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    cents_col: Column,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram WITHOUT a global sort:
+    one distributed exact-percentile aggregate computes the n-1 interior
+    boundaries, which broadcast back as an array literal; bucket
+    membership is then a map-side count of boundaries <= x. Output per
+    bucket: row count, min/max cents, exact cents sum.
+
+    The ntile() formulation needs a single-partition total order — a
+    non-starter at 100 TB. This shape is two scans and one tiny exchange.
+    Boundaries are DISCRETE quantiles (actual data values) from the
+    Greenwald-Khanna sketch at accuracy 1e6 — exact at test sizes and
+    mirror of DuckDB's quantile_disc (parity pinned by
+    percentile_approx_disc) — so membership comparisons are pure integer
+    <=, with no interpolated-float boundary whose last ulp could differ
+    between engines. Ties at a boundary go to the lower bucket in both.
+    At 100 TB the sketch accuracy bounds memory per group; no sort ever
+    happens.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    vals = df.select(cents_col.alias("__x"))
+    bnds = vals.agg(
+        F.percentile_approx("__x", probs, 1000000).alias("__bnds")
+    )
+    bucketed = vals.crossJoin(F.broadcast(bnds)).select(
+        "__x",
+        F.size(
+            F.filter("__bnds", lambda b: b <= F.col("__x"))
+        ).cast("long").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("min_cents"),
+            F.max("__x").alias("max_cents"),
+            F.sum("__x").alias("sum_cents"),
+        )
+    )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_col: str,
+    x_col: Column,
+    y_cents_col: Column,
+) -> DataFrame:
+    """Per-group least-squares trend from exact integer moments:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept = (Sy - slope*Sx) / n
+
+    The five moments (n, Sx, Sy, Sxx, Sxy) are int64 sums — one map-side-
+    combined aggregate, order-independent, engine-exact; the slope is a
+    single IEEE division of two int64s and the intercept two more float
+    ops with fixed shape, so both quantize reproducibly to micro-units.
+    Groups with < 2 points or zero x-variance are dropped (undefined
+    trend). Int64 domain: n*|x|*|y| and n*x^2 must stay < 2^63 — center x
+    upstream (e.g. hours since the group's epoch) to keep moments small.
+
+    This is regr_slope/regr_intercept with a determinism contract: built
+    from explicit integer sums, never a float accumulator.
+    """
+    m = (
+        df.select(
+            F.col(group_col),
+            x_col.cast("long").alias("__x"),
+            y_cents_col.cast("long").alias("__y"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("sx"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        )
+    )
+    var_num = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    slope = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / var_num
+    intercept = (m["sy"] - slope * m["sx"]) / m["n"]
+    return (
+        m.where((F.col("n") >= 2) & (var_num > 0))
+        .select(
+            F.col(group_col),
+            F.col("n"),
+            F.round(slope * F.lit(1000000.0)).cast("long").alias(
+                "slope_micro"
+            ),
+            F.round(intercept).cast("long").alias("intercept_cents"),
+        )
+    )

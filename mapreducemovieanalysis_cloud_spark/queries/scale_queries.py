@@ -510,3 +510,71 @@ def arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrowops.embedding_norms_arrow(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+               FROM orders),
+    b AS (SELECT quantile_disc(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bnds FROM c),
+    k AS (SELECT x, CAST(len(list_filter(bnds, e -> e <= x)) AS BIGINT)
+                    AS bucket
+          FROM c CROSS JOIN b)
+    SELECT bucket, COUNT(*) AS n_rows, MIN(x) AS min_cents,
+           MAX(x) AS max_cents, CAST(SUM(x) AS BIGINT) AS sum_cents
+    FROM k GROUP BY 1
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) histogram of order totals: discrete sketch
+    quantile boundaries + a map-side membership count — no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return aggregates.equidepth_histogram(
+        orders, F.round(F.col("o_totalprice") * 100).cast("long"), n_buckets=10
+    )
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                      CAST(ROUND(value * 100) AS BIGINT) AS y
+               FROM events),
+    ctr AS (SELECT user_id, MIN(h) AS h0 FROM e GROUP BY 1),
+    xy AS (SELECT e.user_id, e.h - c.h0 AS x, e.y
+           FROM e JOIN ctr c ON e.user_id = c.user_id),
+    m AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM xy GROUP BY 1)
+    SELECT user_id, n,
+           CAST(ROUND(((n * sxy - sx * sy)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS slope_micro,
+           CAST(ROUND((sy - ((n * sxy - sx * sy)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+                      / n) AS BIGINT) AS intercept_cents
+    FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (cents per hour) by exact-integer-moment least
+    squares — regr_slope with a determinism contract. Hours are centered
+    on each user's first active hour to keep int64 moments small."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    ctr = e.groupBy("user_id").agg(F.min("h").alias("h0"))
+    xy = e.join(ctr, "user_id").select(
+        "user_id", (F.col("h") - F.col("h0")).alias("x"), "y"
+    )
+    return aggregates.grouped_linreg(
+        xy, group_col="user_id", x_col=F.col("x"), y_cents_col=F.col("y")
+    )

@@ -571,3 +571,44 @@ def test_arrow_norms_handles_empty_vectors(spark):
     out = {r.vec_id: r.l2_micro for r in
            arrowops.embedding_norms_arrow(emb).collect()}
     assert out == {1: 5_000_000, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram / grouped_linreg
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_histogram_buckets_balanced(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import aggregates as ag
+
+    # 0..999 cents, 10 buckets -> each bucket should hold ~100 rows and
+    # partition the value range without gaps or overlap
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    out = sorted(
+        ag.equidepth_histogram(df, F.col("v"), n_buckets=10).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in out] == list(range(10))
+    assert sum(r.n_rows for r in out) == 1000
+    for r in out:
+        assert 50 <= r.n_rows <= 150  # near-equi-depth on uniform data
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_cents < hi.min_cents  # disjoint, ordered ranges
+    assert sum(r.sum_cents for r in out) == 999 * 1000 // 2
+
+
+def test_grouped_linreg_exact_line(spark):
+    from mapreducemovieanalysis_cloud_spark.operators import aggregates as ag
+
+    # group 1: y = 250x + 1000 exactly; group 2: constant x -> dropped;
+    # group 3: single point -> dropped
+    rows = [(1, x, 250 * x + 1000) for x in range(5)]
+    rows += [(2, 7, 10), (2, 7, 20), (3, 0, 5)]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    out = {r.g: r for r in ag.grouped_linreg(
+        df, "g", F.col("x"), F.col("y")
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1].n == 5
+    assert out[1].slope_micro == 250_000_000
+    assert out[1].intercept_cents == 1000
