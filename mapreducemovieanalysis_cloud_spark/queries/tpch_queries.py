@@ -897,3 +897,325 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal_cents).alias("totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adapted TPC-H queries.  The driver schema has NO partsupp table (and no
+# p_mfgr / s_address columns), so Q2 / Q9 / Q11 / Q16 / Q20 cannot be posed
+# in their standard form.  Each adaptation below keeps the query's SIGNATURE
+# OPERATOR PATTERN — the thing a user of the reference engine would actually
+# exercise — and substitutes the distinct (l_partkey, l_suppkey) pairs of
+# lineitem for the missing partsupp bridge:
+#
+#   q2  : per-group extremum + join-back (min-cost supplier -> max-acctbal)
+#   q9  : 5-way fact/dim join with per-row profit arithmetic, nation x year
+#   q11 : group aggregate compared against a global scalar-subquery threshold
+#   q16 : anti-join exclusion + COUNT(DISTINCT) over a deduplicated bridge
+#   q20 : semi-join chain gated by an aggregated HAVING threshold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_best_supplier",
+    oracle="""
+    WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+             CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             n.n_name
+      FROM shipped sh
+      JOIN part p ON sh.l_partkey = p.p_partkey
+      JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size <= 10)
+    SELECT c.acctbal_cents, c.s_name, c.n_name, c.p_partkey, c.p_name,
+           c.s_suppkey
+    FROM cand c
+    JOIN (SELECT p_partkey, MAX(acctbal_cents) AS best_cents
+          FROM cand GROUP BY p_partkey) b
+      ON c.p_partkey = b.p_partkey AND c.acctbal_cents = b.best_cents
+    ORDER BY c.acctbal_cents DESC, c.p_partkey ASC, c.s_suppkey ASC
+    LIMIT 100
+    """,
+)
+def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (minimum-cost supplier; no partsupp table, so the
+    bridge is DISTINCT (l_partkey, l_suppkey) and "best" is max s_acctbal in
+    integer cents instead of min ps_supplycost).  Signature pattern kept:
+    per-group extremum then select the rows attaining it — expressed as a
+    window MAX over p_partkey, one shuffle, no second scan of the candidate
+    set (the standard correlated-subquery form would rejoin).  part is
+    filtered before the join (type/size push to the scan) and broadcast;
+    supplier/nation/region broadcast at any scale.  Ref pattern:
+    /root/reference/MovieRank.java:145-214 (join + extremum family)."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    # Broadcast the FILTERED part dim into the scan before deduplicating:
+    # the distinct then shuffles only the ~1/30th of bridge pairs that
+    # survive the type/size filter, not every (partkey, suppkey) in the
+    # fact table.  (Catalyst won't push a join below an Aggregate itself.)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        li
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            _cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("best_cents", F.max("acctbal_cents").over(w))
+        .where(F.col("acctbal_cents") == F.col("best_cents"))
+        .drop("best_cents")
+        .orderBy(
+            F.col("acctbal_cents").desc(),
+            F.col("p_partkey").asc(),
+            F.col("s_suppkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(ROUND({_DISC_PRICE} * 100) AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * l.l_quantity * 100)
+                           AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (product-type profit; ps_supplycost does not exist,
+    so per-line cost is p_retailprice * l_quantity — margin vs retail).
+    Signature pattern kept: five-way join fanning out from lineitem with
+    per-row profit arithmetic rolled up by nation x year.  Both profit terms
+    are rounded to integer cents PER ROW before the SUM, so the aggregate is
+    exact int64 and summation order can't flip the hash.  The p_name LIKE
+    filter lands on the part scan and the filtered part side broadcasts;
+    orders x lineitem is left to AQE (shuffle join on a cluster)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cost = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_cents(disc_price) - _cents(cost)).alias("profit_cents"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH natline AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS val_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3')
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(val_cents) AS BIGINT) AS value_cents
+    FROM natline
+    GROUP BY l_partkey
+    HAVING SUM(val_cents) * 500 > (SELECT SUM(val_cents) FROM natline)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (important stock identification; ps_availqty /
+    ps_supplycost do not exist, so "value" is shipped l_extendedprice from
+    NATION_3's suppliers).  Signature pattern kept: group aggregate filtered
+    against a GLOBAL scalar-subquery threshold (> total / 500).  The
+    comparison stays in exact int64 (group_cents * 500 > total_cents — no
+    division), the 1-row total broadcasts, and the nation-filtered supplier
+    dim broadcasts into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    natline = (
+        li.join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("l_partkey", _cents(F.col("l_extendedprice")).alias("val_cents"))
+    )
+    per_part = natline.groupBy("l_partkey").agg(
+        F.sum("val_cents").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cents") * 500 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    oracle="""
+    WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           COUNT(DISTINCT sh.l_suppkey) AS supplier_cnt
+    FROM shipped sh
+    JOIN part p ON sh.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND sh.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (parts/supplier relationship; partsupp replaced by
+    DISTINCT (l_partkey, l_suppkey), the "customer complaints" supplier
+    exclusion by s_acctbal < 0).  Signature pattern kept: NOT IN -> LEFT
+    ANTI join against the excluded suppliers, then COUNT(DISTINCT suppkey)
+    per part descriptor.  The brand/size filters push to the part scan; both
+    the filtered part dim and the tiny excluded-supplier set broadcast.
+    Unlike the SQL form's explicit DISTINCT bridge, the Spark plan skips the
+    pre-dedup entirely — COUNT(DISTINCT) is insensitive to duplicate
+    (partkey, suppkey) pairs, so the only shuffle is the distinct-count
+    aggregate itself (expanded to a two-level partial aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+    WITH redparts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    qty AS (
+      SELECT l.l_suppkey,
+             CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem l JOIN redparts rp ON l.l_partkey = rp.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) > 10000)
+    SELECT s.s_name, n.n_name, qty.qty_cents
+    FROM supplier s
+    JOIN qty ON s.s_suppkey = qty.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey IN
+          (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (potential part promotion; ps_availqty does not
+    exist, so the gate is "shipped more than 100 units of red parts in
+    1997").  Signature pattern kept: a semi-join chain — suppliers gated by
+    an aggregated HAVING threshold over a filtered part set, then narrowed
+    to one region.  redparts broadcasts into the lineitem scan (shipdate
+    pushes down), the HAVING output is tiny and broadcasts back onto
+    supplier, and the region gate is a broadcast semi through nation."""
+    rp = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(F.broadcast(rp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
+        .where(F.col("qty_cents") > 10000)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    )
+    return (
+        s.join(F.broadcast(qty), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name", "qty_cents")
+    )

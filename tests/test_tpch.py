@@ -26,6 +26,11 @@ TPCH = (
     "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_waiting",
     "tpch_q22_global_sales",
+    "tpch_q2_best_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_promotion_suppliers",
 )
 
 
