@@ -589,7 +589,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT doc_id, unnest(generate_series(0, 7)) AS d
              FROM documents)
     SELECT dims.doc_id AS media_id,
-           list(COALESCE(s, 0) ORDER BY dims.d) AS features
+           string_agg(COALESCE(s, 0), ',' ORDER BY dims.d) AS features_csv
     FROM dims LEFT JOIN sums ON sums.doc_id = dims.doc_id
                             AND sums.d = dims.d
     GROUP BY dims.doc_id
@@ -598,11 +598,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary -> fixed-dim feature vector via Arrow mapInPandas (the
     embedding-generation stage; exact-integer stub model, real batch
-    plumbing). Oracle reproduces the arithmetic over code points."""
+    plumbing). Oracle reproduces the arithmetic over code points.
+
+    The vector is emitted CSV-serialized (``features_csv``): the driver's
+    canonicalizer factorizes column values with pandas, and Python lists
+    are unhashable there (CORRECTNESS_r02 err), so array-typed result
+    columns can't be hash-compared. ``extract_features`` itself keeps the
+    typed ``array<bigint>`` API; only this driver-facing wrapper
+    serializes."""
     media = multimodal.documents_as_media(
         load_table(spark, sf_dir, "documents")
     )
-    return multimodal.extract_features(media, dim=8)
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        F.concat_ws(",", F.col("features").cast("array<string>")).alias(
+            "features_csv"
+        ),
+    )
 
 
 def _curate_oracle(min_quality: float = 0.75) -> str:

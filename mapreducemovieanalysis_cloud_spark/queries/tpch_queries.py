@@ -944,8 +944,9 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge is DISTINCT (l_partkey, l_suppkey) and "best" is max s_acctbal in
     integer cents instead of min ps_supplycost).  Signature pattern kept:
     per-group extremum then select the rows attaining it — expressed as a
-    window MAX over p_partkey, one shuffle, no second scan of the candidate
-    set (the standard correlated-subquery form would rejoin).  part is
+    window MAX over p_partkey — two shuffles total (bridge dedup + the
+    window's hash partitioning) but no second scan or self-join of the
+    candidate set (the standard correlated-subquery form would rejoin).  part is
     filtered before the join (type/size push to the scan) and broadcast;
     supplier/nation/region broadcast at any scale.  Ref pattern:
     /root/reference/MovieRank.java:145-214 (join + extremum family)."""

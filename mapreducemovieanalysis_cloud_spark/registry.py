@@ -35,75 +35,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The driver's correctness run covers a bounded prefix of the registry (50
-# entries in round 1), so registration order is a coverage decision, not a
-# style one: the hardest-to-oracle families (TPC-H joins/aggregates,
-# streaming windows, the approximate dedup/ANN/multimodal pipeline) come
-# first; the long relational tail — every entry of which already has a green
-# CORRECTNESS_r01 row — fills the remaining slots in original order.
+# The driver's correctness run covers a bounded prefix of the registry
+# (~50 entries), so registration order is a coverage decision, not a style
+# one.  Policy (round 3): first every query with NO green CORRECTNESS row
+# in any round — the r2c/late-r2 additions that registered past the window
+# (ADVICE r2) plus multimodal_features, whose r2 row errored on an
+# array-typed output column (now CSV-serialized); then new round-3
+# queries; then rotation slots re-checking entries whose only green row is
+# from round 1, oldest coverage first, so drift anywhere surfaces within
+# two rounds.
 _PRIORITY = [
-    # The driver's correctness run covers a bounded prefix (50 entries in
-    # r1), so every slot here goes to a query with NO green CORRECTNESS
-    # row yet. movie_rank / movie_rating / movie_rank_desc and the whole
-    # relational tail earned green rows in CORRECTNESS_r01 and their code
-    # is unchanged — they cede their slots to never-driver-checked
-    # queries (r2 additions bm25_rank, ann_pq at the end of the window).
-    # TPC-H (driver-unchecked in r1)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q22_global_sales",
-    # streaming (driver-unchecked in r1)
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "join_interval_events",
-    # pipeline operators driver-unchecked in r1
-    "curate_corpus",
-    "decontaminate_batch",
-    "dedup_minhash_lsh",
-    "fingerprint_winnow",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "dedup_embedding_cosine",
-    "multimodal_decode",
-    "multimodal_frames",
+    # --- no driver row yet: TPC-H adaptations registered past the r2
+    # window (ADVICE r2 medium) ---
+    "tpch_q2_best_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_promotion_suppliers",
+    # --- no driver row yet: round-2c scale-path operators ---
+    "join_bloom_prefilter",
+    "duplicate_passages",
+    "scd2_user_state",
+    "histogram_totalprice",
+    "triangle_counts_suppliers",
+    "resample_hourly_locf",
+    "funnel_conversion",
+    "outliers_value_z",
+    # --- no driver row yet: late round-2 additions ---
+    "negative_pairs",
+    "tokenize_to_ids",
+    "user_event_sequences",
+    "arrow_batch_norms",
+    "histogram_equidepth",
+    "user_value_trend",
+    # --- r2 row errored (unhashable array column); output now
+    # CSV-serialized — needs a green re-check ---
     "multimodal_features",
-    "kmeans_embeddings",
-    "dedup_clusters",
-    # curation batch (new in r2: repetition/balancing/PII/sessionization)
-    "repetition_stats",
-    "ngram_corpus_topk",
-    "token_doc_freq",
-    "per_source_cap",
-    "pii_scrub",
-    "sessionize_events",
-    "pagerank_trade_graph",
-    "join_range_binned",
-    "variant_extract",
-    "cms_heavy_hitters",
-    "profile_orders",
-    "sample_stratified_lang",
-    # round-2c additions with the most oracle-fragile surface: the BM25
-    # IEEE float tree and the three-stage iterative PQ index
-    "bm25_rank",
-    "ann_pq",
+    # --- round-3 additions get slots here (keep above the rotation) ---
+    # --- rotation: green only in CORRECTNESS_r01, code unchanged;
+    # re-checked oldest-first to bound staleness of every green row ---
+    "movie_rank",
+    "movie_rating",
+    "join_asof",
+    "join_theta_range",
+    "join_full_outer",
+    "window_trailing_range",
+    "window_topk_per_group",
+    "window_analytics",
+    "cube_qty",
+    "grouping_sets",
+    "percentile_approx_disc",
+    "approx_distinct",
+    "pivot_returnflag",
+    "unpivot_part",
+    "json_struct",
+    "subquery_correlated",
+    "pandas_udaf_median",
+    "udtf_char_bigrams",
+    "grouped_map_top2",
+    "salted_hot_key_agg",
+    "dedup_jaccard",
+    "dedup_exact",
+    "fingerprint_docs",
+    "quality_score",
+    "lang_id",
+    "explode_tokens",
+    "map_functions",
+    "array_functions",
+    "setops_intersect",
 ]
 
 
