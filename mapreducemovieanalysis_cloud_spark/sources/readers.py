@@ -46,11 +46,19 @@ def clear_table_cache() -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. It is read as raw nanos via the
-    ``nanosAsLong`` legacy flag and rebuilt as a microsecond TimestampType
-    with integer division (``div`` — float division would lose precision at
-    1.7e18 ns magnitudes), matching DuckDB's nanos→micros truncation.
+    ``events.ts`` has shipped in two physical shapes across driver data
+    generations, both normalized here to a microsecond ``TimestampType``
+    (LTZ) so every downstream ``unix_micros``/window expression sees one
+    type:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read as raw
+      nanos via the ``nanosAsLong`` legacy flag and rebuilt with integer
+      division (``div`` — float division would lose precision at 1.7e18 ns
+      magnitudes), matching DuckDB's nanos→micros truncation.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ; cast to LTZ, an identity on the stored micros under
+      the engine's UTC session timezone (session.py), and exactly how
+      DuckDB treats the same naive value.
     """
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
@@ -72,10 +80,13 @@ def _load_table_uncached(
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(raw.dtypes).get("ts") == "bigint":
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
             return raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        if ts_type == "timestamp_ntz":
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
