@@ -86,6 +86,35 @@ def srp_signature_arrow(qv: Column, planes: list[list[int]]) -> Column:
     return _sig(qv)
 
 
+def srp_signatures_multi_arrow(
+    qv: Column, planes_per_band: list[list[list[int]]]
+) -> Column:
+    """All bands' SRP signatures in ONE Arrow kernel: the per-band plane
+    matrices are stacked into a single (bands*k, dim) int64 matmul, then the
+    sign bits fold into one signature per band. Bit-identical to calling
+    ``srp_signature_arrow`` per band, but the corpus is read and quantized
+    once instead of once per band — the band loop moves from the scan axis
+    (bands × full-table passes) into the batch axis (one matmul)."""
+    bands = len(planes_per_band)
+    k = len(planes_per_band[0])
+    pm = np.asarray(
+        [p for band in planes_per_band for p in band], dtype="int64"
+    )  # (bands*k, dim)
+    weights = 1 << np.arange(k, dtype="int64")
+
+    @F.pandas_udf("array<long>")
+    def _sigs(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="object")
+        xa = np.stack(x.values).astype("int64")  # (n, dim)
+        dots = xa @ pm.T  # (n, bands*k), exact: |dot| << 2^63
+        bits = (dots > 0).astype("int64").reshape(len(xa), bands, k)
+        sigs = bits @ weights  # (n, bands)
+        return pd.Series(list(sigs))
+
+    return _sigs(qv)
+
+
 # DuckDB fragment computing the identical quantity, for oracle SQL. `a`/`b`
 # are DOUBLE[] (or FLOAT[]) list expressions.
 DUCKDB_QDOT = (

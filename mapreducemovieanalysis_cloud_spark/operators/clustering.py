@@ -74,9 +74,13 @@ def kmeans_assignments(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster) after ``iters`` Lloyd iterations from the first-k
-    seed centroids."""
+    seed centroids. ``keep_vec=True`` additionally returns the quantized
+    vector and its squared norm (qv, pn2) so downstream per-cluster work
+    (e.g. SemDeDup pairing) reuses the assignment lineage instead of
+    re-joining the corpus."""
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     ).withColumn("pn2", qnorm2(F.col("qv")))
@@ -92,6 +96,10 @@ def kmeans_assignments(
     for _ in range(iters):
         assigned = _assign(pts, cents)
         cents = _update(assigned)
+    if keep_vec:
+        return assigned.select(
+            "vec_id", "qv", "pn2", F.col("cell").alias("cluster")
+        )
     return assigned.select("vec_id", F.col("cell").alias("cluster"))
 
 

@@ -26,6 +26,7 @@ from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qnorm2,
     quantize,
     srp_signature_arrow,
+    srp_signatures_multi_arrow,
 )
 
 
@@ -253,21 +254,28 @@ def cosine_dup_pairs(
     target bucket size B as the corpus grows), while a pair at angle θ is
     caught with prob 1-(1-(1-θ/π)^planes)^bands — extra bands buy back the
     recall that extra planes cost. The fixed single-band 16-bucket scheme
-    this replaces went quadratic at 100× corpus size."""
-    candidate_sides = []
+    this replaces went quadratic at 100× corpus size.
+
+    All bands' signatures come from ONE corpus pass (stacked-matrix Arrow
+    kernel + posexplode), and the resulting (id, band, bucket) table — 3
+    longs/row, ~24 B·bands per vector regardless of embedding dim — is
+    persisted to disk so the bucket self-join reads it twice without
+    replaying the scan+quantize lineage (at 1B vectors × 4 bands that's
+    ~100 GB spread across the cluster's local disks, vs re-reading and
+    re-projecting the full embedding corpus twice)."""
+    from pyspark.storagelevel import StorageLevel
+
     base = _with_qv(corpus, id_col, vec_col, "id_a")
-    for band in range(num_bands):
-        planes = srp_planes(num_planes, dim, seed=f"srp:{band}")
-        candidate_sides.append(
-            base.select(
-                "id_a",
-                F.lit(band).alias("band"),
-                srp_signature_arrow(F.col("qv_id_a"), planes).alias("bucket"),
-            )
-        )
-    banded = candidate_sides[0]
-    for side in candidate_sides[1:]:
-        banded = banded.union(side)
+    all_planes = [
+        srp_planes(num_planes, dim, seed=f"srp:{band}")
+        for band in range(num_bands)
+    ]
+    banded = base.select(
+        "id_a",
+        F.posexplode(
+            srp_signatures_multi_arrow(F.col("qv_id_a"), all_planes)
+        ).alias("band", "bucket"),
+    ).persist(StorageLevel.DISK_ONLY)
     cands = (
         banded.join(
             banded.select(

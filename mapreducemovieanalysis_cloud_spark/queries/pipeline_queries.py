@@ -479,7 +479,13 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 2, dim: int = 64, final_select: str | None = None
+) -> str:
+    """DuckDB CTE chain replicating ``operators.clustering.
+    kmeans_assignments`` bit-for-bit. ``final_select`` (over the last
+    assignment CTE ``a{iters}``: vec_id, qv, pn2, cell) lets other oracles
+    (SemDeDup) compose on the clustered corpus."""
     def dist2(p: str, c: str, pn2: str, cn2: str) -> str:
         return f"{pn2} - 2 * {_dot(p, c)} + {cn2}"
 
@@ -514,10 +520,8 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         if it < iters:
             parts.append(update(f"a{it}", f"c{it}"))
             cents = f"c{it}"
-    return (
-        ",".join(parts)
-        + f"\n    SELECT vec_id, cell AS cluster FROM a{iters}"
-    )
+    tail = final_select or f"SELECT vec_id, cell AS cluster FROM a{iters}"
+    return ",".join(parts) + "\n    " + tail
 
 
 @query("kmeans_embeddings", oracle=_kmeans_oracle())

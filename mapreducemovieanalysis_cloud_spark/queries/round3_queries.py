@@ -1,0 +1,469 @@
+"""Round-3 widening: OLAP product-analytics (cohort retention, robust
+outliers), lakehouse table maintenance (MERGE upsert kernel), and four more
+training-data curation stages (fixed-weight quality classifier inference,
+PMI collocation mining, SemDeDup semantic dedup, char-trigram in-domain LM
+scoring).
+
+Every query keeps the engine's exact-arithmetic discipline: money in integer
+cents, medians in exact half/quarter units, classifier logits and LM scores
+in integer micro/milli units, cosines as one IEEE division of exact int64
+dot products — so the DuckDB oracle is bit-identical, never
+tolerance-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+    _COSINE,
+    _kmeans_oracle,
+)
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+# ---- OLAP product analytics over the events stream table -------------------
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY user_id)
+    SELECT CAST(date_trunc('week', f.first_d) AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.first_d, e.d) // 7 AS BIGINT)
+             AS offset_week,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM ev e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; activity counted per (cohort, week-offset) cell.
+
+    Two shuffles on user_id (first-event agg + the join back — co-located,
+    AQE plans the join on the agg's partitioning) then one small agg on the
+    (cohort, offset) key whose cardinality is O(weeks²), not O(users):
+    map-side partials collapse the fact stream before the exchange. The
+    distinct-user count shuffles (cohort, offset, user) partials — bounded
+    by active (user, week) pairs, the same envelope every retention system
+    carries. Ref pattern: /root/reference/MovieRating.java:81-105 (grouped
+    count family)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "first_d"), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            F.expr("CAST(datediff(d, first_d) div 7 AS BIGINT)")
+            .alias("offset_week"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_week")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "outliers_value_mad",
+    oracle="""
+    WITH ev AS (SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+                FROM events),
+    med AS (SELECT event_type, median(value_cents) AS med FROM ev
+            GROUP BY event_type),
+    dev AS (SELECT e.event_id, e.event_type, e.value_cents,
+                   CAST(ABS(2 * e.value_cents - CAST(2 * m.med AS BIGINT))
+                        AS BIGINT) AS dev_x2
+            FROM ev e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, CAST(2 * median(dev_x2) AS BIGINT) AS mad_x4
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.event_id, d.value_cents, d.dev_x2, m.mad_x4
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE 2 * d.dev_x2 > 3 * m.mad_x4
+    """,
+)
+def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: |value - median| > 3 * MAD (median
+    absolute deviation) — the outlier gate that, unlike the z-score cousin
+    (``outliers_value_z``), a single wild point cannot silently widen.
+
+    Exactness: cents are int64; an even-count median is the mean of two
+    ints, so doubling it (dev_x2, mad_x4 = 2·MAD·2) keeps every quantity an
+    exact integer and the 3-MAD test becomes pure int64
+    (2·dev_x2 > 3·mad_x4). Both engines' interpolated 0.5-quantile computes
+    lo + (hi-lo)·0.5, exact in IEEE for ints, so the hashes match bitwise.
+
+    Scale: two tiny per-group aggregates (exact median shuffles the group's
+    values once — at 100 TB swap ``percentile`` for ``approx_percentile``
+    with cents-scale accuracy 1, same downstream algebra) broadcast back
+    over one re-scan of the fact; no window over the full stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value_cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        F.expr("CAST(ABS(2 * value_cents - CAST(2 * med AS BIGINT)) AS BIGINT)")
+        .alias("dev_x2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(dev_x2, 0.5) AS BIGINT)").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.expr("2 * dev_x2 > 3 * mad_x4"))
+        .select("event_type", "event_id", "value_cents", "dev_x2", "mad_x4")
+    )
+
+
+# ---- lakehouse table maintenance: the MERGE INTO kernel --------------------
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS price_cents
+               FROM orders),
+    src AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, price_cents + 100
+               AS price_cents
+      FROM t WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', CAST(0 AS BIGINT)
+      FROM t WHERE o_orderkey % 97 = 0)
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(s.price_cents, t.price_cents) AS price_cents,
+           CASE WHEN s.o_orderkey IS NULL THEN 'keep'
+                WHEN t.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS merge_action
+    FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO kernel: target snapshot ⟕⟖ CDC batch (updates for
+    orderkey%5, inserts keyed past the target range for orderkey%97) →
+    matched rows take the source, unmatched keep the target, source-only
+    rows insert — the full-outer-join + coalesce plan every lakehouse MERGE
+    lowers to.
+
+    Scale: at 100 TB the join is sort-merge on the table key with AQE; a
+    real table format prunes it to only the files whose key ranges the
+    (typically tiny) batch touches — the ``write_zordered``/``write_sorted``
+    layouts in this repo provide exactly those disjoint row-group stats, so
+    the two operators compose into partition-pruned upsert. Ref pattern:
+    /root/reference/MovieRank.java:55-74 (keyed join family)."""
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    upd = t.where("o_orderkey % 5 = 0").select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price_cents") + 100).alias("price_cents"),
+    )
+    ins = t.where("o_orderkey % 97 = 0").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(0).cast("long").alias("price_cents"),
+    )
+    src = upd.unionByName(ins)
+    tt, ss = t.alias("t"), src.alias("s")
+    return tt.join(ss, "o_orderkey", "full_outer").select(
+        F.col("o_orderkey"),
+        F.coalesce("s.o_orderstatus", "t.o_orderstatus").alias(
+            "o_orderstatus"
+        ),
+        F.coalesce("s.price_cents", "t.price_cents").alias("price_cents"),
+        F.when(F.col("s.o_orderstatus").isNull(), "keep")
+        .when(F.col("t.o_orderstatus").isNull(), "insert")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+# ---- training-data curation: classifier inference, collocations, ----------
+# ---- semantic dedup, LM scoring --------------------------------------------
+
+
+@query(
+    "quality_classifier",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS n_distinct,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS BIGINT) AS n_alpha
+      FROM documents)
+    SELECT doc_id,
+           -300 + 2 * least(n_tok, 200)
+                + (100 * n_distinct // greatest(n_tok, 1))
+                + (100 * n_alpha // greatest(n_chars, 1)) AS logit_centi,
+           CAST((-300 + 2 * least(n_tok, 200)
+                + (100 * n_distinct // greatest(n_tok, 1))
+                + (100 * n_alpha // greatest(n_chars, 1))) > 0 AS INT)
+             AS keep_label
+    FROM f
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier inference (the fastText-style
+    keep/drop gate of a curation pipeline): integer feature extraction →
+    integer-weight dot product → thresholded label, entirely JVM-side
+    expressions in one scan, zero shuffles.
+
+    The logit stays in exact centi-units (int64) so inference is
+    bit-reproducible across engines — the model-update path is a new weight
+    vector, not new code. At 100 TB this is the cheapest pipeline stage:
+    narrow projection, embarrassingly parallel, no exchange."""
+    toks = r"split(trim(text), '\\s+')"
+    logit = (
+        f"-300 + 2 * least(size({toks}), 200)"
+        f" + (100 * size(array_distinct({toks})) div"
+        f"    greatest(size({toks}), 1))"
+        " + (100 * length(regexp_replace(text, '[^a-zA-Z]', '')) div"
+        "    greatest(length(text), 1))"
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"CAST({logit} AS BIGINT)").alias("logit_centi"),
+        F.expr(f"CAST(({logit}) > 0 AS INT)").alias("keep_label"),
+    )
+
+
+@query(
+    "bigram_pmi",
+    oracle=r"""
+    WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE length(trim(text)) > 0),
+    uni AS (SELECT u.x, COUNT(*) AS cx
+            FROM toks, unnest(t) AS u(x) GROUP BY u.x),
+    tot AS (SELECT CAST(SUM(cx) AS BIGINT) AS tt FROM uni),
+    big AS (SELECT t[i] AS x, t[i+1] AS y, COUNT(*) AS cxy
+            FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+            WHERE len(t) >= 2
+            GROUP BY 1, 2),
+    scored AS (
+      SELECT b.x, b.y, b.cxy,
+             CAST((b.cxy * tot.tt * 1000) // (ux.cx * uy.cx) AS BIGINT)
+               AS pmi_ratio_milli
+      FROM big b JOIN uni ux ON b.x = ux.x
+                 JOIN uni uy ON b.y = uy.x
+                 CROSS JOIN tot
+      WHERE b.cxy >= 5)
+    SELECT x, y, cxy, pmi_ratio_milli FROM scored
+    ORDER BY pmi_ratio_milli DESC, x ASC, y ASC
+    LIMIT 50
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation mining: top-50 adjacent token pairs by the
+    association ratio p(xy)/(p(x)p(y)) = cxy·T/(cx·cy), kept in exact
+    integer milli-units (the log in true PMI is monotone in this ratio, so
+    the ranking is identical and stays engine-exact).
+
+    Shape at scale: one token explode feeding two grouped counts (unigram,
+    bigram) with map-side partials; the ≥5-count support filter prunes the
+    bigram tail BEFORE the count-join; unigram counts join on the token key
+    (AQE broadcasts when the vocab fits, shuffle-joins otherwise);
+    TakeOrderedAndProject for the top-k. Overflow envelope: cxy·T·1000 <
+    2⁶³ holds to ~3×10⁹ tokens; past that, promote the ratio to
+    DECIMAL(38,0) or rescale per-shard — documented knob, not a silent
+    cap."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim("text"), r"\s+").alias("t"))
+    )
+    tok = toks.select(F.explode("t").alias("x"))
+    uni = tok.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    tot = uni.agg(F.sum("cx").alias("tt"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS x, t[i+1] AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= 5)
+    )
+    uy = uni.select(F.col("x").alias("y"), F.col("cx").alias("cy"))
+    return (
+        big.join(uni, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.expr("(cxy * tt * 1000) div (cx * cy)").alias(
+                "pmi_ratio_milli"
+            ),
+        )
+        .orderBy(
+            F.col("pmi_ratio_milli").desc(), F.col("x").asc(), F.col("y").asc()
+        )
+        .limit(50)
+    )
+
+
+_SEMDEDUP_FINAL = f"""
+    SELECT id_b AS vec_id, MIN(id_a) AS keeper,
+           COUNT(*) AS n_better
+    FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qv AS qa, b.qv AS qb
+          FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    WHERE {_COSINE} >= 0.4
+    GROUP BY id_b"""
+
+
+@query(
+    "semantic_dedup",
+    oracle=_kmeans_oracle(k=8, iters=2, final_select=_SEMDEDUP_FINAL),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
+    compare cosines only WITHIN each cluster, report every vector that has
+    a more-senior (smaller-id) near-duplicate — the keeper — plus how many
+    seniors beat it. Downstream curation drops the reported rows.
+
+    Scale posture: clustering bounds the pair space to Σ n_c² instead of
+    n²; k grows with the corpus (k ≈ n/target_cluster_size) so cluster
+    size — and the per-cluster self-join — stays constant as data grows.
+    The assignment lineage carries (qv, pn2) through (``keep_vec=True``) so
+    pairing re-uses one corpus pass: one broadcast-assign per Lloyd
+    iteration, one shuffle on cluster id for the self-join (a giant cluster
+    is the skew risk — the salting kernel in operators.skew applies), one
+    grouped agg. Cosines are one IEEE division over exact int64 dots, so
+    the DuckDB oracle (k-means CTEs + pair join) matches bit-for-bit."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from mapreducemovieanalysis_cloud_spark.functions.vector import qdot_arrow
+
+    a = kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, keep_vec=True
+    ).withColumn("nrm", F.sqrt(F.col("pn2").cast("double")))
+    x = a.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y = a.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = qdot_arrow(F.col("qv_a"), F.col("qv_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        x.join(y, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine >= 0.4)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.min("id_a").alias("keeper"),
+            F.count(F.lit(1)).alias("n_better"),
+        )
+    )
+
+
+@query(
+    "trigram_lm_score",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS tx FROM documents
+               WHERE length(text) >= 3),
+    tri AS (SELECT doc_id, substr(tx, i, 3) AS tri
+            FROM d, unnest(generate_series(1, length(tx)-2)) AS g(i)),
+    c3 AS (SELECT tri, COUNT(*) AS cnt3 FROM tri GROUP BY tri),
+    c2 AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS cnt2
+           FROM tri GROUP BY 1),
+    scored AS (SELECT t.doc_id,
+                      (c3.cnt3 * 1000000) // c2.cnt2 AS p_micro
+               FROM tri t
+               JOIN c3 ON t.tri = c3.tri
+               JOIN c2 ON substr(t.tri, 1, 2) = c2.bi)
+    SELECT doc_id, COUNT(*) AS n_tri,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-model scoring (the CCNet-style in-domain
+    filter): train trigram/bigram-prefix counts on the corpus itself in one
+    explode, then score each document by its mean conditional probability
+    p(c₃|c₁c₂) = cnt₃/cnt₂, kept in exact integer micro-units (monotone in
+    the true mean probability, so quality ranking is identical and
+    bit-exact).
+
+    Scale: the count tables are bounded by the character-set's trigram
+    space, not the corpus — they broadcast at any data size (AQE converts
+    the joins; no hint needed). Three grouped counts with map-side partials
+    + one per-doc sum: the position explode is the only wide row stream and
+    it never carries the document text, just 3-byte grams."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select("doc_id", F.lower(F.col("text")).alias("tx"))
+    )
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tx)-2),"
+                " i -> substring(tx, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    c3 = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt3"))
+    c2 = (
+        tri.select(F.substring("tri", 1, 2).alias("bi"))
+        .groupBy("bi")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    return (
+        tri.withColumn("bi", F.substring("tri", 1, 2))
+        .join(c3, "tri")
+        .join(c2, "bi")
+        .select("doc_id", F.expr("(cnt3 * 1000000) div cnt2").alias("p_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.expr("CAST(SUM(p_micro) div COUNT(1) AS BIGINT)").alias(
+                "lm_score_micro"
+            ),
+        )
+    )

@@ -72,6 +72,13 @@ _PRIORITY = [
     # CSV-serialized — needs a green re-check ---
     "multimodal_features",
     # --- round-3 additions get slots here (keep above the rotation) ---
+    "cohort_retention",
+    "outliers_value_mad",
+    "merge_upsert_orders",
+    "quality_classifier",
+    "bigram_pmi",
+    "semantic_dedup",
+    "trigram_lm_score",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",
@@ -142,6 +149,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round3_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

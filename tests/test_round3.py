@@ -1,0 +1,155 @@
+"""Oracle-diffed tests for the round-3 queries (cohort retention, MAD
+outliers, MERGE upsert, quality-classifier inference, PMI collocations,
+SemDeDup, trigram LM scoring) plus invariants the oracle alone can't pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import registry
+from tests.oracle import assert_matches_oracle
+
+ROUND3 = (
+    "cohort_retention",
+    "outliers_value_mad",
+    "merge_upsert_orders",
+    "quality_classifier",
+    "bigram_pmi",
+    "semantic_dedup",
+    "trigram_lm_score",
+)
+
+
+@pytest.mark.parametrize("name", ROUND3)
+def test_matches_oracle_small(spark, sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+
+
+@pytest.mark.parametrize("name", ROUND3)
+def test_matches_oracle_sf001(spark, oracle_sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_cohort_offset_zero_covers_every_user(spark, oracle_sf_dir):
+    """Every user is active in their own cohort week at offset 0, so the
+    offset-0 user sum equals the total distinct-user count."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    ret = registry.queries()["cohort_retention"](spark, oracle_sf_dir)
+    got = (
+        ret.where(F.col("offset_week") == 0)
+        .agg(F.sum("n_users"))
+        .collect()[0][0]
+    )
+    want = (
+        load_table(spark, oracle_sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_mad_robust_where_zscore_is_not(spark):
+    """A single extreme point inflates the stddev enough to hide a second,
+    milder outlier — the z-gate misses it, the MAD gate does not."""
+    rows = [(i, "t", 100.0) for i in range(20)]
+    rows.append((100, "t", 100000.0))  # wild point
+    rows.append((101, "t", 500.0))  # mild outlier
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    ev = df.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value*100) AS BIGINT)").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "dev_x2", F.expr("CAST(ABS(2*vc - CAST(2*med AS BIGINT)) AS BIGINT)")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(2*percentile(dev_x2, 0.5) AS BIGINT)").alias("mad_x4")
+    )
+    flagged = {
+        r.event_id
+        for r in dev.join(mad, "event_type")
+        .where("2*dev_x2 > 3*mad_x4")
+        .collect()
+    }
+    assert flagged == {100, 101}  # MAD catches both
+    stats = ev.agg(
+        F.avg("vc").alias("mu"), F.stddev_pop("vc").alias("sd")
+    ).collect()[0]
+    z_flagged = {
+        r.event_id
+        for r in ev.where(
+            F.abs(F.col("vc") - F.lit(stats.mu)) > 2 * F.lit(stats.sd)
+        ).collect()
+    }
+    assert 101 not in z_flagged  # the wild point widened sigma past it
+
+
+def test_merge_actions_partition_the_output(spark, oracle_sf_dir):
+    """keep/update/insert counts reconcile with the source predicates and
+    the merged row count equals |target| + |inserts|."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    t = load_table(spark, oracle_sf_dir, "orders")
+    n_target = t.count()
+    n_upd = t.where("o_orderkey % 5 = 0").count()
+    n_ins = t.where("o_orderkey % 97 = 0").count()
+    merged = registry.queries()["merge_upsert_orders"](spark, oracle_sf_dir)
+    by_action = {
+        r.merge_action: r.n
+        for r in merged.groupBy("merge_action").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_action.get("update", 0) == n_upd
+    assert by_action.get("insert", 0) == n_ins
+    assert by_action.get("keep", 0) == n_target - n_upd
+    assert merged.count() == n_target + n_ins
+
+
+def test_semantic_dedup_pairs_respect_clusters(spark, oracle_sf_dir):
+    """Every reported keeper lives in the same k-means cluster as its
+    duplicate, and keeper < vec_id (seniority invariant)."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    dups = registry.queries()["semantic_dedup"](spark, oracle_sf_dir)
+    asg = kmeans_assignments(
+        load_table(spark, oracle_sf_dir, "embeddings"), k=8, iters=2
+    )
+    a = asg.select(F.col("vec_id"), F.col("cluster").alias("c_dup"))
+    b = asg.select(
+        F.col("vec_id").alias("keeper"), F.col("cluster").alias("c_keep")
+    )
+    joined = dups.join(a, "vec_id").join(b, "keeper")
+    assert joined.where("c_dup != c_keep").count() == 0
+    assert dups.where("keeper >= vec_id").count() == 0
+
+
+def test_trigram_lm_score_bounds(spark, oracle_sf_dir):
+    """Mean conditional probability lies in (0, 1]: micro-score in
+    (0, 1_000_000], and n_tri = length-2 summed over scored docs."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    scored = registry.queries()["trigram_lm_score"](spark, oracle_sf_dir)
+    bad = scored.where(
+        (F.col("lm_score_micro") <= 0) | (F.col("lm_score_micro") > 1000000)
+    )
+    assert bad.count() == 0
+    want = (
+        load_table(spark, oracle_sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .agg(F.sum(F.length("text") - 2))
+        .collect()[0][0]
+    )
+    assert scored.agg(F.sum("n_tri")).collect()[0][0] == want
