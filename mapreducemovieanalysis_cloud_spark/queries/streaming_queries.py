@@ -116,3 +116,26 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.where(F.col("event_type") == "click"),
         interval="30 minutes",
     )
+
+
+@query(
+    "stream_first_seen",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the first-seen stateful dedup emitter
+    (``streaming.tws``): min event time per (user, event_type). The
+    streaming implementations (transformWithState where protobuf exists,
+    applyInPandasWithState otherwise) emit each pair exactly once at its
+    first-seen micro-batch; with in-order arrival the converged output
+    equals this grouped MIN, which is what the convergence tests assert."""
+    from mapreducemovieanalysis_cloud_spark.streaming.tws import (
+        first_seen_batch,
+    )
+
+    return first_seen_batch(load_table(spark, sf_dir, "events"))

@@ -79,6 +79,7 @@ _PRIORITY = [
     "bigram_pmi",
     "semantic_dedup",
     "trigram_lm_score",
+    "stream_first_seen",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

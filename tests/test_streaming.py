@@ -461,3 +461,67 @@ def test_streaming_incremental_dedup_foreach_batch(spark, sf_dir, tmp_path):
     assert surv.count() == n_texts
     # nothing from the re-sent range survived
     assert surv.where(F.col("doc_id") >= 500000).count() == 0
+
+
+def test_first_seen_apws_emits_each_type_once(spark, sf_dir, tmp_path):
+    """The first-seen stateful emitter yields every (user, event_type)
+    exactly once across micro-batches, at its first-seen batch."""
+    from mapreducemovieanalysis_cloud_spark.streaming.tws import (
+        first_seen_types_apws,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "fs"
+    half1 = events.where(F.col("event_type") == "click")
+    half2 = events.where(F.col("event_type") != "click")
+    half1.write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    out = first_seen_types_apws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_after_b1 = spark.sql(
+            "SELECT COUNT(*) n FROM first_seen_test"
+        ).collect()[0].n
+        half2.write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM first_seen_test GROUP BY 1, 2"
+        ).collect()
+    finally:
+        q.stop()
+    # exactly-once per pair, and batch 2 only added pairs unseen in batch 1
+    assert all(r.n == 1 for r in emitted)
+    want_pairs = {
+        (r.user_id, r.event_type)
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert {(r.user_id, r.event_type) for r in emitted} == want_pairs
+    assert n_after_b1 < len(want_pairs)  # second batch contributed
+
+
+def test_first_seen_tws_batch_mode(spark, sf_dir):
+    """transformWithState (gated: needs protobuf) in BATCH mode equals the
+    grouped-MIN oracle semantics."""
+    from mapreducemovieanalysis_cloud_spark.streaming import tws
+
+    if not tws.TWS_AVAILABLE:
+        pytest.skip("google.protobuf not available in this environment")
+    _ = spark.streams.active  # force StateStoreCoordinator registration
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r.user_id, r.event_type): r.first_ts
+        for r in tws.first_seen_types(events).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.first_ts
+        for r in tws.first_seen_batch(events).collect()
+    }
+    assert got == want
