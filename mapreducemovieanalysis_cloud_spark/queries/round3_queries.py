@@ -371,9 +371,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreducemovieanalysis_cloud_spark.functions.vector import qdot_arrow
 
-    a = kmeans_assignments(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, keep_vec=True
-    ).withColumn("nrm", F.sqrt(F.col("pn2").cast("double")))
+    # localCheckpoint truncates the iterative Lloyd lineage before the
+    # self-join doubles it (the PageRank/triangle pattern): without it the
+    # pair join replays every assign/update round twice — 11 exchanges and
+    # 6 corpus scans in the audit; with it, the join reads the materialized
+    # assignment (id, qv, pn2, cluster) twice.
+    a = (
+        kmeans_assignments(
+            load_table(spark, sf_dir, "embeddings"),
+            k=8,
+            iters=2,
+            keep_vec=True,
+        )
+        .withColumn("nrm", F.sqrt(F.col("pn2").cast("double")))
+        .localCheckpoint()
+    )
     x = a.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
