@@ -166,3 +166,83 @@ def ann_pq_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the production composed index — IVF coarse cells bound WHICH
+    vectors a query scores (nprobe/n_centroids of the corpus), PQ codes
+    bound WHAT each scoring costs (m table lookups, not a d-dim dot).
+
+    Faiss's IVFPQ layout expressed relationally: coarse assignment is the
+    deterministic argmax-integer-dot kernel shared with ``ann_ivf_topk``;
+    candidates = (probed cell ⋈ cell-partitioned codes); ADC joins the
+    broadcast per-query distance table on (query, subspace, code) and
+    sum-folds the m terms. At 100 TB the codes table is stored partitioned
+    BY CELL (`ivf_write_index` pattern), so a probe reads nprobe partitions
+    of an m-bytes-per-vector table — both reductions compound. (No residual
+    encoding: codebooks are trained on raw subvectors, documented drift
+    from Faiss which trains on cell residuals; exactness of the oracle
+    comes first here, recall tuning is nprobe/k/m.)
+    """
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        _ivf_cells,
+        _with_qv,
+    )
+
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), quantize(vec_col).alias("qv_cent")
+    )
+    cassign = _ivf_cells(
+        _with_qv(corpus, id_col, vec_col, "neighbor_id"), cents,
+        "neighbor_id", 1,
+    ).select("neighbor_id", "cell")
+    qassign = _ivf_cells(
+        _with_qv(queries, query_id_col, vec_col, query_id_col), cents,
+        query_id_col, nprobe,
+    ).select(query_id_col, "cell")
+    cand = cassign.join(F.broadcast(qassign), "cell").select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+
+    codes, pcents = pq_codes(corpus, m, k, iters, dim, id_col, vec_col)
+    qsub = _subspace_points(
+        queries, m, dim // m, query_id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    dtab = qsub.join(F.broadcast(pcents), "j").select(
+        "query_id",
+        "j",
+        F.col("cell").alias("code"),
+        (
+            F.col("sn2")
+            - 2 * qdot_arrow(F.col("sv"), F.col("cv"))
+            + F.col("cn2")
+        ).alias("d2q"),
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

@@ -170,10 +170,16 @@ def _pq_oracle(
     dim: int = 64,
     n_queries: int = 5,
     topk: int = 10,
+    tail_sql: str | None = None,
 ) -> str:
     """Unrolled-CTE mirror of operators.pq (same schedule as the
     kmeans_embeddings oracle: assign/update per iteration, codes from the
-    final assign, distance table against the centroids that assign used)."""
+    final assign, distance table against the centroids that assign used).
+
+    ``tail_sql`` replaces the default full-corpus ADC + top-k tail; it sees
+    the CTEs ``base`` (vec_id, qv), ``codes`` (vec_id, j, code), ``qsub``
+    (query_id, j, sv, sn2) and ``dtab`` (query_id, j, code, d2q) — the
+    IVF-PQ oracle composes its cell-candidate CTEs on top of these."""
     subdim = dim // m
 
     def assign(cents: str, out: str) -> str:
@@ -219,17 +225,16 @@ def _pq_oracle(
              WHERE vec_id < {n_queries}),
     dtab AS (SELECT q.query_id, q.j, c.cell AS code,
                     q.sn2 - 2 * {_dot('q.sv', 'c.cv')} + c.cn2 AS d2q
-             FROM qsub q JOIN {cents} c ON q.j = c.j),
-    adc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+             FROM qsub q JOIN {cents} c ON q.j = c.j)"""
+    )
+    if tail_sql is None:
+        tail_sql = f"""
+    ,adc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
                    CAST(SUM(d.d2q) AS BIGINT) AS adc_d2
             FROM codes co
             JOIN dtab d ON co.j = d.j AND co.code = d.code
             WHERE co.vec_id <> d.query_id
-            GROUP BY 1, 2)"""
-    )
-    return (
-        ",".join(parts)
-        + f"""
+            GROUP BY 1, 2)
     SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank FROM (
       SELECT query_id, neighbor_id, adc_d2,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -237,7 +242,7 @@ def _pq_oracle(
       FROM adc)
     WHERE rank <= {topk}
     """
-    )
+    return ",".join(parts) + tail_sql
 
 
 @query("ann_pq", oracle=_pq_oracle())
@@ -577,4 +582,59 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aggregates.grouped_linreg(
         xy, group_col="user_id", x_col=F.col("x"), y_cents_col=F.col("y")
+    )
+
+
+def _ivf_pq_tail(
+    n_centroids: int = 8, nprobe: int = 2, n_queries: int = 5, topk: int = 10
+) -> str:
+    """Cell-candidate CTEs over _pq_oracle's base/codes/qsub/dtab: coarse
+    argmax-dot assignment (desc, centroid-id tie-break — mirrors
+    similarity._ivf_cells), query probes nprobe cells, ADC restricted to
+    candidates."""
+    return f"""
+    ,ccents AS (SELECT vec_id AS cent_id, qv AS cv FROM base
+                WHERE vec_id < {n_centroids}),
+    cassign AS (SELECT vec_id, cent_id AS cell FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_dot('b.qv', 'c.cv')} DESC, c.cent_id ASC) AS rn
+        FROM base b, ccents c) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+        SELECT b.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY {_dot('b.qv', 'c.cv')} DESC, c.cent_id ASC) AS rn
+        FROM base b, ccents c WHERE b.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    cand AS (SELECT q.query_id, a.vec_id
+             FROM cassign a JOIN qprobe q ON a.cell = q.cell),
+    adc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+                   CAST(SUM(d.d2q) AS BIGINT) AS adc_d2
+            FROM codes co
+            JOIN cand x ON co.vec_id = x.vec_id
+            JOIN dtab d ON co.j = d.j AND co.code = d.code
+                       AND d.query_id = x.query_id
+            WHERE co.vec_id <> d.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+      FROM adc)
+    WHERE rank <= {topk}
+    """
+
+
+@query("ann_ivf_pq", oracle=_pq_oracle(tail_sql=_ivf_pq_tail()))
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (Faiss-IVFPQ shape, relational): coarse cells
+    bound WHICH vectors each query scores (nprobe=2 of 8 cells), PQ codes
+    bound WHAT each scoring costs (m=4 lookups vs a 64-dim dot) — the two
+    reductions compound into the production billion-vector read path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.ann_ivf_pq_topk(
+        emb, queries, topk=10, n_centroids=8, nprobe=2, m=4, k=16, iters=2,
+        dim=64,
     )

@@ -80,6 +80,7 @@ _PRIORITY = [
     "semantic_dedup",
     "trigram_lm_score",
     "stream_first_seen",
+    "ann_ivf_pq",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

@@ -612,3 +612,78 @@ def test_grouped_linreg_exact_line(spark):
     assert out[1].n == 5
     assert out[1].slope_micro == 250_000_000
     assert out[1].intercept_cents == 1000
+
+
+def test_ivf_pq_matches_oracle(spark, sf_dir, oracle_sf_dir):
+    from mapreducemovieanalysis_cloud_spark import registry
+    from tests.oracle import assert_matches_oracle
+
+    q = registry.queries()["ann_ivf_pq"]
+    sql = registry.oracle_sql()["ann_ivf_pq"]
+    for d in (sf_dir, oracle_sf_dir):
+        assert_matches_oracle(q(spark, d), sql, d)
+
+
+def test_ivf_pq_recovers_cluster_structure(spark):
+    """Two well-separated clusters: the coarse IVF stage must route each
+    query into its own cluster's cells, and PQ ADC must rank within it —
+    neighbors of a cluster-A query all come from cluster A."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.operators import pq as pqm
+
+    rng = random.Random(7)
+    a = [[1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    b = [[-1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    emb = _mk_emb(spark, a + b)  # ids 0..19 cluster A, 20..39 cluster B
+    queries = emb.where("vec_id IN (2, 25)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = pqm.ann_ivf_pq_topk(
+        emb, queries, topk=5, n_centroids=4, nprobe=2, m=2, k=4, iters=2,
+        dim=8,
+    ).collect()
+    assert {r.query_id for r in out} == {2, 25}
+    for r in out:
+        if r.query_id == 2:
+            assert r.neighbor_id < 20, r
+        else:
+            assert r.neighbor_id >= 20, r
+
+
+def test_ivf_pq_scans_fewer_candidates_than_pq(spark, sf_dir):
+    """The IVF stage must strictly shrink the ADC candidate set (that is
+    its entire point): per query, candidates scored by IVF-PQ < corpus."""
+    from mapreducemovieanalysis_cloud_spark.operators import pq as pqm
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        _ivf_cells,
+        _with_qv,
+    )
+    from pyspark.sql import functions as FF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    # candidate count per query = corpus rows in probed cells
+    from mapreducemovieanalysis_cloud_spark.functions.vector import quantize
+
+    cdf = emb.where("vec_id < 8").select(
+        FF.col("vec_id").alias("cent_id"), quantize("embedding").alias("qv_cent")
+    )
+    cassign = _ivf_cells(
+        _with_qv(emb, "vec_id", "embedding", "nid"), cdf, "nid", 1
+    ).select("nid", "cell")
+    qassign = _ivf_cells(
+        _with_qv(queries, "query_id", "embedding", "query_id"), cdf,
+        "query_id", 2,
+    ).select("query_id", "cell")
+    n_corpus = emb.count()
+    per_q = (
+        cassign.join(qassign, "cell")
+        .groupBy("query_id")
+        .agg(FF.count(FF.lit(1)).alias("n_cand"))
+        .collect()
+    )
+    assert len(per_q) == 5
+    assert all(r.n_cand < n_corpus for r in per_q)
