@@ -443,39 +443,155 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the count tables are bounded by the character-set's trigram
     space, not the corpus — they broadcast at any data size (AQE converts
-    the joins; no hint needed). Three grouped counts with map-side partials
-    + one per-doc sum: the position explode is the only wide row stream and
-    it never carries the document text, just 3-byte grams."""
+    the joins; no hint needed). The position explode runs ONCE: it
+    collapses immediately into per-doc trigram counts (doc_id, tri, c) —
+    bounded by docs × distinct-trigrams-per-doc, typically ~5× smaller
+    than positions — persisted DISK_ONLY because three consumers (trigram
+    totals, prefix totals, the scoring join) read it; per-occurrence sums
+    become count-weighted sums over it (identical integers). The explode
+    never carries document text, just 3-byte grams."""
+    from pyspark.storagelevel import StorageLevel
+
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= 3)
         .select("doc_id", F.lower(F.col("text")).alias("tx"))
     )
-    tri = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(tx)-2),"
-                " i -> substring(tx, i, 3))"
-            )
-        ).alias("tri"),
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tx)-2),"
+                    " i -> substring(tx, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.DISK_ONLY)
     )
-    c3 = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt3"))
+    c3 = dt.groupBy("tri").agg(F.sum("c").alias("cnt3"))
     c2 = (
-        tri.select(F.substring("tri", 1, 2).alias("bi"))
+        dt.select(F.substring("tri", 1, 2).alias("bi"), "c")
         .groupBy("bi")
-        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .agg(F.sum("c").alias("cnt2"))
     )
     return (
-        tri.withColumn("bi", F.substring("tri", 1, 2))
+        dt.withColumn("bi", F.substring("tri", 1, 2))
         .join(c3, "tri")
         .join(c2, "bi")
-        .select("doc_id", F.expr("(cnt3 * 1000000) div cnt2").alias("p_micro"))
+        .select(
+            "doc_id",
+            "c",
+            F.expr("c * ((cnt3 * 1000000) div cnt2)").alias("p_micro_w"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tri"),
-            F.expr("CAST(SUM(p_micro) div COUNT(1) AS BIGINT)").alias(
+            F.sum("c").alias("n_tri"),
+            F.expr("CAST(SUM(p_micro_w) div SUM(c) AS BIGINT)").alias(
                 "lm_score_micro"
             ),
         )
+    )
+
+
+# ---- SQL-surface widening: recursive CTE + LATERAL join --------------------
+
+
+@query(
+    "recursive_user_hierarchy",
+    oracle="""
+    WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+    walk(user_id, node, depth, path_sum) AS (
+      SELECT user_id, user_id, 0, user_id FROM u
+      UNION ALL
+      SELECT user_id, node // 2, depth + 1, path_sum + node // 2
+      FROM walk WHERE node > 0)
+    SELECT user_id,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(MAX(path_sum) AS BIGINT) AS path_sum
+    FROM walk GROUP BY user_id
+    """,
+)
+def recursive_user_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the ``spark.sql`` entry path (Spark 4 WITH
+    RECURSIVE → UnionLoop): walk each user up the synthetic binary
+    hierarchy u → u div 2 to the root, reporting walk depth and the exact
+    path-id sum. Iterative-depth traversal as ONE declarative statement —
+    the engine loops, not the driver (contrast: label_propagation_components
+    hand-schedules its rounds because it iterates to a data-dependent
+    fixpoint over a full edge table).
+
+    Scale: per-iteration frontier is one row per live walker, shrinking as
+    walkers reach the root (depth ≈ log₂ user_id, so the loop runs
+    O(log max_id) rounds over strictly bounded frames); state never leaves
+    the cluster. Depth caps via spark.sql.cteRecursionLevelLimit guard
+    runaway recursion at scale."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(user_id, node, depth, path_sum) AS (
+          SELECT user_id, user_id, 0, user_id
+          FROM (SELECT DISTINCT user_id FROM events)
+          UNION ALL
+          SELECT user_id, node div 2, depth + 1, path_sum + node div 2
+          FROM walk WHERE node > 0)
+        SELECT user_id,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(MAX(path_sum) AS BIGINT) AS path_sum
+        FROM walk GROUP BY user_id
+        """
+    )
+
+
+@query(
+    "lateral_top_customers",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.rev_cents
+    FROM nation n,
+    LATERAL (
+      SELECT c.c_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      GROUP BY c.c_custkey
+      ORDER BY rev_cents DESC, c_custkey ASC
+      LIMIT 2) t
+    """,
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    top-n-per-outer-row idiom), via the ``spark.sql`` entry path. Catalyst
+    decorrelates to a DomainJoin + ranked window, i.e. the same physical
+    plan the window_topk_per_group query builds by hand — registered to pin
+    that the SQL surface supports the idiom, not just the DataFrame API.
+
+    Scale: decorrelation means NO per-outer-row execution — one grouped
+    aggregate over orders⋈customer partitioned by nation, one rank cut.
+    The nation side broadcasts; nothing is quadratic in outer rows."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.rev_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c.c_custkey,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          GROUP BY c.c_custkey
+          ORDER BY rev_cents DESC, c_custkey ASC
+          LIMIT 2) t
+        """
     )

@@ -81,6 +81,8 @@ _PRIORITY = [
     "trigram_lm_score",
     "stream_first_seen",
     "ann_ivf_pq",
+    "recursive_user_hierarchy",
+    "lateral_top_customers",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

@@ -153,3 +153,65 @@ def test_trigram_lm_score_bounds(spark, oracle_sf_dir):
         .collect()[0][0]
     )
     assert scored.agg(F.sum("n_tri")).collect()[0][0] == want
+
+
+SQL_SURFACE = ("recursive_user_hierarchy", "lateral_top_customers")
+
+
+@pytest.mark.parametrize("name", SQL_SURFACE)
+def test_sql_surface_matches_oracle(spark, sf_dir, oracle_sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    for d in (sf_dir, oracle_sf_dir):
+        assert_matches_oracle(q(spark, d), sql, d)
+
+
+def test_recursive_depth_is_log2(spark, oracle_sf_dir):
+    """depth_to_root must equal floor(log2(user_id)) + 1 (one halving per
+    level; user 0 is already the root)."""
+    rows = registry.queries()["recursive_user_hierarchy"](
+        spark, oracle_sf_dir
+    ).collect()
+    for r in rows:
+        want = r.user_id.bit_length()  # floor(log2(u))+1 for u>0, 0 for 0
+        assert r.depth_to_root == want, (r.user_id, r.depth_to_root, want)
+
+
+def test_lateral_equals_window_topk(spark, oracle_sf_dir):
+    """The LATERAL decorrelation must produce exactly the window-rank
+    formulation's rows (same idiom, two surfaces)."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from pyspark.sql import Window
+
+    got = {
+        (r.n_name, r.c_custkey, r.rev_cents)
+        for r in registry.queries()["lateral_top_customers"](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    cust = load_table(spark, oracle_sf_dir, "customer")
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    nation = load_table(spark, oracle_sf_dir, "nation")
+    rev = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_cents").desc(), F.col("c_custkey").asc()
+    )
+    want = {
+        (r.n_name, r.c_custkey, r.rev_cents)
+        for r in rev.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 2")
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "c_custkey", "rev_cents")
+        .collect()
+    }
+    assert got == want
