@@ -595,3 +595,133 @@ def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 2) t
         """
     )
+
+
+# ---- training-data assembly: sequence packing + mixture sampling -----------
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split_regex(trim(text), '\s+'))
+                           AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_prev
+          FROM d)
+    SELECT doc_id, n_tok, CAST(cum_prev AS BIGINT) AS cum_prev,
+           CAST(cum_prev // 2048 AS BIGINT) AS pack_id,
+           CAST(cum_prev % 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (concat-then-chunk into 2048-token
+    context windows): each document's pack id and offset from a
+    DISTRIBUTED two-phase global prefix sum over ascending doc_id —
+    per-range-partition local running sums plus a broadcast p-row offset
+    table, never the naive single-partition ORDER BY window (see
+    operators.packing). The oracle IS that naive window — integer addition
+    associativity makes the two formulations bit-identical."""
+    from mapreducemovieanalysis_cloud_spark.operators.packing import (
+        packed_positions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(split(trim(text), '\\s+')) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    return packed_positions(docs, ctx=2048)
+
+
+@query(
+    "train_mix_sample",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\s+'))
+                           AS BIGINT) AS n_tok
+               FROM documents),
+    per_src AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS source_tokens
+                FROM d GROUP BY source),
+    tot AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS t,
+                   COUNT(*) AS ns FROM per_src),
+    rates AS (SELECT p.source, p.source_tokens,
+                     CAST(t.t // t.ns AS BIGINT) AS target_tokens,
+                     CAST(least(10000, ((t.t // t.ns) * 10000)
+                                       // p.source_tokens) AS BIGINT)
+                       AS rate_bp
+              FROM per_src p CROSS JOIN tot t),
+    kept AS (SELECT d.source,
+                    COUNT(*) AS n_docs_kept,
+                    CAST(SUM(d.n_tok) AS BIGINT) AS tokens_kept
+             FROM d JOIN rates r ON d.source = r.source
+             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) % 10000 < r.rate_bp
+             GROUP BY d.source)
+    SELECT r.source, r.source_tokens, r.target_tokens, r.rate_bp,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def train_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward a uniform per-source token budget (the
+    training-mix assembly stage): compute each source's token mass, derive
+    a basis-point keep-rate toward the uniform target, gate documents by
+    the shared deterministic md5 bucket (functions.hashing — pure key
+    function: reproducible across engines, retries, appends), and report
+    the achieved mix.
+
+    Scale: two tiny per-source aggregates (map-side partials), a broadcast
+    rates table, and a map-side sampling predicate — the fact table
+    shuffles only into the per-source report aggregation. Rates quantize
+    to basis points through the 16-bit md5 bucket; finer targets need a
+    wider bucket (documented in functions.hashing)."""
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(r"CAST(size(split(trim(text), '\\s+')) AS BIGINT)").alias(
+            "n_tok"
+        ),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tok").alias("source_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("source_tokens").alias("t"), F.count(F.lit(1)).alias("ns")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "source_tokens",
+        F.expr("CAST(t div ns AS BIGINT)").alias("target_tokens"),
+        F.expr(
+            "CAST(least(10000, ((t div ns) * 10000) div source_tokens)"
+            " AS BIGINT)"
+        ).alias("rate_bp"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .where(md5_bucket("doc_id", 10000) < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "source_tokens",
+        "target_tokens",
+        "rate_bp",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+    )

@@ -83,6 +83,8 @@ _PRIORITY = [
     "ann_ivf_pq",
     "recursive_user_hierarchy",
     "lateral_top_customers",
+    "pack_sequences",
+    "train_mix_sample",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

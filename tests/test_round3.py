@@ -215,3 +215,78 @@ def test_lateral_equals_window_topk(spark, oracle_sf_dir):
         .collect()
     }
     assert got == want
+
+
+ASSEMBLY = ("pack_sequences", "train_mix_sample")
+
+
+@pytest.mark.parametrize("name", ASSEMBLY)
+def test_assembly_matches_oracle(spark, sf_dir, oracle_sf_dir, name):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    for d in (sf_dir, oracle_sf_dir):
+        assert_matches_oracle(q(spark, d), sql, d)
+
+
+def test_packing_two_phase_equals_naive_window(spark, oracle_sf_dir):
+    """The distributed prefix sum must be bit-identical to the naive
+    single-partition window formulation, and must actually distribute
+    (more than one range partition at test scale)."""
+    from mapreducemovieanalysis_cloud_spark.operators.packing import (
+        packed_positions,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id",
+        F.expr(r"CAST(size(split(trim(text), '\\s+')) AS BIGINT)").alias(
+            "n_tok"
+        ),
+    )
+    got = {
+        r.doc_id: (r.cum_prev, r.pack_id, r.pack_offset)
+        for r in packed_positions(docs, ctx=2048, num_partitions=5).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.cum_prev, r.cum_prev // 2048, r.cum_prev % 2048)
+        for r in docs.withColumn(
+            "cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == naive
+    n_pid = (
+        docs.repartitionByRange(5, F.col("doc_id"))
+        .withColumn("p", F.spark_partition_id())
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert n_pid > 1  # the two-phase path is actually exercised
+
+
+def test_pack_windows_are_dense(spark, oracle_sf_dir):
+    """Every pack id up to the last must appear (concat-then-chunk leaves
+    no empty windows), and offsets stay within [0, ctx)."""
+    out = registry.queries()["pack_sequences"](spark, oracle_sf_dir)
+    rows = out.collect()
+    pack_ids = {r.pack_id for r in rows}
+    assert pack_ids == set(range(max(pack_ids) + 1))
+    assert all(0 <= r.pack_offset < 2048 for r in rows)
+
+
+def test_train_mix_narrows_spread(spark, oracle_sf_dir):
+    """The sampled mix's max/min token ratio across sources must not
+    exceed the raw corpus's ratio (rebalancing can only narrow spread),
+    and no source overshoots its target by more than the largest doc."""
+    rows = registry.queries()["train_mix_sample"](
+        spark, oracle_sf_dir
+    ).collect()
+    raw = [r.source_tokens for r in rows]
+    kept = [r.tokens_kept for r in rows if r.tokens_kept > 0]
+    assert max(kept) / min(kept) <= max(raw) / min(raw) + 1e-9
+    for r in rows:
+        assert r.rate_bp <= 10000
+        if r.rate_bp == 10000:  # under-target source keeps everything
+            assert r.tokens_kept == r.source_tokens
