@@ -139,3 +139,33 @@ def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return first_seen_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "join_interval_events_outer",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def join_interval_events_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER purchase->click attribution (batch semantics of the
+    watermark-bounded outer stream-stream join in ``streaming.joins``):
+    unattributed purchases surface as NULL click rows — in streaming they
+    emit once the watermark proves no match can arrive."""
+    from mapreducemovieanalysis_cloud_spark.streaming.joins import (
+        purchases_with_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return purchases_with_attribution(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "click"),
+        interval="30 minutes",
+    )

@@ -85,6 +85,7 @@ _PRIORITY = [
     "lateral_top_customers",
     "pack_sequences",
     "train_mix_sample",
+    "join_interval_events_outer",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

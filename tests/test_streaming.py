@@ -525,3 +525,76 @@ def test_first_seen_tws_batch_mode(spark, sf_dir):
         for r in tws.first_seen_batch(events).collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_join_converges(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows equal the batch join,
+    and NULL (unattributed) rows appear for purchases whose watermark
+    horizon closed — a flush batch far in the future closes every
+    purchase, after which the streamed output equals the batch left join
+    exactly."""
+    from mapreducemovieanalysis_cloud_spark.streaming.joins import (
+        purchases_with_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ssjo"
+    events.write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    out = purchases_with_attribution(
+        stream.where(F.col("event_type") == "purchase"),
+        stream.where(F.col("event_type") == "click"),
+        interval="30 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjo_conv")
+        .outputMode("append")
+        .start()
+    )
+    def flush_pair(offset_h):
+        # each side's watermark sees only ITS event type post-filter, so a
+        # flush must contain BOTH a purchase and a click to advance both
+        return events.limit(2).select(
+            (F.col("event_id") + 10_000_000 + offset_h).alias("event_id"),
+            (
+                F.col("ts")
+                + F.expr(f"INTERVAL 365 DAYS")
+                + F.expr(f"INTERVAL {offset_h} HOURS")
+            ).alias("ts"),
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, "purchase")
+            .otherwise("click")
+            .alias("event_type"),
+            "value",
+            "props",
+        ).select(events.columns)
+
+    try:
+        q.processAllAvailable()
+        flush_pair(0).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        # a second flush batch forces a further micro-batch AFTER the
+        # watermark advanced, so state eviction emits the last NULL rows
+        flush_pair(2).write.parquet(str(src / "b3"))
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.click_id, r.delay_us)
+            for r in spark.sql("SELECT * FROM ssjo_conv").collect()
+            if r.purchase_id < 10_000_000  # drop flush-derived rows
+        }
+    finally:
+        q.stop()
+    batch = purchases_with_attribution(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "click"),
+        interval="30 minutes",
+    )
+    expected = {
+        (r.purchase_id, r.click_id, r.delay_us) for r in batch.collect()
+    }
+    # the flush click may legitimately attribute nothing (it is alone in
+    # the far future), so streamed == batch exactly
+    assert got == expected
+    assert any(c is None for (_, c, _) in got)  # outer rows exist
