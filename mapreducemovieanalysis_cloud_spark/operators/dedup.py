@@ -120,6 +120,30 @@ def jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # PPJoin length filter (lossless): J(A,B) >= t implies
+    # min(|A|,|B|) >= t·max(|A|,|B|) — prune size-incompatible candidate
+    # pairs on two id-keyed joins BEFORE the intersection join re-explodes
+    # them against full shingle sets (the same float-rounding epsilon as
+    # the prefix bound keeps the cut exact).
+    cands = (
+        cands.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("set_size").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("set_size").alias("sz_b")
+            ),
+            "doc_b",
+        )
+        .where(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        .select("doc_a", "doc_b")
+    )
     inter = (
         cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
         .join(
