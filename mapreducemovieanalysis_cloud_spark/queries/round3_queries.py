@@ -725,3 +725,68 @@ def train_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
         F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
     )
+
+
+# ---- rank-complete analytics: ntile / percent_rank / cume_dist -------------
+
+_SPARK_LOGIT = (
+    r"-300 + 2 * least(size(split(trim(text), '\\s+')), 200)"
+    r" + (100 * size(array_distinct(split(trim(text), '\\s+'))) div"
+    r"    greatest(size(split(trim(text), '\\s+')), 1))"
+    " + (100 * length(regexp_replace(text, '[^a-zA-Z]', '')) div"
+    "    greatest(length(text), 1))"
+)
+
+_SQL_LOGIT = r"""-300 + 2 * least(len(string_split_regex(trim(text), '\s+')), 200)
+      + (100 * len(list_distinct(string_split_regex(trim(text), '\s+')))
+         // greatest(len(string_split_regex(trim(text), '\s+')), 1))
+      + (100 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         // greatest(length(text), 1))"""
+
+
+@query(
+    "curriculum_buckets",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, lang,
+                      CAST({_SQL_LOGIT} AS BIGINT) AS logit_centi
+               FROM documents)
+    SELECT doc_id, lang, logit_centi,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM f
+    WINDOW w AS (PARTITION BY lang ORDER BY logit_centi, doc_id)
+    """,
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: per-language quality quartiles (ntile) plus
+    the rank-complete analytics pair (percent_rank, cume_dist) over the
+    classifier logit — the stage that orders training data easy→hard.
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are single IEEE
+    divisions of exact integers under a deterministic (logit, doc_id)
+    order, so both engines emit identical doubles.
+
+    Scale: rank-complete functions need a total order PER PARTITION KEY —
+    parallel across languages, serial within one (Spark sorts each
+    lang-partition once; a single giant language is the skew risk). The
+    100 TB curriculum path replaces ntile with bucketing against
+    approx_percentile thresholds (no total order, two scans) — this query
+    pins the exact-rank semantics the threshold variant approximates."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH f AS (SELECT doc_id, lang,
+                          CAST({_SPARK_LOGIT} AS BIGINT) AS logit_centi
+                   FROM documents)
+        SELECT doc_id, lang, logit_centi,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM f
+        WINDOW w AS (PARTITION BY lang ORDER BY logit_centi, doc_id)
+        """
+    )

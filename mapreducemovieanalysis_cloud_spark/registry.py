@@ -86,6 +86,7 @@ _PRIORITY = [
     "pack_sequences",
     "train_mix_sample",
     "join_interval_events_outer",
+    "curriculum_buckets",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

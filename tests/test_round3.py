@@ -155,7 +155,11 @@ def test_trigram_lm_score_bounds(spark, oracle_sf_dir):
     assert scored.agg(F.sum("n_tri")).collect()[0][0] == want
 
 
-SQL_SURFACE = ("recursive_user_hierarchy", "lateral_top_customers")
+SQL_SURFACE = (
+    "recursive_user_hierarchy",
+    "lateral_top_customers",
+    "curriculum_buckets",
+)
 
 
 @pytest.mark.parametrize("name", SQL_SURFACE)
