@@ -790,3 +790,104 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY lang ORDER BY logit_centi, doc_id)
         """
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), errors AS (
+      SELECT user_id, ts, MAX(event_id) AS error_event_id
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           e.error_event_id AS error_event_id
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST subsequent error
+    by the same user (the time-to-next-failure attribution shape). Same
+    union+window kernel as the backward variant — one hash exchange on the
+    key, an in-partition sort read in reverse, no range explosion — so the
+    family covers both temporal directions (operators.joins.asof_join
+    direction='forward')."""
+    from mapreducemovieanalysis_cloud_spark.operators import joins
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_event_id"))
+    )
+    joined = joins.asof_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.col("error_event_id_right").alias("error_event_id"),
+    )
+
+
+@query(
+    "decimal_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS gross,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation (the money path where cents-in-int64 runs
+    out of headroom): prices cast to DECIMAL(18,2), the discount product
+    widened by the engine's decimal-arithmetic rules, summed exactly into
+    DECIMAL(38,x) — no IEEE rounding anywhere, so a 100 TB revenue total is
+    exact to the 4th decimal place. Both engines implement ANSI decimal
+    semantics; results are emitted as fixed-scale strings because the
+    VALUES are identical while pandas' Decimal repr drops trailing zeros
+    asymmetrically.
+
+    Scale: same single-shuffle map-side-partial shape as tpch_q1; decimal
+    sums are ~2× the CPU of long sums (128-bit accumulation) — the
+    documented trade against int64-cents when totals can exceed 2^63
+    micro-units (~9.2·10^12 dollars)."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2))))
+                         AS DECIMAL(38,4)) AS STRING) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS STRING) AS gross,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -87,6 +87,8 @@ _PRIORITY = [
     "train_mix_sample",
     "join_interval_events_outer",
     "curriculum_buckets",
+    "join_asof_forward",
+    "decimal_revenue",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

@@ -221,7 +221,12 @@ def test_lateral_equals_window_topk(spark, oracle_sf_dir):
     assert got == want
 
 
-ASSEMBLY = ("pack_sequences", "train_mix_sample")
+ASSEMBLY = (
+    "pack_sequences",
+    "train_mix_sample",
+    "join_asof_forward",
+    "decimal_revenue",
+)
 
 
 @pytest.mark.parametrize("name", ASSEMBLY)
