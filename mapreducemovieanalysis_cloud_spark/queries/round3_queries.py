@@ -891,3 +891,109 @@ def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "listagg_order_priorities",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, ','
+                      ORDER BY o_orderpriority, o_orderkey) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def listagg_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: per customer, the comma-joined order
+    priorities in (priority, orderkey) order. ``collect_list`` alone is
+    partition-order-dependent — the determinism pattern is collect structs,
+    ``array_sort``, then project+join, which makes the aggregate a pure
+    set function (same discipline as every float convention in the repo:
+    nondeterminism is designed out, not tolerated).
+
+    Scale: one grouped shuffle; the per-group array is bounded by group
+    size — LISTAGG over a hot key is a memory risk at any engine, capped
+    here by per-customer order counts (use slice() for a bounded prefix
+    when groups are unbounded)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("o_orderpriority", "o_orderkey")
+                        )
+                    ),
+                    lambda s: s.o_orderpriority,
+                ),
+                ",",
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id,
+                      nullif(event_type, 'click') AS et,
+                      CAST(ROUND(value * 100) AS BIGINT) AS vc
+               FROM events),
+    g AS (SELECT et, COUNT(*) AS n_rows, COUNT(et) AS n_nonnull,
+                 CAST(SUM(vc) AS BIGINT) AS sum_cents
+          FROM e GROUP BY et),
+    j AS (SELECT a.et, COUNT(*) AS n_selfpairs
+          FROM (SELECT et, event_id FROM e WHERE event_id < 200) a
+          JOIN (SELECT et, event_id FROM e WHERE event_id < 200) b
+            ON a.et IS NOT DISTINCT FROM b.et
+          GROUP BY a.et)
+    SELECT g.et, g.n_rows, g.n_nonnull, g.sum_cents,
+           COALESCE(j.n_selfpairs, 0) AS n_selfpairs
+    FROM g LEFT JOIN j ON g.et IS NOT DISTINCT FROM j.et
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics conformance in one query: NULL grouping keys form
+    ONE group (clicks nullif'd away), COUNT(col) skips NULLs while
+    COUNT(*) does not, and the null-safe equality join (<=> / IS NOT
+    DISTINCT FROM) matches NULL to NULL where plain = never would — the
+    three behaviors ports most often get subtly wrong.
+
+    Scale: shapes are ordinary grouped aggregates and an equi-join; the
+    NULL key concentrates its group's traffic on one reducer — the
+    classic hidden hot key (at 100 TB, filter-or-salt NULLs before
+    grouping when they dominate)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("nullif(event_type, 'click')").alias("et"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("vc"),
+    )
+    g = e.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("et").alias("n_nonnull"),
+        F.sum("vc").cast("long").alias("sum_cents"),
+    )
+    small = e.where("event_id < 200").select("et", "event_id")
+    j = (
+        small.alias("a")
+        .join(small.alias("b"), F.expr("a.et <=> b.et"))
+        .groupBy(F.col("a.et").alias("et"))
+        .agg(F.count(F.lit(1)).alias("n_selfpairs"))
+    )
+    return (
+        g.alias("g")
+        .join(j.alias("j"), F.expr("g.et <=> j.et"), "left")
+        .select(
+            "g.et",
+            "g.n_rows",
+            "g.n_nonnull",
+            "g.sum_cents",
+            F.coalesce("j.n_selfpairs", F.lit(0))
+            .cast("long")
+            .alias("n_selfpairs"),
+        )
+    )

@@ -89,6 +89,8 @@ _PRIORITY = [
     "curriculum_buckets",
     "join_asof_forward",
     "decimal_revenue",
+    "listagg_order_priorities",
+    "null_semantics",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

@@ -226,6 +226,8 @@ ASSEMBLY = (
     "train_mix_sample",
     "join_asof_forward",
     "decimal_revenue",
+    "listagg_order_priorities",
+    "null_semantics",
 )
 
 
