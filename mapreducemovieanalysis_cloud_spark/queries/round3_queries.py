@@ -997,3 +997,89 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_selfpairs"),
         )
     )
+
+
+@query(
+    "setops_all_variants",
+    oracle="""
+    SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    GROUP BY 2
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL, the
+    bag-semantics pair the DISTINCT variants silently collapse): per-key
+    multiplicities min(c,s) and max(0, c-s) respectively — verified via
+    the post-op counts. Spark plans both as aggregate+generate over
+    per-side counts: one shuffle each, no row-pairing join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@query(
+    "filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS finished_cents,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'F')
+             AS open_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER clause on aggregates (the conditional-aggregation surface:
+    one pass computes differently-predicated measures side by side, where
+    a port would run N filtered scans). Spark folds each FILTER into the
+    aggregate's input — still one scan, one shuffle, map-side partials;
+    the COUNT(DISTINCT) FILTER composes with the expand-based distinct
+    path."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS finished_cents,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus <> 'F')
+                 AS open_customers
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

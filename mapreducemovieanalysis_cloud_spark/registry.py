@@ -91,6 +91,8 @@ _PRIORITY = [
     "decimal_revenue",
     "listagg_order_priorities",
     "null_semantics",
+    "setops_all_variants",
+    "filtered_aggregates",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

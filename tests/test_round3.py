@@ -228,6 +228,8 @@ ASSEMBLY = (
     "decimal_revenue",
     "listagg_order_priorities",
     "null_semantics",
+    "setops_all_variants",
+    "filtered_aggregates",
 )
 
 
