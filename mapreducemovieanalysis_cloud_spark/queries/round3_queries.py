@@ -1083,3 +1083,44 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts,
+             event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS last_event,
+           nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts,
+             event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / last_value / nth_value): each
+    event tagged with its user's first, last, and second event ids. The
+    frame discipline matters — last_value/nth_value over the DEFAULT frame
+    (UNBOUNDED PRECEDING..CURRENT ROW) is the classic silent bug, so both
+    take explicit full-partition frames; ordering carries the event_id
+    tiebreak making every value deterministic. One shuffle on user_id,
+    one in-partition sort shared by all three functions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(ordered).alias("first_event"),
+        F.last("event_id").over(full).alias("last_event"),
+        F.nth_value("event_id", 2).over(full).alias("second_event"),
+    )

@@ -93,6 +93,7 @@ _PRIORITY = [
     "null_semantics",
     "setops_all_variants",
     "filtered_aggregates",
+    "window_value_functions",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

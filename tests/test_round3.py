@@ -230,6 +230,7 @@ ASSEMBLY = (
     "null_semantics",
     "setops_all_variants",
     "filtered_aggregates",
+    "window_value_functions",
 )
 
 
