@@ -189,3 +189,92 @@ def label_propagation_components(
     return labels.select(
         F.col("v").alias(id_col), F.col("lbl").alias("component")
     )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def star_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round kernel SCALE.md prescribes when
+    diameter-bound min-label propagation (rounds = diameter) stops being
+    affordable. Same fixpoint: component = min reachable id, so the same
+    recursive-CTE oracle and the propagation kernel's results are
+    interchangeable (pinned by tests).
+
+    large-star hangs every neighbor v > u onto min(N(u) ∪ {u});
+    small-star re-hangs each node's smaller neighbors onto their minimum.
+    Each phase is one grouped aggregate + one join on the edge list —
+    no driver-side graph state; convergence is detected by an O(1)-row
+    (count, xor-of-hashes) signature of the edge set, one action per
+    round like the propagation loop. Rounds are O(log n) regardless of
+    diameter — long chains contract geometrically instead of one hop per
+    round.
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = signature(e)
+    for _ in range(max_iters):
+        # large-star: neighbors above u re-hang onto min(N(u) ∪ {u})
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient downhill, re-hang u and its smaller
+        # neighbors onto their minimum
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # at the fixpoint e is a forest of stars (v -> root): a node's
+    # component is its smallest incident endpoint, itself if isolated
+    roots = _sym(e).groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(roots, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("component", "u").alias("component"),
+        )
+    )

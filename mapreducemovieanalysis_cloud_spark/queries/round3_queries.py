@@ -1124,3 +1124,41 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(full).alias("last_event"),
         F.nth_value("event_id", 2).over(full).alias("second_event"),
     )
+
+
+@query(
+    "dedup_clusters_star",
+    oracle=None,  # set below: shares dedup_clusters' recursive-CTE oracle
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components by large-star/small-star contraction — the
+    O(log n)-round petabyte-scale alternative to min-label propagation
+    (whose rounds equal the graph diameter), over the SAME MinHash-LSH
+    pair graph and checked against the SAME recursive-transitive-closure
+    oracle as ``dedup_clusters``: two kernels, one fixpoint (component =
+    min reachable id). See operators.clustering.star_components."""
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        star_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return star_components(docs, edges)
+
+
+def _register_star_oracle() -> None:
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+    )
+    from mapreducemovieanalysis_cloud_spark import registry as _r
+
+    _r._ORACLES["dedup_clusters_star"] = _components_oracle()
+
+
+_register_star_oracle()

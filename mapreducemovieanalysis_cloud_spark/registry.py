@@ -94,6 +94,7 @@ _PRIORITY = [
     "setops_all_variants",
     "filtered_aggregates",
     "window_value_functions",
+    "dedup_clusters_star",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged;
     # re-checked oldest-first to bound staleness of every green row ---
     "movie_rank",

@@ -43,3 +43,47 @@ def test_pagerank_sink_attracts_rank(spark):
     )
     ranks = {r.node: r.rank for r in pagerank(edges, iters=2).collect()}
     assert ranks["hub"] > ranks["b"] and ranks["hub"] > ranks["c"]
+
+
+def test_star_components_equals_label_propagation(spark, sf_dir):
+    """Large-star/small-star contraction must reach the identical
+    fixpoint (component = min reachable id) as min-label propagation —
+    on a diameter-9 chain, a triangle, an isolated node, and the real
+    MinHash near-dup graph."""
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+        star_components,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    nodes = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    chain = [(i, i + 1) for i in range(9)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(chain + tri, "src long, dst long")
+    a = {
+        r.doc_id: r.component
+        for r in label_propagation_components(nodes, edges).collect()
+    }
+    b = {
+        r.doc_id: r.component
+        for r in star_components(nodes, edges).collect()
+    }
+    assert a == b and b[9] == 0 and b[12] == 10 and b[13] == 13
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    g_edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    want = {
+        r.doc_id: r.component
+        for r in label_propagation_components(docs, g_edges).collect()
+    }
+    got = {
+        r.doc_id: r.component
+        for r in star_components(docs, g_edges).collect()
+    }
+    assert got == want

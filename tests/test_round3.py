@@ -231,6 +231,7 @@ ASSEMBLY = (
     "setops_all_variants",
     "filtered_aggregates",
     "window_value_functions",
+    "dedup_clusters_star",
 )
 
 
