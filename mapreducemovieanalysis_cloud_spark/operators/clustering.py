@@ -75,22 +75,42 @@ def kmeans_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    target_cluster_size: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster) after ``iters`` Lloyd iterations from the first-k
     seed centroids. ``keep_vec=True`` additionally returns the quantized
     vector and its squared norm (qv, pn2) so downstream per-cluster work
     (e.g. SemDeDup pairing) reuses the assignment lineage instead of
-    re-joining the corpus."""
+    re-joining the corpus.
+
+    ``target_cluster_size`` switches k from a constant to a corpus-derived
+    value k = max(ceil(n / target_cluster_size), 2), computed INSIDE the
+    plan (count aggregate -> broadcast scalar -> seed filter), so expected
+    cluster size — and with it the cost of any per-cluster quadratic
+    consumer — stays constant as the corpus grows instead of clusters
+    growing as n/k. Exact integer arithmetic ((n + t − 1) div t) keeps the
+    derived k reproducible in any engine."""
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     ).withColumn("pn2", qnorm2(F.col("qv")))
-    cents = (
-        pts.where(F.col("vec_id") < k)
-        .select(
-            F.col("vec_id").alias("cell"),
-            F.col("qv").alias("cv"),
-            F.col("pn2").alias("cn2"),
+    if target_cluster_size is not None:
+        t = target_cluster_size
+        kdf = pts.agg(
+            F.expr(f"greatest((count(1) + {t - 1}) div {t}, 2)").alias(
+                "k_dyn"
+            )
         )
+        seeds = (
+            pts.crossJoin(F.broadcast(kdf))
+            .where(F.col("vec_id") < F.col("k_dyn"))
+            .drop("k_dyn")
+        )
+    else:
+        seeds = pts.where(F.col("vec_id") < k)
+    cents = seeds.select(
+        F.col("vec_id").alias("cell"),
+        F.col("qv").alias("cv"),
+        F.col("pn2").alias("cn2"),
     )
     assigned = None
     for _ in range(iters):
@@ -212,9 +232,17 @@ def star_components(
     large-star hangs every neighbor v > u onto min(N(u) ∪ {u});
     small-star re-hangs each node's smaller neighbors onto their minimum.
     Each phase is one grouped aggregate + one join on the edge list —
-    no driver-side graph state; convergence is detected by an O(1)-row
-    (count, xor-of-hashes) signature of the edge set, one action per
-    round like the propagation loop. Rounds are O(log n) regardless of
+    no driver-side graph state. Convergence detection is two-tier: a
+    cheap O(1)-row (count, sum-of-xxhash64) signature of the edge set is
+    the per-round fast path, and only when the signature matches is the
+    fixpoint CONFIRMED with one exact ``new.exceptAll(old).count() == 0``
+    action (equal cardinality + empty difference ⇒ equal sets), so a
+    hash-sum collision across genuinely different edge sets can delay
+    termination by a round but can never terminate it early with split
+    components. Exhausting ``max_iters`` without a confirmed fixpoint
+    raises rather than silently returning half-contracted stars — with
+    the default 32 rounds and geometric contraction that bound covers
+    graphs far beyond 2^32 nodes. Rounds are O(log n) regardless of
     diameter — long chains contract geometrically instead of one hop per
     round.
     """
@@ -226,12 +254,19 @@ def star_components(
     )
 
     def signature(df: DataFrame):
+        # 64-bit per-edge hash: a sum of 32-bit F.hash values collides
+        # across distinct edge sets at plausible rates; xxhash64 pushes
+        # that into the 2^-64 regime, and the exact exceptAll confirm
+        # below removes even that residual risk. Summed as decimal(38,0):
+        # an int64 sum of int64 hashes overflows (ANSI mode raises), while
+        # 38 digits leave ~10^19-term headroom at full entropy.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         return (row.n, row.h)
 
+    converged = False
     sig = signature(e)
     for _ in range(max_iters):
         # large-star: neighbors above u re-hang onto min(N(u) ∪ {u})
@@ -261,10 +296,19 @@ def star_components(
             .localCheckpoint(eager=True)
         )
         new_sig = signature(small)
-        e = small
-        if new_sig == sig:
+        if new_sig == sig and small.exceptAll(e).count() == 0:
+            e = small
+            converged = True
             break
+        e = small
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            "star_components did not reach a confirmed fixpoint in "
+            f"{max_iters} rounds; raise max_iters (contraction is "
+            "O(log n) rounds, so this indicates either an enormous "
+            "graph or a bug upstream)"
+        )
     # at the fixpoint e is a forest of stars (v -> root): a node's
     # component is its smallest incident endpoint, itself if isolated
     roots = _sym(e).groupBy("u").agg(

@@ -480,12 +480,18 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle(
-    k: int = 8, iters: int = 2, dim: int = 64, final_select: str | None = None
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    final_select: str | None = None,
+    k_expr: str | None = None,
 ) -> str:
     """DuckDB CTE chain replicating ``operators.clustering.
     kmeans_assignments`` bit-for-bit. ``final_select`` (over the last
     assignment CTE ``a{iters}``: vec_id, qv, pn2, cell) lets other oracles
-    (SemDeDup) compose on the clustered corpus."""
+    (SemDeDup) compose on the clustered corpus. ``k_expr`` — a SQL scalar
+    expression over the ``pn`` CTE — replaces the literal ``k`` for the
+    corpus-derived-k path (``target_cluster_size``)."""
     def dist2(p: str, c: str, pn2: str, cn2: str) -> str:
         return f"{pn2} - 2 * {_dot(p, c)} + {cn2}"
 
@@ -512,7 +518,7 @@ def _kmeans_oracle(
                   FROM embeddings),
     pn AS (SELECT vec_id, qv, {_norm2('qv')} AS pn2 FROM base),
     c0 AS (SELECT vec_id AS cell, qv AS cv, pn2 AS cn2 FROM pn
-           WHERE vec_id < {k})"""
+           WHERE vec_id < {k_expr or k})"""
     ]
     cents = "c0"
     for it in range(1, iters + 1):

@@ -147,7 +147,8 @@ def outliers_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS price_cents
       FROM t WHERE o_orderkey % 5 = 0
       UNION ALL
-      SELECT o_orderkey + 100000000, 'N', CAST(0 AS BIGINT)
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM t), 'N',
+             CAST(0 AS BIGINT)
       FROM t WHERE o_orderkey % 97 = 0)
     SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
            COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
@@ -163,7 +164,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey%5, inserts keyed past the target range for orderkey%97) →
     matched rows take the source, unmatched keep the target, source-only
     rows insert — the full-outer-join + coalesce plan every lakehouse MERGE
-    lowers to.
+    lowers to. The synthetic insert keys offset by MAX(o_orderkey)+1 — a
+    broadcast scalar, not a constant — so the CDC batch stays disjoint from
+    real keys at ANY scale factor (a fixed 1e8 offset collides once
+    o_orderkey exceeds 1e8, ~SF 17).
 
     Scale: at 100 TB the join is sort-merge on the table key with AQE; a
     real table format prunes it to only the files whose key ranges the
@@ -183,10 +187,15 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("X").alias("o_orderstatus"),
         (F.col("price_cents") + 100).alias("price_cents"),
     )
-    ins = t.where("o_orderkey % 97 = 0").select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        F.lit(0).cast("long").alias("price_cents"),
+    off = t.agg((F.max("o_orderkey") + 1).alias("ins_offset"))
+    ins = (
+        t.where("o_orderkey % 97 = 0")
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("o_orderkey") + F.col("ins_offset")).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0).cast("long").alias("price_cents"),
+        )
     )
     src = upd.unionByName(ins)
     tt, ss = t.alias("t"), src.alias("s")
@@ -347,9 +356,21 @@ _SEMDEDUP_FINAL = f"""
     GROUP BY id_b"""
 
 
+# Expected cluster size the derived k targets: k = max(ceil(n/64), 2).
+# At the driver's sf0.01 corpus (500 vectors) this lands on k=8 — the same
+# blocking the fixed-k version used — while growing k ∝ n beyond it.
+_SEMDEDUP_TARGET = 64
+_SEMDEDUP_K_EXPR = (
+    f"(SELECT greatest((count(*) + {_SEMDEDUP_TARGET - 1}) "
+    f"// {_SEMDEDUP_TARGET}, 2) FROM pn)"
+)
+
+
 @query(
     "semantic_dedup",
-    oracle=_kmeans_oracle(k=8, iters=2, final_select=_SEMDEDUP_FINAL),
+    oracle=_kmeans_oracle(
+        iters=2, final_select=_SEMDEDUP_FINAL, k_expr=_SEMDEDUP_K_EXPR
+    ),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
@@ -358,17 +379,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seniors beat it. Downstream curation drops the reported rows.
 
     Scale posture: clustering bounds the pair space to Σ n_c² instead of
-    n²; k grows with the corpus (k ≈ n/target_cluster_size) so cluster
-    size — and the per-cluster self-join — stays constant as data grows.
-    The assignment lineage carries (qv, pn2) through (``keep_vec=True``) so
-    pairing re-uses one corpus pass: one broadcast-assign per Lloyd
-    iteration, one shuffle on cluster id for the self-join (a giant cluster
-    is the skew risk — the salting kernel in operators.skew applies), one
-    grouped agg. Cosines are one IEEE division over exact int64 dots, so
-    the DuckDB oracle (k-means CTEs + pair join) matches bit-for-bit."""
+    n²; k is DERIVED from the corpus count inside the plan
+    (k = max(ceil(n/64), 2), ``target_cluster_size``) so expected cluster
+    size — and the per-cluster self-join — stays constant as data grows
+    instead of clusters widening as n/k_fixed. The assignment lineage
+    carries (qv, pn2) through (``keep_vec=True``) so pairing re-uses one
+    corpus pass: one broadcast-assign per Lloyd iteration, then the
+    cluster-keyed self-join runs through ``operators.skew.salted_join`` —
+    a natural cluster 16× the target (skewed data land there regardless
+    of k) spreads over the salt buckets instead of funneling one task —
+    then one grouped agg. Salting only routes rows (row-identical join),
+    so cosines stay one IEEE division over exact int64 dots and the
+    DuckDB oracle (k-means CTEs + plain pair join) matches bit-for-bit."""
     from mapreducemovieanalysis_cloud_spark.operators.clustering import (
         kmeans_assignments,
     )
+    from mapreducemovieanalysis_cloud_spark.operators.skew import salted_join
     from mapreducemovieanalysis_cloud_spark.functions.vector import qdot_arrow
 
     # localCheckpoint truncates the iterative Lloyd lineage before the
@@ -379,9 +405,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (
         kmeans_assignments(
             load_table(spark, sf_dir, "embeddings"),
-            k=8,
             iters=2,
             keep_vec=True,
+            target_cluster_size=_SEMDEDUP_TARGET,
         )
         .withColumn("nrm", F.sqrt(F.col("pn2").cast("double")))
         .localCheckpoint()
@@ -393,7 +419,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_a"),
     )
     y = a.select(
-        "cluster",
+        F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("id_b"),
         F.col("qv").alias("qv_b"),
         F.col("nrm").alias("nrm_b"),
@@ -402,7 +428,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        x.join(y, "cluster")
+        salted_join(x, y, "cluster", "cluster_b", salt_buckets=8)
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine >= 0.4)
         .groupBy(F.col("id_b").alias("vec_id"))
@@ -449,9 +475,11 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     than positions — persisted DISK_ONLY because three consumers (trigram
     totals, prefix totals, the scoring join) read it; per-occurrence sums
     become count-weighted sums over it (identical integers). The explode
-    never carries document text, just 3-byte grams."""
-    from pyspark.storagelevel import StorageLevel
-
+    never carries document text, just 3-byte grams. Materialized via lazy
+    ``localCheckpoint`` rather than persist: this function returns a lazy
+    frame, so a persist here could never be unpersisted and would pin the
+    lineage in the CacheManager for the app lifetime; checkpoint blocks
+    are ContextCleaner-reclaimed once the consumer drops the frame."""
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= 3)
@@ -469,7 +497,7 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=False)
     )
     c3 = dt.groupBy("tri").agg(F.sum("c").alias("cnt3"))
     c2 = (

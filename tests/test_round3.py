@@ -117,7 +117,8 @@ def test_merge_actions_partition_the_output(spark, oracle_sf_dir):
 
 def test_semantic_dedup_pairs_respect_clusters(spark, oracle_sf_dir):
     """Every reported keeper lives in the same k-means cluster as its
-    duplicate, and keeper < vec_id (seniority invariant)."""
+    duplicate, and keeper < vec_id (seniority invariant). Uses the same
+    corpus-derived k (target_cluster_size) as the query itself."""
     from mapreducemovieanalysis_cloud_spark.operators.clustering import (
         kmeans_assignments,
     )
@@ -125,7 +126,9 @@ def test_semantic_dedup_pairs_respect_clusters(spark, oracle_sf_dir):
 
     dups = registry.queries()["semantic_dedup"](spark, oracle_sf_dir)
     asg = kmeans_assignments(
-        load_table(spark, oracle_sf_dir, "embeddings"), k=8, iters=2
+        load_table(spark, oracle_sf_dir, "embeddings"),
+        iters=2,
+        target_cluster_size=64,
     )
     a = asg.select(F.col("vec_id"), F.col("cluster").alias("c_dup"))
     b = asg.select(
@@ -134,6 +137,94 @@ def test_semantic_dedup_pairs_respect_clusters(spark, oracle_sf_dir):
     joined = dups.join(a, "vec_id").join(b, "keeper")
     assert joined.where("c_dup != c_keep").count() == 0
     assert dups.where("keeper >= vec_id").count() == 0
+
+
+def test_kmeans_derived_k_scales_with_corpus(spark):
+    """target_cluster_size derives k = max(ceil(n/t), 2) inside the plan:
+    a 100-vector corpus at t=64 seeds ceil(100/64)=2 clusters; at t=16 it
+    seeds ceil(100/16)=7 — and every assignment lands in a seeded cell."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), -1.0, 2.5]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    for t, want_k in ((64, 2), (16, 7)):
+        asg = kmeans_assignments(emb, iters=1, target_cluster_size=t)
+        cells = {r.cluster for r in asg.select("cluster").distinct().collect()}
+        assert cells <= set(range(want_k))
+        assert asg.count() == 100
+
+
+def test_semantic_dedup_salted_join_survives_giant_cluster(spark):
+    """One giant cluster (the SemDeDup skew risk: 190/200 vectors
+    identical) — the salted cluster self-join must return exactly the
+    plain join's duplicate report."""
+    from mapreducemovieanalysis_cloud_spark.functions.vector import (
+        qdot_arrow,
+        qnorm2,
+        quantize,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.skew import salted_join
+
+    rows = [
+        (i, [1.0, 2.0, 3.0, 4.0] if i < 190 else [-9.0, 8.0, -7.0, 6.0])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = (
+        kmeans_assignments(
+            emb, iters=2, keep_vec=True, target_cluster_size=64
+        )
+        .withColumn("nrm", F.sqrt(F.col("pn2").cast("double")))
+        .localCheckpoint()
+    )
+    x = a.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y_plain = a.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    y_salt = y_plain.withColumnRenamed("cluster", "cluster_b")
+    cosine = qdot_arrow(F.col("qv_a"), F.col("qv_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+
+    def report(joined):
+        return (
+            joined.where(F.col("id_a") < F.col("id_b"))
+            .where(cosine >= 0.4)
+            .groupBy(F.col("id_b").alias("vec_id"))
+            .agg(
+                F.min("id_a").alias("keeper"),
+                F.count(F.lit(1)).alias("n_better"),
+            )
+        )
+
+    got = {
+        (r.vec_id, r.keeper, r.n_better)
+        for r in report(
+            salted_join(x, y_salt, "cluster", "cluster_b", salt_buckets=8)
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.keeper, r.n_better)
+        for r in report(x.join(y_plain, "cluster")).collect()
+    }
+    assert got == want
+    # the giant cluster really is giant: 189 of its members have a keeper
+    assert len({v for v, *_ in got}) >= 189
 
 
 def test_trigram_lm_score_bounds(spark, oracle_sf_dir):
