@@ -209,10 +209,14 @@ def ann_ivf_pq_topk(
         _with_qv(corpus, id_col, vec_col, "neighbor_id"), cents,
         "neighbor_id", 1,
     ).select("neighbor_id", "cell")
+    # Normalize the query id to the literal "query_id" once here (as the
+    # ann_pq_topk path does via withColumnRenamed): every downstream
+    # select/join (cand, dtab, adc) keys on "query_id", so a non-default
+    # query_id_col previously failed at analysis time.
     qassign = _ivf_cells(
         _with_qv(queries, query_id_col, vec_col, query_id_col), cents,
         query_id_col, nprobe,
-    ).select(query_id_col, "cell")
+    ).select(F.col(query_id_col).alias("query_id"), "cell")
     cand = cassign.join(F.broadcast(qassign), "cell").select(
         "query_id", F.col("neighbor_id").alias("vec_id")
     )

@@ -259,12 +259,18 @@ def cosine_dup_pairs(
     All bands' signatures come from ONE corpus pass (stacked-matrix Arrow
     kernel + posexplode), and the resulting (id, band, bucket) table — 3
     longs/row, ~24 B·bands per vector regardless of embedding dim — is
-    persisted to disk so the bucket self-join reads it twice without
-    replaying the scan+quantize lineage (at 1B vectors × 4 bands that's
-    ~100 GB spread across the cluster's local disks, vs re-reading and
-    re-projecting the full embedding corpus twice)."""
-    from pyspark.storagelevel import StorageLevel
-
+    materialized via lazy ``localCheckpoint`` so the bucket self-join reads
+    it twice without replaying the scan+quantize lineage (at 1B vectors ×
+    4 bands that's ~100 GB spread across the cluster's local stores, vs
+    re-reading and re-projecting the full embedding corpus twice).
+    localCheckpoint rather than ``persist(DISK_ONLY)``: persist registers
+    the plan in the session CacheManager until an explicit unpersist, and
+    this function returns a lazy frame — there is no in-function action
+    after which to unpersist, so repeated invocations in one app would
+    accumulate cached lineages for the app lifetime. Checkpoint blocks are
+    instead reclaimed by the ContextCleaner once the returned frame is
+    dropped; lazy (eager=False) so materialization happens at the
+    consumer's first action, not at plan-construction time."""
     base = _with_qv(corpus, id_col, vec_col, "id_a")
     all_planes = [
         srp_planes(num_planes, dim, seed=f"srp:{band}")
@@ -275,7 +281,7 @@ def cosine_dup_pairs(
         F.posexplode(
             srp_signatures_multi_arrow(F.col("qv_id_a"), all_planes)
         ).alias("band", "bucket"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).localCheckpoint(eager=False)
     cands = (
         banded.join(
             banded.select(
