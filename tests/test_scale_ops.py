@@ -356,6 +356,52 @@ def test_write_zordered_prunes_on_both_dims(spark, sf_dir, tmp_path):
     assert got == want > 0
 
 
+def test_zorder_read_path_pushes_box_and_can_skip_row_groups(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """READ-side proof for the z-ordered layout (the write-side test above
+    pins the footer stats): the registered query's scan must push BOTH box
+    predicates into the parquet reader (``PushedFilters`` — that is what
+    row-group pruning keys on), and the layout's row-group stats must rule
+    out a strict majority of row groups for the box, so the pushed filters
+    actually have something to skip."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from mapreducemovieanalysis_cloud_spark.queries import round4_queries as r4
+
+    monkeypatch.setattr(
+        r4, "zordered_orders_path", lambda _sf: str(tmp_path / "zo")
+    )
+    df = r4.zorder_pruned_scan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+    assert "o_custkey" in pushed and "o_totalprice" in pushed, pushed
+
+    total, match = 0, 0
+    for f in glob.glob(str(tmp_path / "zo" / "part-*.parquet")):
+        md = pq_.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for rg in range(md.num_row_groups):
+            total += 1
+            ck = md.row_group(rg).column(cols["o_custkey"]).statistics
+            tp = md.row_group(rg).column(cols["o_totalprice"]).statistics
+            if ck.min <= r4._ZBOX_CUSTKEY and tp.min < r4._ZBOX_PRICE:
+                match += 1
+    assert total >= 8 and match < total / 2, (match, total)
+
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_custkey") <= r4._ZBOX_CUSTKEY)
+            & (F.col("o_totalprice") < r4._ZBOX_PRICE)
+        )
+        .count()
+    )
+    assert df.count() == want > 0
+
+
 # ---------------------------------------------------------------------------
 # triangles
 # ---------------------------------------------------------------------------
