@@ -87,8 +87,16 @@ def jaccard_pairs(
     so the two prefixes of length |X| - ceil(t·|X|) + 1 must share a
     shingle. Only prefix shingles enter the self-join (~(1-t) of each set),
     shrinking candidate pairs ~(1-t)² with zero loss (the full intersection
-    is then counted per candidate). The result set is identical to the
-    brute-force join the oracle runs.
+    is then counted per candidate). Surviving candidates then pass the
+    PPJoin+ POSITIONAL filter: both prefixes are sorted by the same global
+    order, so every common element other than the first shared one (at
+    rank i in A, j in B) ranks strictly after it in BOTH sets — overlap
+    <= 1 + min(|A|-i, |B|-j); pairs whose bound falls below the required
+    overlap ceil(t/(1+t)·(|A|+|B|)) are dropped before the intersection
+    join re-explodes them against full shingle sets. Lossless: the bound
+    is an upper bound on the true overlap, so only pairs that cannot
+    qualify are cut, and the result set is identical to the brute-force
+    join the oracle runs.
     """
     sh = shingle_sets(docs, n, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -109,22 +117,34 @@ def jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
             + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "rk")
     )
+    # The groupBy replaces the plain .distinct() at the same shuffle cost,
+    # but additionally keeps each pair's FIRST shared prefix shingle's
+    # ranks (min rk on both sides — consistent, because both prefixes are
+    # sorted by the same global md5 order, so the globally-smallest shared
+    # shingle is the rank-min in A and in B simultaneously).
     cands = (
-        prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+        prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("rk").alias("rk_a"))
         .join(
-            prefix.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
+            prefix.select(
+                F.col(id_col).alias("doc_b"), "shingle", F.col("rk").alias("rk_b")
+            ),
+            "shingle",
         )
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("rk_a").alias("pos_a"), F.min("rk_b").alias("pos_b"))
     )
     # PPJoin length filter (lossless): J(A,B) >= t implies
-    # min(|A|,|B|) >= t·max(|A|,|B|) — prune size-incompatible candidate
+    # min(|A|,|B|) >= t·max(|A|,|B|) — then the PPJoin+ positional filter:
+    # overlap <= 1 + min(|A|-pos_a, |B|-pos_b) (everything common beyond
+    # the first shared prefix element ranks after it in both sets), and
+    # J >= t needs overlap >= t/(1+t)·(|A|+|B|). Both prune candidate
     # pairs on two id-keyed joins BEFORE the intersection join re-explodes
     # them against full shingle sets (the same float-rounding epsilon as
-    # the prefix bound keeps the cut exact).
+    # the prefix bound keeps the cuts exact — conservative by 1e-9, never
+    # dropping a qualifying pair).
     cands = (
         cands.join(
             sizes.select(
@@ -141,6 +161,20 @@ def jaccard_pairs(
         .where(
             F.least("sz_a", "sz_b").cast("double")
             >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        .where(
+            (
+                1
+                + F.least(
+                    F.col("sz_a") - F.col("pos_a"),
+                    F.col("sz_b") - F.col("pos_b"),
+                )
+            ).cast("double")
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("sz_a") + F.col("sz_b"))
+                - F.lit(1e-9)
+            )
         )
         .select("doc_a", "doc_b")
     )
