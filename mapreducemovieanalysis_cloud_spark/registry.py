@@ -54,8 +54,19 @@ _PRIORITY = [
     "merge_upsert_orders",
     # --- z-order read path gets its first driver row this round ---
     "zorder_pruned_scan",
+    # --- rotation, highest priority: r02 entries over the `events` table,
+    # whose physical timestamp type the driver regenerated after their
+    # last green row ---
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "sessionize_events",
+    "join_interval_events",
+    "join_range_binned",
+    "variant_extract",
     # --- rotation: green only in CORRECTNESS_r01, code unchanged since;
-    # oldest coverage first so drift anywhere surfaces within two rounds ---
+    # oldest coverage first so drift anywhere surfaces within two rounds
+    # (entries past the ~50-slot window roll to the round-5 rotation) ---
     "movie_rank_desc",
     "join_left_outer",
     "join_right_outer",
@@ -99,15 +110,6 @@ _PRIORITY = [
     "lang_id",
     "text_stats",
     "explode_tokens",
-    # --- rotation: r02 entries over the `events` table, whose physical
-    # timestamp type the driver regenerated after their last green row ---
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "sessionize_events",
-    "join_interval_events",
-    "join_range_binned",
-    "variant_extract",
 ]
 
 
