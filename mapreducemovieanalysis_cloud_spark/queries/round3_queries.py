@@ -216,6 +216,19 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- semantic dedup, LM scoring --------------------------------------------
 
 
+# The fixed-weight quality logit in exact centi-units — Spark SQL dialect.
+# (Shared with source_quality_filter in round4_queries; the DuckDB dialect
+# of the same expression is _SQL_LOGIT below.)
+_SPARK_TOKS = r"split(trim(text), '\\s+')"
+SPARK_LOGIT = (
+    f"-300 + 2 * least(size({_SPARK_TOKS}), 200)"
+    f" + (100 * size(array_distinct({_SPARK_TOKS})) div"
+    f"    greatest(size({_SPARK_TOKS}), 1))"
+    " + (100 * length(regexp_replace(text, '[^a-zA-Z]', '')) div"
+    "    greatest(length(text), 1))"
+)
+
+
 @query(
     "quality_classifier",
     oracle=r"""
@@ -250,18 +263,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible across engines — the model-update path is a new weight
     vector, not new code. At 100 TB this is the cheapest pipeline stage:
     narrow projection, embarrassingly parallel, no exchange."""
-    toks = r"split(trim(text), '\\s+')"
-    logit = (
-        f"-300 + 2 * least(size({toks}), 200)"
-        f" + (100 * size(array_distinct({toks})) div"
-        f"    greatest(size({toks}), 1))"
-        " + (100 * length(regexp_replace(text, '[^a-zA-Z]', '')) div"
-        "    greatest(length(text), 1))"
-    )
     return load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(f"CAST({logit} AS BIGINT)").alias("logit_centi"),
-        F.expr(f"CAST(({logit}) > 0 AS INT)").alias("keep_label"),
+        F.expr(f"CAST({SPARK_LOGIT} AS BIGINT)").alias("logit_centi"),
+        F.expr(f"CAST(({SPARK_LOGIT}) > 0 AS INT)").alias("keep_label"),
     )
 
 

@@ -1,5 +1,7 @@
 """Round-4 additions: the z-order data-skipping READ path as a registered,
-oracle-checked query.
+oracle-checked query, plus three training-data curation staples — source-
+level quality filtering, overlapping context-window chunking, and the
+deterministic global training shuffle.
 
 ``write_zordered`` (sources/writers.py) proves on the WRITE side that every
 clustering column gets narrow per-file/row-group footer ranges; this module
@@ -10,6 +12,10 @@ row-group-prunes on the Morton-clustered stats. The oracle runs the same box
 predicate on the raw ``orders`` table: the z-value is layout-only, so the
 result set must be identical — which is exactly what makes the layout
 oracle-checkable.
+
+The curation queries keep the engine's exact-arithmetic discipline (integer
+milli-units, md5 as the shared deterministic hash, integer div for chunk
+arithmetic) so every one is bit-identical to its DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -17,9 +23,12 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+    _SQL_LOGIT,
+)
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 from mapreducemovieanalysis_cloud_spark.sources.writers import write_zordered
@@ -93,5 +102,220 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
                 "price_cents"
             ),
+        )
+    )
+
+
+# ---- source-level quality filtering (the "drop bad domains" gate) ----------
+
+
+@query(
+    "source_quality_filter",
+    oracle=f"""
+    WITH d AS (SELECT source, CAST({_SQL_LOGIT} AS BIGINT) AS lg
+               FROM documents),
+    ps AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST((SUM(lg) * 1000) // COUNT(*) AS BIGINT)
+                    AS mean_logit_milli
+           FROM d GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_sources, SUM(mean_logit_milli) AS sum_means
+            FROM ps)
+    SELECT source, n_docs, mean_logit_milli,
+           CAST(n_sources * mean_logit_milli >= sum_means AS INT)
+             AS keep_source
+    FROM ps, tot
+    """,
+)
+def source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality gate: aggregate the fixed-weight quality logit
+    per source, then keep only sources whose integer milli-mean clears the
+    across-source average — the domain-blocklist stage of web curation,
+    derived from the data instead of a hand list.
+
+    Exactness: per-source score s_i = (Σ logit · 1000) div n_i (integer
+    milli-units), and the threshold test multiplies through instead of
+    dividing — keep_i ⇔ n_sources · s_i ≥ Σ s_j — so the whole decision is
+    int64 arithmetic, bit-identical in any engine.
+
+    Scale: first agg shuffles one ~16 B row per (source) group with map-side
+    partials; the across-source reduction is a single-row broadcast back.
+    Source cardinality (domains) is millions at web scale — still a
+    broadcast-friendly scalar pair, never a re-shuffle of documents."""
+    from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+        SPARK_LOGIT,
+    )
+
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.expr(f"CAST({SPARK_LOGIT} AS BIGINT)").alias("lg"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("(sum(lg) * 1000) div count(1)").alias("mean_logit_milli"),
+        )
+    )
+    totals = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("mean_logit_milli").alias("sum_means"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "mean_logit_milli",
+        F.expr(
+            "CAST(n_sources * mean_logit_milli >= sum_means AS INT)"
+        ).alias("keep_source"),
+    )
+
+
+# ---- overlapping context-window chunking -----------------------------------
+
+_CHUNK_WINDOW = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "chunk_documents",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(least(n_tok - i * {_CHUNK_STRIDE}, {_CHUNK_WINDOW}) AS INT)
+             AS n_tokens,
+           array_to_string(
+             list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                        i * {_CHUNK_STRIDE} + {_CHUNK_WINDOW}), ' ')
+             AS chunk_text
+    FROM n,
+         unnest(generate_series(
+           0, (greatest(n_tok - {_CHUNK_WINDOW}, 0) + {_CHUNK_STRIDE} - 1)
+              // {_CHUNK_STRIDE})) AS g(i)
+    WHERE i * {_CHUNK_STRIDE} < n_tok
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window {w}, stride {s}, overlap
+    {o}): the pretraining/RAG stage that splits documents into model-window
+    pieces so no token is lost at a boundary. Chunk count per doc is
+    1 + ceil(max(n_tok − w, 0)/s) in INTEGER arithmetic; the final partial
+    chunk is kept.
+
+    Scale: sequence() + explode is one map-side pass — no shuffle at all
+    (the plan is scan → project → generate); chunk text length is bounded
+    by the window, so output rows are fixed-width regardless of document
+    length. Token re-slicing happens per chunk from the in-memory token
+    array (never re-tokenizes), and the whole stage pipelines inside one
+    WholeStageCodegen span."""
+    w, s = _CHUNK_WINDOW, _CHUNK_STRIDE
+    toked = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("toks")
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .where(F.col("n_tok") > 0)
+    )
+    return (
+        toked.select(
+            "doc_id",
+            "n_tok",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"sequence(0, (greatest(n_tok - {w}, 0) + {s - 1})"
+                    f" div {s})"
+                )
+            ).alias("chunk_idx"),
+        )
+        .where(F.col("chunk_idx") * s < F.col("n_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(f"CAST(least(n_tok - chunk_idx * {s}, {w}) AS INT)").alias(
+                "n_tokens"
+            ),
+            F.expr(
+                f"array_join(slice(toks, chunk_idx * {s} + 1, {w}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(
+    w=_CHUNK_WINDOW, s=_CHUNK_STRIDE, o=_CHUNK_WINDOW - _CHUNK_STRIDE
+)
+
+
+# ---- deterministic global training shuffle ---------------------------------
+
+_SHUFFLE_SEED = 42
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "shuffle_for_training",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(doc_id || ':{_SHUFFLE_SEED}'), doc_id
+           ) AS BIGINT) AS shuffle_rank,
+           CAST((ROW_NUMBER() OVER (
+             ORDER BY md5(doc_id || ':{_SHUFFLE_SEED}'), doc_id
+           ) - 1) % {_SHUFFLE_SHARDS} AS INT) AS shard_id
+    FROM documents
+    """,
+)
+def shuffle_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin sharding: rank by
+    md5(doc_id:seed) — reproducible across engines and runs, unlike
+    rand() — and deal consecutive ranks across shards so each shard is an
+    unbiased sample of the corpus (the epoch-shuffle every training
+    pipeline runs before writing shards).
+
+    Scale: the global rank uses the SAME two-phase distributed prefix
+    kernel as ``operators.packing`` — range-partition on the md5 key
+    (parallel sort; md5 distributes uniformly so the ranges balance
+    regardless of doc_id clustering), per-partition local row_number,
+    then a p-row offset table (the only single-partition window runs over
+    partition COUNTS, not rows) broadcast back. A naive
+    ``row_number() OVER (ORDER BY key)`` would funnel the corpus through
+    one task. The result is partition-count-independent (local rank +
+    exact offsets = global rank), which is what lets the DuckDB oracle
+    state it as the naive single-window form. At 100 TB, shard assignment
+    without explicit rank needs only pmod(md5), one map-side pass — the
+    ranked variant is for materializing an explicit within-shard order."""
+    seed, shards = _SHUFFLE_SEED, _SHUFFLE_SHARDS
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.encode(F.concat_ws(":", F.col("doc_id"), F.lit(seed)), "UTF-8")
+        ).alias("__key"),
+    )
+    ranged = (
+        keyed.repartitionByRange(F.col("__key"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("__key", "doc_id")
+    per_pid = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_pid.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_poff"),
+    )
+    return (
+        ranged.withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            "doc_id",
+            (F.col("_poff") + F.col("_lrk")).cast("long").alias(
+                "shuffle_rank"
+            ),
+            ((F.col("_poff") + F.col("_lrk") - 1) % shards)
+            .cast("int")
+            .alias("shard_id"),
         )
     )

@@ -52,8 +52,11 @@ _PRIORITY = [
     # oracles regenerated to match ---
     "semantic_dedup",
     "merge_upsert_orders",
-    # --- z-order read path gets its first driver row this round ---
+    # --- round-4 additions: first driver rows ---
     "zorder_pruned_scan",
+    "source_quality_filter",
+    "chunk_documents",
+    "shuffle_for_training",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
