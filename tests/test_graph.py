@@ -87,3 +87,26 @@ def test_star_components_equals_label_propagation(spark, sf_dir):
         for r in star_components(docs, g_edges).collect()
     }
     assert got == want
+
+
+def test_star_components_raises_without_confirmed_fixpoint(spark):
+    """Exhausting max_iters before the exact fixpoint confirm must raise —
+    silently returning half-contracted stars would be wrong components."""
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        star_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="confirmed fixpoint"):
+        star_components(nodes, chain, max_iters=1)
+    # and one round more than needed is fine (confirm costs a round)
+    out = {
+        r.doc_id: r.component
+        for r in star_components(nodes, chain, max_iters=8).collect()
+    }
+    assert set(out.values()) == {0}
