@@ -1,0 +1,77 @@
+"""Entity linkage: edit-distance similarity join with symmetric-delete
+blocking (the SymSpell decomposition).
+
+The naive edit-distance self-join is O(n^2) string comparisons — dead at
+any scale.  The symmetric-delete observation makes it an equi-join: for
+max distance k = 1, two strings with ed(a, b) <= 1 MUST share a member of
+their depth-1 deletion neighbourhoods (each string plus every
+one-character-deleted variant):
+
+* substitution at position i  -> both sides' "delete i" variants equal;
+* insertion / deletion        -> the shorter string IS a variant of the
+  longer and of itself.
+
+So candidate generation is: explode each string into its (L + 1) variants,
+equi-join on the variant, dedup the pair.  Sharing a variant only bounds
+ed <= 2, so a final exact ``levenshtein`` pass verifies — the classic
+block-then-verify shape every similarity join in this engine uses
+(MinHash LSH, SimHash pigeonhole, PPJoin prefix).
+
+Scale: the blocking table is (L + 1) x n rows of short keys — linear, one
+shuffle on the variant key.  Candidate count is driven by real
+near-duplicate density, not n^2.  A pathological hot variant (e.g. mass
+single-char names) is a skewed join key; ``operators.skew.salted_join``
+applies unchanged if profiling shows one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: str = "name") -> F.Column:
+    """ARRAY<STRING> of the depth-1 deletion neighbourhood: the string
+    itself (i = 0) plus each one-character deletion (i = 1..L)."""
+    return F.expr(
+        f"transform(sequence(0, length({col})),"
+        f" i -> IF(i = 0, {col},"
+        f"         concat(substring({col}, 1, i - 1),"
+        f"                substring({col}, i + 1, length({col})))))"
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame, name_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All distinct unordered pairs (name_a < name_b) with
+    levenshtein <= ``max_dist`` via symmetric-delete blocking.
+
+    ``max_dist`` must be 1: depth-1 neighbourhoods are only complete for
+    k = 1 (deeper neighbourhoods grow as L^k; wire them before raising).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "depth-1 deletion blocking is complete only for max_dist=1"
+        )
+    blocked = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select(
+            "name",
+            F.explode(deletion_variants("name")).alias("block"),
+        )
+    )
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "block")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("name_a", "name_b") <= max_dist
+    )

@@ -57,6 +57,10 @@ _PRIORITY = [
     "source_quality_filter",
     "chunk_documents",
     "shuffle_for_training",
+    "bpe_pair_counts",
+    "pca_gram",
+    "fuzzy_name_pairs",
+    "copurchase_brand_pairs",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -154,6 +158,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round3_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
