@@ -218,3 +218,38 @@ def test_copurchase_pairs_ordered_and_bounded(spark, sf_dir):
         assert 0 < r["n_orders"] <= n_orders
     supports = [r["n_orders"] for r in rows]
     assert supports == sorted(supports, reverse=True)
+
+
+# ---- plan pins ---------------------------------------------------------------
+
+
+def test_new_topk_queries_plan_as_take_ordered(spark, sf_dir):
+    """Both deterministic top-k queries must use per-partition heaps
+    (TakeOrderedAndProject), never a global sort."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    for name in ("bpe_pair_counts", "copurchase_brand_pairs"):
+        df = registry.queries()[name](spark, sf_dir)
+        assert plans.uses_take_ordered(df), name
+
+
+def test_pca_gram_single_shuffle(spark, sf_dir):
+    """The Gram corpus pass shuffles once — the tiny (i, j) cell
+    aggregation after the per-batch matmul; the corpus itself never
+    moves."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["pca_gram"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_pairs_is_an_equi_join(spark, sf_dir):
+    """Symmetric-delete blocking must plan as an equi-join on the variant
+    key — no nested-loop/cartesian fallback anywhere."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["fuzzy_name_pairs"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
