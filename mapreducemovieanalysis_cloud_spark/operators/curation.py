@@ -348,3 +348,49 @@ def tokenize_with_vocab(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum((F.col("tok_id") == -1).cast("long")).alias("n_oov"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ares",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u in (0,1) from md5(salt:id) and the
+    k rows with the largest priority u^(1/w) win — inclusion probability
+    proportional to weight, exactly the length/quality-weighted document
+    draw training mixes use.
+
+    The priority is compared in log space (ln(u)/w, larger is better —
+    monotone in u^(1/w), no underflow for tiny u or huge w) and ROUNDED to
+    micro units before the top-k, with the id as the total-order tiebreak:
+    libm ln() may differ in the last ulp across engines, and an unrounded
+    float comparator would let that ulp reorder the boundary row.  Like
+    every sampler here, membership is a pure function of the KEY — stable
+    across engines, partitionings, retries, and appends.
+
+    Scale: the draw is a map-side expression; the top-k is a
+    TakeOrderedAndProject (per-partition heaps of k, never a global
+    sort).  Output columns: (id, weight, priority_micro)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * 1_000_000
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("priority_micro"),
+        )
+        .orderBy(F.desc("priority_micro"), id_col)
+        .limit(k)
+    )

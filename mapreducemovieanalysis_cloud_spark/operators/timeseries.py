@@ -89,6 +89,52 @@ def resample_hourly_locf(
     )
 
 
+def ewma_per_key(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: one row
+    (key, n_events, ewma_micro) where the state folds s' = s*(1-alpha) +
+    x*alpha over the (ts, tiebreak)-ordered series, seeded by the first
+    observation — the classic smoothing pass behind monitoring baselines
+    and feature decay.
+
+    Determinism across engines: the fold ORDER is total ((ts, tiebreak)
+    sort inside one array_sort), every multiply/add is IEEE-754 double in
+    the same association, and only the FINAL state is rounded (micro
+    units) — so a serial engine folding the same series bit-matches.
+
+    Scale: one aggregate — map-side partial collect into per-key struct
+    arrays, order restored by array_sort, fold inside the same expression;
+    no window pass, no second shuffle. State is O(1) per key; the array is
+    bounded by a key's history (cap upstream with ``cap_per_group`` for
+    adversarial keys, as with ``user_event_sequences``)."""
+    a = float(alpha)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("__us"),
+                F.col(tiebreak_col).alias("__tb"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["__v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda s, x: s * F.lit(1.0 - a) + x * F.lit(a),
+    )
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(folded * 1_000_000).cast("long").alias("ewma_micro"),
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     stages: list[str],

@@ -61,6 +61,10 @@ _PRIORITY = [
     "pca_gram",
     "fuzzy_name_pairs",
     "copurchase_brand_pairs",
+    "ewma_user_value",
+    "weighted_sample_docs",
+    "dq_orders_gate",
+    "classifier_auc",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -159,6 +163,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round3_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
