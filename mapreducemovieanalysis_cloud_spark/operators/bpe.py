@@ -112,9 +112,9 @@ def apply_merge(symbols: DataFrame, a: str, b: str) -> DataFrame:
         ).otherwise(F.concat(acc, F.array(x)))
 
     empty = F.array().cast("array<string>")
-    return symbols.select(
-        "freq", F.aggregate("sym", empty, step).alias("sym")
-    )
+    # withColumn (not select) so carrier columns — freq, or the word key
+    # in the encode path — survive the fold
+    return symbols.withColumn("sym", F.aggregate("sym", empty, step))
 
 
 def bpe_train(
@@ -163,3 +163,61 @@ def bpe_encode_word(sym: list[str], merges: list[tuple[str, str, int]]) -> list[
                 out.append(x)
         sym = out
     return sym
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list: (id, tokens
+    ARRAY<STRING>) where each word is encoded by the merge sequence.
+
+    The scalable shape encodes each word TYPE once, not each token
+    occurrence: distinct words (Heaps-law-bounded) run through the merge
+    folds, and the word->symbols mapping joins back onto the corpus rows
+    (broadcast-sized for any real vocabulary-to-corpus ratio).  Merge
+    folds chain lazily with a localCheckpoint every ``checkpoint_every``
+    merges so the expression tree depth stays bounded while the type
+    table stays distributed.
+
+    Per-doc token order is restored by flattening the per-word encodings
+    in the document's own word order.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.expr(rf"filter(split(trim({text_col}), '\\s+'), x -> x <> '')")
+        .alias("__words"),
+    )
+    types = (
+        words.select(F.explode("__words").alias("word"))
+        .distinct()
+        .select(
+            F.col("word"),
+            F.expr("filter(split(word, ''), x -> x <> '')").alias("sym"),
+        )
+    )
+    for k, (a, b, _) in enumerate(merges):
+        types = apply_merge(types, a, b)
+        if (k + 1) % checkpoint_every == 0:
+            types = types.localCheckpoint()
+    mapping = types.select("word", F.col("sym").alias("__enc"))
+    exploded = words.select(
+        id_col, F.posexplode("__words").alias("__pos", "word")
+    )
+    return (
+        exploded.join(F.broadcast(mapping), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__enc"))
+                    ),
+                    lambda s: s["__enc"],
+                )
+            ).alias("tokens")
+        )
+    )

@@ -1,0 +1,244 @@
+"""Round-4 fourth wave: evaluation/meta analytics over the engine's own
+classifiers and corpus mix — Cohen's kappa for the language identifier,
+calibration bins for the quality classifier, and temperature-scaled
+multilingual sampling weights.
+
+Everything but one 5-double pow-sum is exact int64: the kappa and
+accuracy are integer rationals over contingency counts (both engines
+truncate integer division toward zero — verified), calibration is fixed-
+width integer binning, and the temperature mix rounds a double ratio to
+micro units only at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.functions import text as T
+from mapreducemovieanalysis_cloud_spark.queries.functions_queries import (
+    _lang_score_sql,
+)
+from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+    _SQL_LOGIT,
+    SPARK_LOGIT,
+)
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+# ---- Cohen's kappa for the language identifier ------------------------------
+
+_PRED_SQL = f"""
+      SELECT lang AS label,
+             CASE WHEN greatest({_lang_score_sql("en")},
+                               {_lang_score_sql("es")},
+                               {_lang_score_sql("de")},
+                               {_lang_score_sql("fr")}) = 0 THEN 'unknown'
+                  WHEN {_lang_score_sql("en")} = greatest(
+                       {_lang_score_sql("en")}, {_lang_score_sql("es")},
+                       {_lang_score_sql("de")}, {_lang_score_sql("fr")})
+                    THEN 'en'
+                  WHEN {_lang_score_sql("es")} = greatest(
+                       {_lang_score_sql("en")}, {_lang_score_sql("es")},
+                       {_lang_score_sql("de")}, {_lang_score_sql("fr")})
+                    THEN 'es'
+                  WHEN {_lang_score_sql("de")} = greatest(
+                       {_lang_score_sql("en")}, {_lang_score_sql("es")},
+                       {_lang_score_sql("de")}, {_lang_score_sql("fr")})
+                    THEN 'de'
+                  ELSE 'fr' END AS pred
+      FROM documents
+"""
+
+
+@query(
+    "langid_kappa",
+    oracle=f"""
+    WITH p AS ({_PRED_SQL}),
+    conf AS (SELECT label, pred, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+    tot AS (SELECT SUM(cnt) AS n,
+                   SUM(CASE WHEN label = pred THEN cnt ELSE 0 END)
+                     AS agree
+            FROM conf),
+    rows_ AS (SELECT label AS cls, SUM(cnt) AS rc FROM conf GROUP BY 1),
+    cols_ AS (SELECT pred AS cls, SUM(cnt) AS cc FROM conf GROUP BY 1),
+    pe AS (SELECT COALESCE(SUM(rc * cc), 0) AS pe_sum
+           FROM rows_ JOIN cols_ USING (cls))
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST((agree * 1000000) // n AS BIGINT) AS accuracy_micro,
+           CAST(((n * agree - pe_sum) * 1000000) // (n * n - pe_sum)
+                AS BIGINT) AS kappa_micro
+    FROM tot, pe
+    """,
+)
+def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's kappa) between the stopword
+    language identifier and the labeled lang — the eval metric that,
+    unlike raw accuracy, doesn't reward majority-class parroting.
+
+    kappa = (n*agree - SUM(row_c * col_c)) / (n^2 - SUM(row_c * col_c)) —
+    an integer rational over contingency counts.  Plan: one shuffle
+    builds the contingency table (classes^2 rows at ANY corpus size);
+    totals, marginals and the kappa assemble on that tiny table with
+    broadcast cross-joins.  At n beyond ~3·10^9 the n^2 term needs
+    DECIMAL(38) instead of int64 — wire the cast when a corpus actually
+    crosses it rather than paying decimal arithmetic everywhere now."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores_from_tokens(T.tokens("text"))
+    pred = docs.select(
+        F.col("lang").alias("label"),
+        T.predicted_lang_from_scores(scores).alias("pred"),
+    )
+    # the contingency table is classes^2 rows; localCheckpoint it so the
+    # four derived aggregates (totals, two marginals, pe) all read these
+    # few rows instead of re-running the corpus scan per branch
+    conf = (
+        pred.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = conf.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("agree"),
+    )
+    rows_ = conf.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("cnt").alias("rc")
+    )
+    cols_ = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("cnt").alias("cc")
+    )
+    pe = (
+        rows_.join(cols_, "cls")
+        .agg(F.coalesce(F.sum(F.col("rc") * F.col("cc")), F.lit(0)).alias(
+            "pe_sum"
+        ))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.expr("(agree * 1000000) div n").alias("accuracy_micro"),
+        F.expr(
+            "((n * agree - pe_sum) * 1000000) div (n * n - pe_sum)"
+        ).alias("kappa_micro"),
+    )
+
+
+# ---- calibration bins for the quality classifier ----------------------------
+
+_CAL_LO = -300
+_CAL_WIDTH = 60
+
+
+@query(
+    "classifier_calibration",
+    oracle=f"""
+    WITH f AS (SELECT CAST({_SQL_LOGIT} AS BIGINT) AS s,
+                      CAST(lang = 'en' AS BIGINT) AS y
+               FROM documents)
+    SELECT CAST((s - {_CAL_LO}) // {_CAL_WIDTH} AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT)
+             AS pos_rate_micro
+    FROM f GROUP BY 1
+    """,
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data for the quality logit against the
+    lang='en' label: fixed-width logit bins (width {w}, origin {lo} — the
+    logit's exact lower bound) with the positive fraction per bin, the
+    companion diagnostic to `classifier_auc` (AUC ranks; calibration
+    checks the probabilities themselves).
+
+    Fixed-width integer binning — never data-derived quantiles — keeps
+    the bin of a row a pure function of the row, so bins are stable
+    across engines, partitions, and corpus growth.  One aggregate,
+    map-side partials, bin cardinality bounded by the logit domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(f"CAST({SPARK_LOGIT} AS BIGINT)").alias("s"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy(
+            F.expr(f"CAST((s - {_CAL_LO}) div {_CAL_WIDTH} AS INT)").alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("(n_pos * 1000000) div n_docs").alias(
+                "pos_rate_micro"
+            ),
+        )
+    )
+
+
+classifier_calibration.__doc__ = classifier_calibration.__doc__.format(
+    w=_CAL_WIDTH, lo=_CAL_LO
+)
+
+
+# ---- temperature-scaled multilingual sampling -------------------------------
+
+_MIX_ALPHA = 0.7
+
+
+@query(
+    "lang_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT SUM(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) AS z
+          FROM c)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(ROUND(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA}) / z
+                      * 1000000) AS BIGINT) AS weight_micro
+    FROM c, t
+    """,
+)
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (alpha = {a}):
+    w_l proportional to count_l^alpha — the standard up-weighting of
+    low-resource languages in multilingual pretraining mixes (the
+    population fraction cancels, so counts feed pow directly).
+
+    Scale: one count aggregate (language cardinality is tiny), the
+    normalizer is a 1-row broadcast back — the corpus is scanned once and
+    never re-shuffled.  The single float ratio rounds to micro units at
+    the very end; a last-ulp libm pow() divergence sits ten orders of
+    magnitude below the rounding step."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)).alias("z")
+    )
+    return counts.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)
+            / F.col("z")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+lang_temperature_mix.__doc__ = lang_temperature_mix.__doc__.format(
+    a=_MIX_ALPHA
+)

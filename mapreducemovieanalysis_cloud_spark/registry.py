@@ -65,6 +65,9 @@ _PRIORITY = [
     "weighted_sample_docs",
     "dq_orders_gate",
     "classifier_auc",
+    "langid_kappa",
+    "classifier_calibration",
+    "lang_temperature_mix",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -164,6 +167,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
