@@ -1,0 +1,127 @@
+"""Round-4 streaming additions: the continuous EWMA converges to the
+batch fold across micro-batch boundaries, and the DQ gate routes every
+row to exactly one sink with the right violation names."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.operators import timeseries
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+from mapreducemovieanalysis_cloud_spark.streaming import dq, ewma
+
+
+def test_streaming_ewma_converges_to_batch(spark, sf_dir, tmp_path):
+    """Two in-order (chronological) micro-batches: the final streaming
+    state per user equals ewma_per_key over the full events table — the
+    stream/batch parity the shared fold semantics promise."""
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    early = events.where(F.unix_micros("ts") <= cut)
+    late = events.where(F.unix_micros("ts") > cut)
+    src = tmp_path / "ewma_src"
+    early.write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    out = ewma.running_ewma(stream, alpha=0.2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late.write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        final = {
+            r.user_id: (r.n_events, r.ewma_micro)
+            for r in spark.sql(
+                """SELECT user_id, n_events, ewma_micro FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC) rn
+                     FROM ewma_test)
+                   WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        r["user_id"]: (r["n_events"], r["ewma_micro"])
+        for r in timeseries.ewma_per_key(events, alpha=0.2).collect()
+    }
+    assert final == expected
+
+
+def test_dq_gate_routes_rows_exactly_once(spark, tmp_path):
+    """Every input row lands in exactly one sink; quarantined rows name
+    every violated constraint; NULL predicate results quarantine (a gate
+    must treat unknown as failure)."""
+    rows = [
+        (1, 10.0, "A"),
+        (2, -5.0, "A"),  # range violation
+        (3, 7.0, "X"),  # domain violation
+        (4, -1.0, "X"),  # both
+        (5, None, "B"),  # NULL -> range unknown -> quarantined
+    ]
+    src = tmp_path / "dq_src"
+    spark.createDataFrame(
+        rows, "id LONG, price DOUBLE, status STRING"
+    ).write.parquet(str(src / "b1"))
+
+    preds = [
+        ("price_positive", "price > 0"),
+        ("status_known", "status IN ('A', 'B')"),
+    ]
+    stream = spark.readStream.schema(
+        "id LONG, price DOUBLE, status STRING"
+    ).parquet(str(src / "*"))
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    q = dq.dq_gate_sink(
+        stream, preds, good, quar, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: all clean
+        spark.createDataFrame(
+            [(6, 1.0, "B")], "id LONG, price DOUBLE, status STRING"
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    good_ids = {
+        r["id"] for r in spark.read.parquet(good).collect()
+    }
+    quarantined = {
+        r["id"]: r["violations"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert good_ids == {1, 6}
+    assert quarantined == {
+        2: "price_positive",
+        3: "status_known",
+        4: "price_positive,status_known",
+        5: "price_positive",
+    }
+
+
+def test_violations_column_is_pure_projection(spark, sf_dir):
+    """The violation tagging is a map-side projection — applying it to a
+    batch frame adds zero exchanges."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.withColumn(
+        "__v",
+        dq.violations_column(
+            [
+                ("price_positive", "o_totalprice > 0"),
+                ("status_known", "o_orderstatus IN ('F','O','P')"),
+            ]
+        ),
+    )
+    assert "Exchange" not in plans.executed_plan(tagged)
