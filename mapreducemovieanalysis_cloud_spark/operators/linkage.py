@@ -31,13 +31,24 @@ from pyspark.sql import functions as F
 
 
 def deletion_variants(col: str = "name") -> F.Column:
-    """ARRAY<STRING> of the depth-1 deletion neighbourhood: the string
-    itself (i = 0) plus each one-character deletion (i = 1..L)."""
+    """ARRAY<STRUCT<pos INT, block STRING>> — the depth-1 deletion
+    neighbourhood WITH the deletion position: the string itself at
+    pos = 0 plus each one-character deletion at pos = 1..L.
+
+    Carrying the position lets the join prune candidates positionally
+    (see ``fuzzy_pairs``): for ed <= 1 the only productive matches are
+    same-position deletions (substitution at that position) and matches
+    against a whole string (pos = 0: insertion/deletion) — two names
+    sharing a variant under DIFFERENT non-zero positions are ed = 2
+    lookalikes (transposition-shaped) that pure string blocking would
+    force the verifier to reject one by one."""
     return F.expr(
         f"transform(sequence(0, length({col})),"
-        f" i -> IF(i = 0, {col},"
-        f"         concat(substring({col}, 1, i - 1),"
-        f"                substring({col}, i + 1, length({col})))))"
+        f" i -> struct(CAST(i AS INT) AS pos,"
+        f"             IF(i = 0, {col},"
+        f"                concat(substring({col}, 1, i - 1),"
+        f"                       substring({col}, i + 1, length({col}))))"
+        f"             AS block))"
     )
 
 
@@ -59,19 +70,38 @@ def fuzzy_pairs(
         .distinct()
         .select(
             "name",
-            F.explode(deletion_variants("name")).alias("block"),
+            F.explode(deletion_variants("name")).alias("v"),
+        )
+        .select(
+            "name",
+            F.col("v.pos").alias("pos"),
+            F.col("v.block").alias("block"),
         )
     )
-    cand = (
+    # positional pruning makes the candidate set EXACT: a same-position
+    # match means the names agree everywhere but that position
+    # (substitution, ed = 1); a pos-0 match means one name IS the other's
+    # deletion (ed = 1). Different non-zero positions are ed = 2
+    # transposition lookalikes — on dense sequential populations they are
+    # the majority of raw co-occurrences, and this predicate removes them
+    # before they exist as rows. The levenshtein verify stays as the
+    # contract's belt-and-suspenders; it now runs on output-sized input.
+    # distinct last: a true pair can still match under several positions.
+    return (
         blocked.alias("a")
         .join(blocked.alias("b"), "block")
-        .where(F.col("a.name") < F.col("b.name"))
+        .where(
+            (F.col("a.name") < F.col("b.name"))
+            & (
+                (F.col("a.pos") == F.col("b.pos"))
+                | (F.col("a.pos") == 0)
+                | (F.col("b.pos") == 0)
+            )
+        )
         .select(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
         )
+        .where(F.levenshtein("name_a", "name_b") <= max_dist)
         .distinct()
-    )
-    return cand.where(
-        F.levenshtein("name_a", "name_b") <= max_dist
     )
