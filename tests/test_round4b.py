@@ -253,3 +253,36 @@ def test_fuzzy_pairs_is_an_equi_join(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_copurchase_giant_basket_capped_workflow(spark):
+    """The documented guard for unbounded baskets: cap_per_group bounds a
+    pathological order's items BEFORE the pair self-join, so the pair
+    space for a k-item basket is C(cap,2), not C(k,2) — and normal
+    baskets pass through untouched."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    giant = [(1, f"b{i:03d}") for i in range(100)]
+    normal = [(2, "b001"), (2, "b002"), (3, "b001")]
+    basket = spark.createDataFrame(
+        giant + normal, "okey LONG, brand STRING"
+    )
+    capped = curation.cap_per_group(
+        basket, group_col="okey", id_col="brand", cap=8
+    ).select("okey", "brand")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand"), F.col("b.brand"))
+        .count()
+    )
+    per_order = capped.groupBy("okey").count().collect()
+    sizes = {r["okey"]: r["count"] for r in per_order}
+    assert sizes[1] == 8  # giant basket truncated to the cap
+    assert sizes[2] == 2 and sizes[3] == 1  # small baskets intact
+    # pair space bounded by C(8,2) for the giant order + 1 normal pair
+    assert pairs.agg(F.sum("count")).collect()[0][0] == 28 + 1
