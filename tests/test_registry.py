@@ -35,3 +35,48 @@ def test_enumerable_without_spark_session():
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """No query in the registry may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed ONLY where the design calls for a
+    broadcast of a one-row aggregate / deliberately tiny side (scalar
+    normalizers, thresholds, codebook stats — and the cross-join family
+    query itself). A new query that accidentally cross-joins two fact
+    tables fails here before any driver run sees it."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    BNLJ_BY_DESIGN = {
+        # cross-join family query: the operator under test IS the cross join
+        "join_cross",
+        # 1-row scalar broadcasts: normalizers / global thresholds / counts
+        "source_quality_filter",
+        "lang_temperature_mix",
+        "langid_kappa",
+        "dq_orders_gate",
+        "train_mix_sample",
+        "histogram_equidepth",
+        "bigram_pmi",
+        "bm25_rank",
+        "tpch_q11_important_stock",
+        "tpch_q22_global_sales",
+        "merge_upsert_orders",
+        # broadcast query-set x corpus blocks: every query scores every
+        # candidate row by design (brute force / probe scoring)
+        "ann_bruteforce",
+        "ann_ivf",
+        "ann_ivf_pq",
+        "kmeans_embeddings",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in registry.queries().items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BY_DESIGN
+        ):
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
