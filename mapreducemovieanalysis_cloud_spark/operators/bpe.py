@@ -221,3 +221,23 @@ def bpe_encode_corpus(
             ).alias("tokens")
         )
     )
+
+
+def save_merges(
+    spark, merges: list[tuple[str, str, int]], path: str
+) -> None:
+    """Persist a learned merge list as parquet with its rank — the
+    tokenizer artifact (train once, encode many), mirroring the stored
+    IVF index lifecycle."""
+    spark.createDataFrame(
+        [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "rank INT, a STRING, b STRING, cnt LONG",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Reload a persisted merge list in training order."""
+    return [
+        (r["a"], r["b"], r["cnt"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

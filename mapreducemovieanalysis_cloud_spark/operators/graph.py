@@ -186,3 +186,46 @@ def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
         per_node.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
         .limit(topk)
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k — the standard peel: repeatedly delete under-degree nodes
+    until fixpoint. Returns (node,), deterministic (the k-core is unique,
+    so peeling order cannot matter).
+
+    Each round: restrict edges to surviving endpoints (two semi-joins on
+    the node key), one degree aggregate, drop nodes below k. Convergence
+    is an O(1)-row count action per round — the same driver discipline as
+    label propagation — and the survivor set localCheckpoints so lineage
+    depth stays one round. Round count is bounded by the degeneracy
+    ordering depth (small for real graphs); ``max_iters`` raises rather
+    than silently returning a non-fixpoint, like ``star_components``.
+
+    Scale: per round the edge list shuffles on its endpoints only
+    (~16 B/edge) and strictly shrinks; node state is one row per
+    survivor. No step depends on partitioning.
+    """
+    und = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    for _ in range(max_iters):
+        alive = und.join(
+            nodes, und["u"] == nodes["node"], "left_semi"
+        ).join(nodes, F.col("v") == nodes["node"], "left_semi")
+        keep = (
+            alive.groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+        n_before = nodes.count()
+        n_after = keep.count()
+        nodes = keep
+        if n_after == n_before or n_after == 0:
+            return nodes
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within {max_iters} rounds"
+    )

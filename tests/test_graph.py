@@ -110,3 +110,51 @@ def test_star_components_raises_without_confirmed_fixpoint(spark):
         for r in star_components(nodes, chain, max_iters=8).collect()
     }
     assert set(out.values()) == {0}
+
+
+def test_k_core_matches_serial_peel(spark, sf_dir):
+    """Distributed peel equals the serial reference k-core on the
+    supplier co-supply graph, for several k."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        lineitem, "l_orderkey", "l_suppkey", min_shared=2
+    ).localCheckpoint()
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+
+    def serial_k_core(k: int) -> set[int]:
+        alive = {n for n in adj}
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return alive
+
+    for k in (2, 3, 5):
+        got = {
+            r["node"] for r in graph.k_core(edges, k=k).collect()
+        }
+        assert got == serial_k_core(k), k
+
+
+def test_k_core_invariants(spark):
+    """Every member keeps >= k neighbours INSIDE the core; a node just
+    outside (chain tail) is excluded; empty result when k exceeds the
+    graph's degeneracy."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    # triangle (1,2,3) with a pendant chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u LONG, v LONG"
+    )
+    core2 = {r["node"] for r in graph.k_core(edges, k=2).collect()}
+    assert core2 == {1, 2, 3}
+    assert graph.k_core(edges, k=3).count() == 0

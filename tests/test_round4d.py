@@ -188,3 +188,19 @@ def test_bpe_encode_corpus_compresses(spark, sf_dir):
         )
     ).collect()[0][0]
     assert n_sym < n_char
+
+
+def test_bpe_model_roundtrip(spark, sf_dir, tmp_path):
+    """Train -> save -> load -> encode equals encoding with the in-memory
+    merges: the tokenizer artifact survives its storage format."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    merges = bpe.bpe_train(bpe.word_freq(docs), n_merges=6)
+    path = str(tmp_path / "bpe_model")
+    bpe.save_merges(spark, merges, path)
+    reloaded = bpe.load_merges(spark, path)
+    assert reloaded == merges
+    a = bpe.bpe_encode_corpus(docs, merges).collect()
+    b = bpe.bpe_encode_corpus(docs, reloaded).collect()
+    assert sorted((r["doc_id"], tuple(r["tokens"])) for r in a) == sorted(
+        (r["doc_id"], tuple(r["tokens"])) for r in b
+    )
