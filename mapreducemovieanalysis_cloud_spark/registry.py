@@ -37,14 +37,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run covers a bounded prefix of the registry
 # (~50 entries), so registration order is a coverage decision, not a style
-# one.  Policy (round 4): pure rotation.  All 142 queries have at least one
-# green driver row (union of r01-r03), so the window re-verifies the stalest
-# rows first: semantic_dedup leads because its blocking was
-# scale-parameterized this round (new oracle needs a fresh driver check),
-# then the 43 queries whose only green row is round 1, then the r02 entries
-# reading the `events` table — the driver regenerated events.ts' physical
-# parquet type between rounds, and these have never been driver-re-checked
-# on the new data.  Bounds every green row's staleness to <=2 rounds.
+# one.  Policy (round 4): never-checked first, then rotation.  The head is
+# the two queries whose semantics (and oracles) changed this round plus the
+# fifteen round-4 additions — none has any driver row yet.  Rotation fills
+# the rest: the r02 entries reading the `events` table (the driver
+# regenerated events.ts' physical parquet type after their last green row),
+# then the queries whose only green row is round 1, oldest coverage first.
+# The r01-stale entries past the ~50-slot cut roll to the round-5 window
+# (all are union-green across r01-r03 and stay covered by the local
+# driver-sim + pytest oracle suite every round).
 _PRIORITY = [
     # --- re-check first: semantics changed this round (semantic_dedup's k
     # now derived from corpus count + salted cluster join;
