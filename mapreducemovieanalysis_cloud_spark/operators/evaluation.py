@@ -62,3 +62,37 @@ def auc_by_ranksum(
             " div (2 * n_pos * n_neg)"
         ).alias("auc_micro"),
     )
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    (query_id, n_hits, recall_micro), one row per query — the index-
+    quality metric every ANN deployment tracks next to its latency.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k sets.  Plan: one
+    equi-join on (query_id, neighbor_id) — k rows per query on each side,
+    so the join is query-cardinality-sized regardless of corpus size —
+    then a per-query count.  A left join from the exact side keeps
+    zero-hit queries in the output (an inner join would silently drop
+    exactly the queries an index is failing on)."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", F.col("neighbor_id").alias("__hit")
+    )
+    return (
+        e.join(
+            a,
+            (e["query_id"] == a["query_id"])
+            & (e["neighbor_id"] == a["__hit"]),
+            "left",
+        )
+        .groupBy(e["query_id"].alias("query_id"))
+        .agg(F.count("__hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * {MICRO}) div {k}").alias("recall_micro"),
+        )
+    )

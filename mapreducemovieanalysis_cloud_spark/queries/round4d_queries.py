@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions import text as T
+from mapreducemovieanalysis_cloud_spark.operators import evaluation
 from mapreducemovieanalysis_cloud_spark.queries.functions_queries import (
     _lang_score_sql,
 )
@@ -241,4 +242,106 @@ def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 lang_temperature_mix.__doc__ = lang_temperature_mix.__doc__.format(
     a=_MIX_ALPHA
+)
+
+
+# ---- ANN index quality: recall@k vs exact ground truth -----------------------
+
+_RECALL_K = 10
+_RECALL_NQ = 5
+_RECALL_NCENT = 8
+_RECALL_NPROBE = 2
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the brute-force and IVF oracle chains (same fragments as
+    their standalone queries) and count the overlap per query."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _COSINE,
+        _QUANT,
+        _dot,
+    )
+
+    k, nq = _RECALL_K, _RECALL_NQ
+    ncent, nprobe = _RECALL_NCENT, _RECALL_NPROBE
+    cdot = _dot("b.qv", "c.qc")
+    return f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    bq AS (SELECT vec_id AS query_id, qv AS qa FROM base
+           WHERE vec_id < {nq}),
+    bscored AS (SELECT query_id, c.vec_id AS neighbor_id, qa, c.qv AS qb
+                FROM bq, base c WHERE c.vec_id <> query_id),
+    btop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+               FROM bscored) WHERE rank <= {k}),
+    cents AS (SELECT vec_id AS cent_id, qv AS qc FROM base
+              WHERE vec_id < {ncent}),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT b.vec_id, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                          ORDER BY {cdot} DESC, c.cent_id) AS rn
+                 FROM base b, cents c) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cell FROM (
+                 SELECT b.vec_id, c.cent_id AS cell,
+                        ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                          ORDER BY {cdot} DESC, c.cent_id) AS rn
+                 FROM base b, cents c WHERE b.vec_id < {nq})
+               WHERE rn <= {nprobe}),
+    iscored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                       tq.qv AS qa, tn.qv AS qb
+                FROM qprobe p
+                JOIN assign a ON a.cell = p.cell
+                JOIN base tq ON tq.vec_id = p.query_id
+                JOIN base tn ON tn.vec_id = a.vec_id
+                WHERE a.vec_id <> p.query_id),
+    itop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+               FROM iscored) WHERE rank <= {k})
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(i.neighbor_id) * 1000000) // {k} AS BIGINT)
+             AS recall_micro
+    FROM btop b LEFT JOIN itop i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("ann_recall_ivf", oracle=_ann_recall_oracle())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the IVF index (nprobe={p}) against exact brute-force
+    ground truth, per query (operators/evaluation.py:recall_at_k) — the
+    build→probe→MEASURE closing of the similarity-search story: an ANN
+    tier you can't measure is an ANN tier you can't tune.
+
+    Scale: ground truth is computed for a small evaluation query SAMPLE
+    (here {q} queries), never the full corpus — the brute-force side is
+    |sample| x corpus scored once, and the recall join is k-rows-per-query
+    on both sides.  The oracle composes the SAME CTE fragments as the
+    standalone ann_bruteforce/ann_ivf oracles, so a drift in either
+    pipeline breaks exactly one query."""
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries_df, k=_RECALL_K)
+    approx = similarity.ann_ivf_topk(
+        emb,
+        queries_df,
+        k=_RECALL_K,
+        n_centroids=_RECALL_NCENT,
+        nprobe=_RECALL_NPROBE,
+    )
+    return evaluation.recall_at_k(approx, exact, k=_RECALL_K)
+
+
+ann_recall_ivf.__doc__ = ann_recall_ivf.__doc__.format(
+    k=_RECALL_K, p=_RECALL_NPROBE, q=_RECALL_NQ
 )

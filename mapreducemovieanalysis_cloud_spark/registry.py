@@ -69,6 +69,7 @@ _PRIORITY = [
     "langid_kappa",
     "classifier_calibration",
     "lang_temperature_mix",
+    "ann_recall_ivf",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

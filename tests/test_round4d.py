@@ -204,3 +204,35 @@ def test_bpe_model_roundtrip(spark, sf_dir, tmp_path):
     assert sorted((r["doc_id"], tuple(r["tokens"])) for r in a) == sorted(
         (r["doc_id"], tuple(r["tokens"])) for r in b
     )
+
+
+# ---- ANN recall --------------------------------------------------------------
+
+
+def test_ann_recall_matches_oracle_both_sf(spark, sf_dir, oracle_sf_dir):
+    sql = registry.oracle_sql()["ann_recall_ivf"]
+    q = registry.queries()["ann_recall_ivf"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_recall_at_k_keeps_zero_hit_queries(spark):
+    """A query whose approximate set misses everything still appears,
+    with recall 0 — the failing queries are the ones worth seeing."""
+    from mapreducemovieanalysis_cloud_spark.operators.evaluation import (
+        recall_at_k,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id LONG, neighbor_id LONG",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 98), (2, 99)],
+        "query_id LONG, neighbor_id LONG",
+    )
+    out = {
+        r["query_id"]: (r["n_hits"], r["recall_micro"])
+        for r in recall_at_k(approx, exact, k=2).collect()
+    }
+    assert out == {1: (1, 500_000), 2: (0, 0)}
