@@ -70,6 +70,8 @@ _PRIORITY = [
     "classifier_calibration",
     "lang_temperature_mix",
     "ann_recall_ivf",
+    "event_transition_matrix",
+    "histogram2d_price_qty",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -170,6 +172,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
