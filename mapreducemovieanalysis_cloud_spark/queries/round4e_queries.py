@@ -120,3 +120,154 @@ def histogram2d_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_bin", "qty_bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---- within-document repeated-segment removal -------------------------------
+
+_SEG_WORDS = 2
+
+
+@query(
+    "drop_repeated_segments",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    segs AS (SELECT doc_id,
+                    array_to_string(list_slice(w, (i - 1) * {_SEG_WORDS} + 1,
+                                               i * {_SEG_WORDS}), ' ') AS seg,
+                    i
+             FROM t, unnest(generate_series(1,
+                    CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT))) AS g(i)),
+    keep AS (SELECT doc_id, seg, i,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+                                       ORDER BY i) AS rn
+             FROM segs)
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS cleaned,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM keep GROUP BY doc_id
+    """,
+)
+def drop_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-segment removal (the MassiveText-style
+    line/paragraph dedup, on deterministic {n}-word segments since the
+    synthetic corpus has no newlines): keep each segment's FIRST
+    occurrence, reassemble the text in order, report kept/dropped counts.
+
+    Plan: tokenize → non-overlapping segment windows (map-side arithmetic
+    on the token array) → first-occurrence via ROW_NUMBER over
+    (doc, segment) → ordered re-aggregation. Both shuffles key on the
+    doc id, so a document never spans partitions and segment state is
+    bounded by the longest document — the same per-doc discipline as
+    winnowing."""
+    w = _SEG_WORDS
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w")
+    )
+    segs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(w) / {w}.0D) AS INT)),"
+                f" i -> struct(i AS i,"
+                f"  array_join(slice(w, (i - 1) * {w} + 1, {w}), ' ')"
+                f"  AS seg))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+    keep = segs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "seg").orderBy("i")
+        ),
+    )
+    return keep.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1, F.struct("i", "seg")
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+    )
+
+
+drop_repeated_segments.__doc__ = drop_repeated_segments.__doc__.format(
+    n=_SEG_WORDS
+)
+
+
+# ---- smoothed target encoding ------------------------------------------------
+
+_TE_PRIOR_WEIGHT = 20
+
+
+@query(
+    "target_encode_segment",
+    oracle=f"""
+    WITH j AS (SELECT c.c_mktsegment AS seg,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+               FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+    g AS (SELECT seg, COUNT(*) AS n, SUM(cents) AS s FROM j GROUP BY 1),
+    p AS (SELECT SUM(n) AS n_all, SUM(s) AS s_all FROM g)
+    SELECT seg AS segment, CAST(n AS BIGINT) AS n_orders,
+           CAST((s + ({_TE_PRIOR_WEIGHT} * s_all) // n_all)
+                // (n + {_TE_PRIOR_WEIGHT}) AS BIGINT) AS encoded_cents
+    FROM g, p
+    """,
+)
+def target_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of the market segment against order value
+    (additive/James-Stein-style: (sum + m*prior) / (n + m), m = {m}) —
+    the category-to-number feature transform that doesn't overfit rare
+    categories to their own noise.
+
+    Exactness: cents are int64 and the prior term uses integer division
+    of global sums, so the encoding is an exact integer in any engine.
+    Plan: one key-partitioned join, one aggregate to category
+    cardinality, a 1-row global prior broadcast back — the corpus
+    shuffles once, categories never re-shuffle."""
+    m = _TE_PRIOR_WEIGHT
+    j = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    g = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    p = g.agg(
+        F.sum("n").alias("n_all"), F.sum("s").alias("s_all")
+    )
+    return g.crossJoin(F.broadcast(p)).select(
+        F.col("seg").alias("segment"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(
+            f"(s + ({m} * s_all) div n_all) div (n + {m})"
+        ).alias("encoded_cents"),
+    )
+
+
+target_encode_segment.__doc__ = target_encode_segment.__doc__.format(
+    m=_TE_PRIOR_WEIGHT
+)

@@ -72,6 +72,8 @@ _PRIORITY = [
     "ann_recall_ivf",
     "event_transition_matrix",
     "histogram2d_price_qty",
+    "drop_repeated_segments",
+    "target_encode_segment",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

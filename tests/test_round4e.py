@@ -61,3 +61,135 @@ def test_histogram2d_mass_conservation(spark, sf_dir):
     for r in out:
         assert r["n"] > 0
         assert r["price_bin"] >= 0 and r["qty_bin"] >= 0
+
+
+ROUND4E_B = ("drop_repeated_segments", "target_encode_segment")
+
+
+@pytest.mark.parametrize("name", ROUND4E_B)
+def test_matches_oracle_small_b(spark, sf_dir, name):
+    assert_matches_oracle(
+        registry.queries()[name](spark, sf_dir),
+        registry.oracle_sql()[name],
+        sf_dir,
+    )
+
+
+@pytest.mark.parametrize("name", ROUND4E_B)
+def test_matches_oracle_sf001_b(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        registry.queries()[name](spark, oracle_sf_dir),
+        registry.oracle_sql()[name],
+        oracle_sf_dir,
+    )
+
+
+def test_drop_repeated_segments_semantics(spark):
+    """A crafted doc with an exact repeated segment loses the SECOND
+    occurrence only; a repeat-free doc passes through identical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd aa bb ee ff"),  # segment 'aa bb' repeats
+            (2, "gg hh ii jj"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    from pyspark.sql import functions as FF
+
+    t = docs.select(
+        "doc_id", FF.expr(r"split(trim(text), '\\s+')").alias("w")
+    )
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_kept"], r["n_dropped"])
+        for r in _run_segment_dedup(spark, t).collect()
+    }
+    assert out[1] == ("aa bb cc dd ee ff", 3, 1)
+    assert out[2] == ("gg hh ii jj", 2, 0)
+
+
+def _run_segment_dedup(spark, t):
+    """Inline copy of the segment-dedup pipeline over a prepared (doc_id,
+    w) frame, sharing the query's constants."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    from mapreducemovieanalysis_cloud_spark.queries.round4e_queries import (
+        _SEG_WORDS as w,
+    )
+
+    segs = t.select(
+        "doc_id",
+        FF.explode(
+            FF.expr(
+                f"transform(sequence(1, CAST(ceil(size(w) / {w}.0D) AS INT)),"
+                f" i -> struct(i AS i,"
+                f"  array_join(slice(w, (i - 1) * {w} + 1, {w}), ' ')"
+                f"  AS seg))"
+            )
+        ).alias("s"),
+    ).select("doc_id", FF.col("s.i").alias("i"), FF.col("s.seg").alias("seg"))
+    keep = segs.withColumn(
+        "rn",
+        FF.row_number().over(W.partitionBy("doc_id", "seg").orderBy("i")),
+    )
+    return keep.groupBy("doc_id").agg(
+        FF.array_join(
+            FF.transform(
+                FF.array_sort(
+                    FF.collect_list(
+                        FF.when(FF.col("rn") == 1, FF.struct("i", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+        FF.sum((FF.col("rn") == 1).cast("long")).alias("n_kept"),
+        FF.sum((FF.col("rn") > 1).cast("long")).alias("n_dropped"),
+    )
+
+
+def test_drop_repeated_segments_fires_on_corpus(spark, oracle_sf_dir):
+    """The corpus actually contains within-doc repeats — the transform
+    must drop something somewhere (else the test proves nothing)."""
+    out = registry.queries()["drop_repeated_segments"](
+        spark, oracle_sf_dir
+    )
+    total_dropped = out.agg(F.sum("n_dropped")).collect()[0][0]
+    assert total_dropped > 0
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
+    """Every encoded value sits between the raw category mean and the
+    global mean — the defining property of additive smoothing."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    j = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    raw = {
+        r["seg"]: r["s"] / r["n"]
+        for r in j.groupBy("seg")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tot = j.agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    trow = tot.collect()[0]
+    prior = trow["s"] / trow["n"]
+    out = registry.queries()["target_encode_segment"](spark, sf_dir)
+    for r in out.collect():
+        lo, hi = sorted((raw[r["segment"]], prior))
+        assert lo - 1 <= r["encoded_cents"] <= hi + 1, r
