@@ -61,11 +61,13 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tpch_q11_important_stock",
         "tpch_q22_global_sales",
         "merge_upsert_orders",
+        "target_encode_segment",
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
         "ann_ivf",
         "ann_ivf_pq",
+        "ann_recall_ivf",
         "kmeans_embeddings",
     }
     offenders_cart, offenders_bnlj = [], []
