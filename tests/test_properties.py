@@ -94,3 +94,120 @@ def test_salted_agg_equals_direct_agg(spark, rows, buckets):
         .collect()
     }
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_pairs_equals_bruteforce(spark, names):
+    """Symmetric-delete blocking + positional pruning finds EXACTLY the
+    ed<=1 pairs a brute-force O(n^2) scan finds, on dense random strings
+    over a tiny alphabet (worst case for blocking: everything collides
+    with everything)."""
+    from mapreducemovieanalysis_cloud_spark.operators.linkage import (
+        fuzzy_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for x in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], x
+            for y in range(1, len(b) + 1):
+                cur = min(
+                    dp[y] + 1,
+                    dp[y - 1] + 1,
+                    prev + (a[x - 1] != b[y - 1]),
+                )
+                prev, dp[y] = dp[y], cur
+        return dp[len(b)]
+
+    expected = {
+        tuple(sorted((a, b)))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(df, "name").collect()
+    }
+    assert got == expected
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_ewma_fold_matches_pandas(spark, values):
+    """The distributed EWMA fold equals pandas' ewm(adjust=False)
+    recursion bit-for-bit (after the single final micro-rounding) on
+    arbitrary series."""
+    import pandas as pd
+
+    from mapreducemovieanalysis_cloud_spark.operators.timeseries import (
+        ewma_per_key,
+    )
+
+    rows = [
+        (1, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", i, float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts_s STRING, event_id LONG, value DOUBLE"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    got = ewma_per_key(df, alpha=0.2).collect()[0]
+    ref = (
+        pd.Series(values).ewm(alpha=0.2, adjust=False).mean().iloc[-1]
+    )
+    assert got["n_events"] == len(values)
+    assert got["ewma_micro"] == round(ref * 1_000_000)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=15,
+    ),
+    n_merges=st.integers(0, 6),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_preserves_characters(spark, words, n_merges):
+    """Tokenization never alters content: for any corpus and any number
+    of learned merges, concatenating a word's encoded symbols
+    reproduces the word exactly, and the distributed corpus encoder
+    agrees with the serial reference per word."""
+    from mapreducemovieanalysis_cloud_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id LONG, text STRING"
+    )
+    merges = bpe.bpe_train(bpe.word_freq(docs), n_merges=n_merges)
+    enc = bpe.bpe_encode_corpus(docs, merges).collect()[0]["tokens"]
+    expected: list[str] = []
+    for w in words:
+        toks = bpe.bpe_encode_word(list(w), merges)
+        assert "".join(toks) == w
+        expected.extend(toks)
+    assert enc == expected
