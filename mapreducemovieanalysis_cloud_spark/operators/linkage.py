@@ -105,3 +105,72 @@ def fuzzy_pairs(
         .where(F.levenshtein("name_a", "name_b") <= max_dist)
         .distinct()
     )
+
+
+def write_linkage_index(df: DataFrame, name_col: str, path: str) -> None:
+    """Materialize the (variant, pos, name) blocking table as parquet —
+    the persistent linkage index for incremental matching (build once
+    over the reference population, probe per batch), the same
+    write-once/probe-many lifecycle as the stored IVF index and the
+    incremental exact-dedup store."""
+    (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select(
+            "name", F.explode(deletion_variants("name")).alias("v")
+        )
+        .select(
+            "name",
+            F.col("v.pos").alias("pos"),
+            F.col("v.block").alias("block"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def fuzzy_match_against_index(
+    batch: DataFrame, name_col: str, index_path: str
+) -> DataFrame:
+    """Match a NEW batch of names against a stored linkage index without
+    re-blocking the reference population: explode only the batch's
+    variants, equi-join the stored table on the variant key with the
+    same positional pruning, verify with levenshtein.  Output
+    (batch_name, index_name) pairs with ed <= 1 (a batch name may equal
+    an indexed name — identity matches are reported too, as linkage
+    wants; self-pairs are impossible because the sides are different
+    tables).
+
+    Scale: batch cost is (L+1) x |batch| variant rows joined against the
+    index — the reference population is never re-scanned, only its
+    pre-built index is probed; at 100 TB the index partitions on the
+    variant key once at write time."""
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path)
+    probe = (
+        batch.select(F.col(name_col).alias("name"))
+        .distinct()
+        .select(
+            "name", F.explode(deletion_variants("name")).alias("v")
+        )
+        .select(
+            "name",
+            F.col("v.pos").alias("pos"),
+            F.col("v.block").alias("block"),
+        )
+    )
+    return (
+        probe.alias("a")
+        .join(idx.alias("b"), "block")
+        .where(
+            (F.col("a.pos") == F.col("b.pos"))
+            | (F.col("a.pos") == 0)
+            | (F.col("b.pos") == 0)
+        )
+        .select(
+            F.col("a.name").alias("batch_name"),
+            F.col("b.name").alias("index_name"),
+        )
+        .where(F.levenshtein("batch_name", "index_name") <= 1)
+        .distinct()
+    )

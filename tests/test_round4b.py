@@ -286,3 +286,75 @@ def test_copurchase_giant_basket_capped_workflow(spark):
     assert sizes[2] == 2 and sizes[3] == 1  # small baskets intact
     # pair space bounded by C(8,2) for the giant order + 1 normal pair
     assert pairs.agg(F.sum("count")).collect()[0][0] == 28 + 1
+
+
+def test_entity_resolution_composition(spark):
+    """End-to-end entity resolution: symmetric-delete fuzzy pairs ->
+    star-contraction components -> min-name survivor. Chained typo
+    clusters merge fully (transitively: anna~anne~annd at pairwise
+    ed 1, anna->annd ed 2), singletons survive as themselves."""
+    from mapreducemovieanalysis_cloud_spark.operators import (
+        clustering,
+        linkage,
+    )
+
+    names = [
+        "anna", "anne", "annd",      # chain: one cluster
+        "bob", "rob",                # substitution pair
+        "carol",                     # singleton
+        "dave", "dav", "davey",      # dav~dave (del), dave~davey? ed=1
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    pairs = linkage.fuzzy_pairs(df, "name")
+    nodes = df.select(F.col("name").alias("doc_id"))
+    edges = pairs.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in clustering.star_components(nodes, edges).collect()
+    }
+    clusters: dict[str, set] = {}
+    for n, c in comp.items():
+        clusters.setdefault(c, set()).add(n)
+    got = set(map(frozenset, clusters.values()))
+    expected = {
+        frozenset({"anna", "anne", "annd"}),
+        frozenset({"bob", "rob"}),
+        frozenset({"carol"}),
+        frozenset({"dave", "dav", "davey"}),
+    }
+    assert got == expected
+    # survivorship: canonical = min name per cluster
+    for members in got:
+        canon = min(members)
+        for m in members:
+            assert comp[m] == canon
+
+
+def test_fuzzy_incremental_index_matches_batch_rebuild(spark, tmp_path):
+    """Probing a stored linkage index finds exactly the cross pairs a
+    from-scratch run over (reference + batch) finds — minus the
+    reference-internal pairs the incremental path correctly never
+    recomputes — plus identity matches."""
+    from mapreducemovieanalysis_cloud_spark.operators import linkage
+
+    ref_names = ["anna", "bob", "carol", "dave"]
+    batch_names = ["anne", "rob", "eve", "dave"]
+    ref = spark.createDataFrame([(n,) for n in ref_names], "name STRING")
+    batch = spark.createDataFrame(
+        [(n,) for n in batch_names], "name STRING"
+    )
+    path = str(tmp_path / "linkage_idx")
+    linkage.write_linkage_index(ref, "name", path)
+    got = {
+        (r["batch_name"], r["index_name"])
+        for r in linkage.fuzzy_match_against_index(
+            batch, "name", path
+        ).collect()
+    }
+    assert got == {
+        ("anne", "anna"),
+        ("rob", "bob"),
+        ("dave", "dave"),  # identity match reported
+    }
