@@ -220,3 +220,30 @@ def test_auc_extremes_and_ties(spark):
         ]
         == 500_000
     )
+
+
+# ---- plan pins ---------------------------------------------------------------
+
+
+def test_weighted_sample_plans_as_take_ordered(spark, sf_dir):
+    """The A-Res draw must be per-partition heaps of k — a global sort of
+    priorities would funnel the corpus through one task."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["weighted_sample_docs"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plans.uses_take_ordered(df), plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_auc_never_sorts_the_corpus(spark, sf_dir):
+    """AUC's only ordered window runs over the score-bucket table: the
+    plan may contain exactly one single-partition exchange (the bucket
+    window) and one hash exchange (the bucket aggregate) — nothing that
+    moves corpus rows into one task."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["classifier_auc"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -193,3 +193,14 @@ def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
     for r in out.collect():
         lo, hi = sorted((raw[r["segment"]], prior))
         assert lo - 1 <= r["encoded_cents"] <= hi + 1, r
+
+
+def test_transition_matrix_single_event_shuffle(spark, sf_dir):
+    """Events shuffle once (user-keyed window); the normalizing join
+    runs on the checkpointed event-type-squared matrix."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["event_transition_matrix"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
