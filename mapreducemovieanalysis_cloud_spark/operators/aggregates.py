@@ -359,3 +359,43 @@ def grouped_linreg(
             F.round(intercept).cast("long").alias("intercept_cents"),
         )
     )
+
+
+def profile_columns_approx(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB tier of ``profile_columns``: identical output shape,
+    but distinct counts come from HyperLogLog sketches
+    (``approx_count_distinct``, relative error ``rsd``).
+
+    Why it exists: N exact COUNT(DISTINCT) in one aggregate plan through
+    an Expand that replicates EVERY input row once per distinct column —
+    an N-fold amplification of the scan followed by a full-width shuffle,
+    which is the difference between a profile that gates a 100 TB batch
+    and one that costs more than the batch. HLL sketches aggregate
+    map-side (one fixed-size sketch per column per partition, no Expand,
+    no row-key shuffle) and merge associatively. The exact variant stays
+    the CONTRACT surface (oracle-checked); this is the measurement
+    surface for data where ±rsd on distinct counts is immaterial —
+    pinned within tolerance of the exact profile in tests.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

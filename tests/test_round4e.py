@@ -204,3 +204,36 @@ def test_transition_matrix_single_event_shuffle(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_approx_within_hll_tolerance(spark, oracle_sf_dir):
+    """The HLL profile tier agrees with the exact profile on every
+    metric except n_distinct, and its distinct estimates sit within
+    3x the configured relative error — while its plan contains NO
+    Expand (the exact variant's N-fold row amplification)."""
+    from mapreducemovieanalysis_cloud_spark import plans
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        profile_columns,
+        profile_columns_approx,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    exact = {
+        r["column_name"]: r
+        for r in profile_columns(orders, cols).collect()
+    }
+    approx_df = profile_columns_approx(orders, cols, rsd=0.05)
+    assert "Expand" not in plans.executed_plan(approx_df)
+    assert "Expand" in plans.executed_plan(profile_columns(orders, cols))
+    for r in approx_df.collect():
+        e = exact[r["column_name"]]
+        assert r["n_rows"] == e["n_rows"]
+        assert r["n_nulls"] == e["n_nulls"]
+        assert r["min_value"] == e["min_value"]
+        assert r["max_value"] == e["max_value"]
+        rel = abs(r["n_distinct"] - e["n_distinct"]) / max(
+            e["n_distinct"], 1
+        )
+        assert rel <= 0.15, (r["column_name"], rel)
