@@ -82,3 +82,31 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             offenders_bnlj.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_bnlj, offenders_bnlj
+
+
+def test_registry_wide_expand_is_intentional(spark, sf_dir):
+    """Expand replicates every input row once per grouping set / distinct
+    aggregate / unpivot branch — a silent data-amplification operator.
+    It is allowed only where the semantics REQUIRE replication: grouping
+    analytics (rollup/cube/grouping sets), sliding windows (a row belongs
+    to several windows), stack() unpivots, and the exact multi-distinct
+    profile (whose 100 TB tier is the Expand-free HLL variant,
+    profile_columns_approx). A new query that accidentally plans a
+    multi-distinct Expand over a fact table fails here."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    EXPAND_BY_DESIGN = {
+        "rollup_orders",
+        "cube_qty",
+        "grouping_sets",
+        "window_sliding",
+        "unpivot_part",
+        "profile_orders",
+        "filtered_aggregates",
+    }
+    offenders = []
+    for name, fn in registry.queries().items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "Expand" in plan and name not in EXPAND_BY_DESIGN:
+            offenders.append(name)
+    assert not offenders, offenders
