@@ -422,3 +422,74 @@ def ivf_probe_index(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_lsh_multiband_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    num_bands: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-band SRP top-k: candidates = corpus vectors sharing ANY of
+    ``num_bands`` independent ``num_planes``-bit buckets with the query,
+    deduplicated, exact-cosine re-ranked.
+
+    This is the measured answer to the single-band recall collapse
+    (SCALE.md ANN recall table): one band retains a true neighbor at
+    angle θ with prob (1-θ/π)^planes — 0.03 at 8 planes for θ≈65° — while
+    OR-ing bands lifts it to 1-(1-(1-θ/π)^planes)^bands at a candidate
+    cost of ~bands·n/2^planes per query. Planes size as log2(n/B) for
+    target bucket size B; bands buy recall back. All band signatures
+    come from ONE corpus pass (stacked Arrow kernel + posexplode), the
+    same kernel as the near-dup pair blocker.
+    """
+    all_planes = [
+        srp_planes(num_planes, dim, seed=f"srp:{band}")
+        for band in range(num_bands)
+    ]
+    c = _with_qv(corpus, id_col, vec_col, "neighbor_id")
+    q = _with_qv(queries, query_id_col, vec_col, query_id_col)
+    cban = c.select(
+        "neighbor_id",
+        F.posexplode(
+            srp_signatures_multi_arrow(F.col("qv_neighbor_id"), all_planes)
+        ).alias("band", "bucket"),
+    )
+    qban = q.select(
+        query_id_col,
+        F.posexplode(
+            srp_signatures_multi_arrow(
+                F.col(f"qv_{query_id_col}"), all_planes
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        cban.join(F.broadcast(qban), ["band", "bucket"])
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            _pair_cosine(query_id_col, "neighbor_id"),
+        )
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

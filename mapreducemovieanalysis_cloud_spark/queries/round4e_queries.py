@@ -271,3 +271,85 @@ def target_encode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 target_encode_segment.__doc__ = target_encode_segment.__doc__.format(
     m=_TE_PRIOR_WEIGHT
 )
+
+
+# ---- multi-band SRP ANN top-k ------------------------------------------------
+
+_MB_PLANES = 6
+_MB_BANDS = 6
+_MB_K = 10
+_MB_NQ = 5
+
+
+def _ann_multiband_oracle() -> str:
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _COSINE,
+        _QUANT,
+        _srp_sql,
+    )
+
+    band_ctes = []
+    for band in range(_MB_BANDS):
+        planes = similarity.srp_planes(
+            _MB_PLANES, 64, seed=f"srp:{band}"
+        )
+        band_ctes.append(
+            f"bd{band} AS (SELECT vec_id, {band} AS band, "
+            f"{_srp_sql('qv', planes)} AS bucket FROM base)"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM bd{b}" for b in range(_MB_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, {_QUANT.format(v='embedding')} AS qv
+                  FROM embeddings),
+    {', '.join(band_ctes)},
+    banded AS ({union}),
+    qb AS (SELECT vec_id AS query_id, band, bucket FROM banded
+           WHERE vec_id < {_MB_NQ}),
+    cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+             FROM qb q JOIN banded b USING (band, bucket)
+             WHERE b.vec_id <> q.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id, tq.qv AS qa, tn.qv AS qb
+               FROM cand c
+               JOIN base tq ON tq.vec_id = c.query_id
+               JOIN base tn ON tn.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= {_MB_K}
+    """
+
+
+@query("ann_lsh_multiband", oracle=_ann_multiband_oracle())
+def ann_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band SRP approximate top-{k} ({b} bands x {p} planes) — the
+    measured fix for the single-band recall collapse (SCALE.md ANN
+    recall table: one 8-plane band retains a true moderate-angle
+    neighbor with prob ~0.03; OR-ing bands lifts retention to
+    1-(1-p^planes)^bands at ~bands/2^planes of the corpus per query).
+
+    Scale: all band signatures from ONE corpus pass (stacked Arrow
+    kernel); candidates partition on (band, bucket); exact re-rank cost
+    is candidate-bounded."""
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < _MB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_lsh_multiband_topk(
+        emb,
+        qs,
+        k=_MB_K,
+        num_planes=_MB_PLANES,
+        num_bands=_MB_BANDS,
+    )
+
+
+ann_lsh_multiband.__doc__ = ann_lsh_multiband.__doc__.format(
+    k=_MB_K, b=_MB_BANDS, p=_MB_PLANES
+)

@@ -74,6 +74,7 @@ _PRIORITY = [
     "histogram2d_price_qty",
     "drop_repeated_segments",
     "target_encode_segment",
+    "ann_lsh_multiband",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

@@ -237,3 +237,41 @@ def test_profile_approx_within_hll_tolerance(spark, oracle_sf_dir):
             e["n_distinct"], 1
         )
         assert rel <= 0.15, (r["column_name"], rel)
+
+
+def test_ann_multiband_matches_oracle_both_sf(spark, sf_dir, oracle_sf_dir):
+    sql = registry.oracle_sql()["ann_lsh_multiband"]
+    q = registry.queries()["ann_lsh_multiband"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_multiband_recall_beats_single_band(spark, oracle_sf_dir):
+    """The point of banding, measured: at the SAME plane count, OR-ing 6
+    bands must strictly beat one band's recall@10 against brute-force
+    ground truth."""
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+    from mapreducemovieanalysis_cloud_spark.operators.evaluation import (
+        recall_at_k,
+    )
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, qs, k=10).localCheckpoint()
+
+    def mean_recall(approx):
+        rows = recall_at_k(approx, exact, k=10).collect()
+        return sum(r["recall_micro"] for r in rows) / len(rows)
+
+    single = mean_recall(
+        similarity.ann_lsh_topk(emb, qs, k=10, num_planes=6, dim=64)
+    )
+    multi = mean_recall(
+        similarity.ann_lsh_multiband_topk(
+            emb, qs, k=10, num_planes=6, num_bands=6
+        )
+    )
+    assert multi >= 3 * single  # banding is a multiple, not a nudge
+    assert multi >= 150_000  # and absolutely non-trivial on this corpus
