@@ -353,3 +353,106 @@ def ann_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_lsh_multiband.__doc__ = ann_lsh_multiband.__doc__.format(
     k=_MB_K, b=_MB_BANDS, p=_MB_PLANES
 )
+
+
+# ---- exact-sum Pearson correlation matrix -----------------------------------
+
+_CORR_MEASURES = [
+    ("price_units", "CAST(FLOOR(l_extendedprice) AS BIGINT)"),
+    ("qty", "CAST(FLOOR(l_quantity) AS BIGINT)"),
+    ("disc_pct", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+]
+
+
+def _corr_oracle() -> str:
+    meas = ",\n                  ".join(
+        f"{expr} AS {name}" for name, expr in _CORR_MEASURES
+    )
+    names = [n for n, _ in _CORR_MEASURES]
+    sums = ["COUNT(*) AS n"]
+    for a in names:
+        sums.append(f"SUM({a}) AS s_{a}")
+        sums.append(f"SUM({a} * {a}) AS ss_{a}")
+    pair_sums = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pair_sums.append(f"SUM({a} * {b}) AS sp_{a}_{b}")
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            expr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f"         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f"    * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            selects.append(
+                f"SELECT '{a}' AS x_col, '{b}' AS y_col,"
+                f" CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS corr_micro"
+                f" FROM s"
+            )
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH m AS (SELECT {meas}
+               FROM lineitem),
+    s AS (SELECT {", ".join(sums + pair_sums)} FROM m)
+    {union}
+    """
+
+
+@query("corr_matrix_lineitem", oracle=_corr_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures
+    (price/qty/discount/tax) from EXACT integer sums: one scan computes
+    n, Σx, Σx², Σxy for every pair map-side; the closed-form correlation
+    is evaluated on the single result row in double and rounded to micro
+    units.
+
+    Cross-engine exactness: every sum is int64 on quantized units (whole
+    currency units, not cents — Σx² must stay below 2^53 so its DOUBLE
+    image is exact; cents would overflow at sf0.1 already), and both
+    engines then run the IDENTICAL scalar double expression on identical
+    operands. At 10¹²-row scale Σx² outgrows the 2^53-exact window —
+    switch the sums to DECIMAL(38) there (same shape, same oracle).
+
+    Plan: ONE aggregate (no Expand, no per-pair scans — 15 sums ride one
+    partial/final HashAggregate), then a width-6 projection of the
+    1-row frame."""
+    names = [n for n, _ in _CORR_MEASURES]
+    m = load_table(spark, sf_dir, "lineitem").select(
+        *[F.expr(expr).alias(name) for name, expr in _CORR_MEASURES]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    s = m.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            expr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f"         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f"    * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("x_col"),
+                    F.lit(b).alias("y_col"),
+                    F.expr(
+                        f"CAST(ROUND(({expr}) * 1000000) AS BIGINT)"
+                    ).alias("corr_micro"),
+                )
+            )
+    return s.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.x_col", "p.y_col", "p.corr_micro"
+    )

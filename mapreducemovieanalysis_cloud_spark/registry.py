@@ -75,6 +75,7 @@ _PRIORITY = [
     "drop_repeated_segments",
     "target_encode_segment",
     "ann_lsh_multiband",
+    "corr_matrix_lineitem",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

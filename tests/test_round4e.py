@@ -275,3 +275,47 @@ def test_multiband_recall_beats_single_band(spark, oracle_sf_dir):
     )
     assert multi >= 3 * single  # banding is a multiple, not a nudge
     assert multi >= 150_000  # and absolutely non-trivial on this corpus
+
+
+def test_corr_matrix_matches_oracle_both_sf(spark, sf_dir, oracle_sf_dir):
+    sql = registry.oracle_sql()["corr_matrix_lineitem"]
+    q = registry.queries()["corr_matrix_lineitem"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """The exact-sum closed form equals numpy's corrcoef on the same
+    quantized measures, for every pair, to micro precision."""
+    import numpy as np
+
+    from mapreducemovieanalysis_cloud_spark.queries.round4e_queries import (
+        _CORR_MEASURES,
+    )
+
+    m = load_table(spark, sf_dir, "lineitem").select(
+        *[F.expr(expr).alias(name) for name, expr in _CORR_MEASURES]
+    )
+    names = [n for n, _ in _CORR_MEASURES]
+    data = np.array(
+        [[r[n] for n in names] for r in m.collect()], dtype=np.float64
+    )
+    cc = np.corrcoef(data.T)
+    got = {
+        (r["x_col"], r["y_col"]): r["corr_micro"]
+        for r in registry.queries()["corr_matrix_lineitem"](
+            spark, sf_dir
+        ).collect()
+    }
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            b = names[j]
+            assert abs(got[(a, b)] - round(cc[i, j] * 1e6)) <= 1, (a, b)
+    # plan: one aggregate, no Expand
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    plan = plans.executed_plan(
+        registry.queries()["corr_matrix_lineitem"](spark, sf_dir)
+    )
+    assert "Expand" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
