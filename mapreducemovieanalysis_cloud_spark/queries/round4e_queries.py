@@ -1,9 +1,15 @@
-"""Round-4 fifth wave: sequence-transition analytics and 2-D binning —
-the Markov transition matrix behind funnel/journey analysis and the
-heatmap histogram behind feature cross-distribution profiling.
+"""Round-4 fifth wave: sequence/statistics analytics — the Markov
+transition matrix behind funnel/journey analysis, exact 2-D binning,
+within-document repeated-segment removal, smoothed target encoding,
+the multi-band SRP ANN tier (the measured fix for single-band recall
+collapse), and the exact-sum Pearson correlation matrix.
 
-Both are exact-integer end to end: transition probabilities in milli
-units over int64 counts, bins by integer division of cents/units.
+Exactness discipline: counts/bins/encodings are int64 end to end
+(probabilities in milli, encodings in cents, bins by integer division
+with explicit FLOOR where engines disagree on double->int casts); the
+two float finishes (cosine rank, correlation closed form) run IDENTICAL
+scalar double expressions on identical integer operands in both engines
+before a single micro-rounding.
 """
 
 from __future__ import annotations
