@@ -462,3 +462,90 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.x_col", "p.y_col", "p.corr_micro"
     )
+
+
+# ---- incremental materialized view -------------------------------------------
+
+_MV_KEYS = ["priority", "month"]
+
+
+def _mv_path(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_mv", leaf, "sales_mv"
+    )
+
+
+def ensure_sales_mv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the base aggregate ONCE per sf_dir (build-if-absent,
+    same lifecycle as the z-order layout and the stored IVF index)."""
+    import os
+
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+
+    path = _mv_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        matview.aggregate_mv(base, _MV_KEYS, F.col("cents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+@query(
+    "mv_incremental_sales",
+    oracle="""
+    WITH base AS (SELECT o_orderpriority AS priority,
+                         strftime(o_orderdate, '%Y-%m') AS month,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders),
+    delta AS (SELECT o_orderpriority AS priority,
+                     strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2 AS cents
+              FROM orders WHERE o_orderkey % 97 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    SELECT priority, month,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM u GROUP BY 1, 2
+    """,
+)
+def mv_incremental_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained sales MV: the stored base aggregate
+    (built once, never re-scanned) merged with a delta batch's partial
+    aggregate (operators/matview.py) — and the oracle recomputes the
+    whole thing from scratch, so the refresh must be BIT-IDENTICAL to a
+    full re-aggregation, the property that makes IVM trustworthy at all.
+
+    The delta is a deterministic synthetic batch (every 97th order
+    re-sold at doubled cents — integer doubling, no float drift).  Plan:
+    one MV-sized parquet scan + one delta-filtered orders scan + a
+    group-cardinality full-outer merge; refresh cost is O(delta + |MV|)
+    however large the base — THE reason this beats nightly full
+    recompute at 100 TB.  The query is read-only over the stored MV
+    (refresh returns the merged view without rewriting it), so repeated
+    runs are idempotent."""
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+
+    path = ensure_sales_mv(spark, sf_dir)
+    stored = spark.read.parquet(path)
+    delta = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)") * 2
+        ).alias("cents"),
+    )
+    delta_agg = matview.aggregate_mv(delta, _MV_KEYS, F.col("cents"))
+    return matview.merge_mv(stored, delta_agg, _MV_KEYS)

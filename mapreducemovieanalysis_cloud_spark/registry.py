@@ -76,6 +76,7 @@ _PRIORITY = [
     "target_encode_segment",
     "ann_lsh_multiband",
     "corr_matrix_lineitem",
+    "mv_incremental_sales",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

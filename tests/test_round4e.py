@@ -319,3 +319,62 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
     )
     assert "Expand" not in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_mv_incremental_matches_oracle_both_sf(spark, sf_dir, oracle_sf_dir):
+    sql = registry.oracle_sql()["mv_incremental_sales"]
+    q = registry.queries()["mv_incremental_sales"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_mv_merge_is_associative(spark, sf_dir):
+    """Applying a delta in two half-batches (in either order) equals
+    applying it whole — the property that makes out-of-order batch
+    arrival safe."""
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+    from mapreducemovieanalysis_cloud_spark.queries.round4e_queries import (
+        _MV_KEYS,
+        ensure_sales_mv,
+    )
+
+    stored = spark.read.parquet(ensure_sales_mv(spark, sf_dir))
+    delta = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            (
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)") * 2
+            ).alias("cents"),
+        )
+    )
+    half1 = delta.where(F.col("priority") < "3")
+    half2 = delta.where(~(F.col("priority") < "3"))
+
+    def agg(d):
+        return matview.aggregate_mv(d, _MV_KEYS, F.col("cents"))
+
+    whole = matview.merge_mv(stored, agg(delta), _MV_KEYS)
+    staged = matview.merge_mv(
+        matview.merge_mv(stored, agg(half2), _MV_KEYS),
+        agg(half1),
+        _MV_KEYS,
+    )
+    canon = lambda df: sorted(
+        (r["priority"], r["month"], r["revenue_cents"], r["n_rows"])
+        for r in df.collect()
+    )
+    assert canon(whole) == canon(staged)
+
+
+def test_mv_refresh_never_rescans_base_facts(spark, sf_dir):
+    """The refresh plan contains exactly two scans: the stored MV
+    parquet and the delta-filtered orders scan — the base facts are
+    never re-aggregated, which is the entire point of IVM."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    df = registry.queries()["mv_incremental_sales"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 2, plan
