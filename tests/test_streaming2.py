@@ -125,3 +125,63 @@ def test_violations_column_is_pure_projection(spark, sf_dir):
         ),
     )
     assert "Exchange" not in plans.executed_plan(tagged)
+
+
+def test_streaming_mv_exactly_once_and_compaction(spark, sf_dir, tmp_path):
+    """Streaming IVM: two micro-batches of order facts maintain the MV
+    to exactly the full-recompute state; re-writing an epoch (the retry
+    case) changes nothing (idempotent-by-path); compaction folds deltas
+    into base without changing the view."""
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+    from mapreducemovieanalysis_cloud_spark.streaming import mv as smv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    keys = ["priority", "month"]
+    base_facts = orders.where(F.col("k") % 3 == 0)
+    b1 = orders.where(F.col("k") % 3 == 1)
+    b2 = orders.where(F.col("k") % 3 == 2)
+
+    path = str(tmp_path / "mv")
+    smv.write_base(
+        matview.aggregate_mv(base_facts, keys, F.col("cents")), path
+    )
+
+    src = tmp_path / "facts"
+    b1.write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = smv.apply_stream_deltas(
+        stream, path, keys, "cents", str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def canon(df):
+        return sorted(
+            (r["priority"], r["month"], r["revenue_cents"], r["n_rows"])
+            for r in df.collect()
+        )
+
+    expected = canon(matview.aggregate_mv(orders, keys, F.col("cents")))
+    assert canon(smv.read_current_mv(spark, path, keys)) == expected
+
+    # retry: re-write epoch 0's delta directory with the same content
+    matview.aggregate_mv(b1, keys, F.col("cents")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/deltas/batch=0")
+    assert canon(smv.read_current_mv(spark, path, keys)) == expected
+
+    # compaction folds deltas into base; the view is unchanged
+    smv.compact(spark, path, keys)
+    import os
+
+    assert not os.path.isdir(f"{path}/deltas")
+    assert canon(smv.read_current_mv(spark, path, keys)) == expected
