@@ -91,3 +91,34 @@ def compact(spark: SparkSession, path: str, keys: list[str]) -> None:
     shutil.rmtree(f"{path}/deltas", ignore_errors=True)
     shutil.rmtree(f"{path}/base")
     shutil.move(f"{path}/base_next", f"{path}/base")
+
+
+def read_mv_asof(
+    spark: SparkSession, path: str, keys: list[str], as_of_epoch: int
+) -> DataFrame:
+    """Time travel over the delta log: the view as of (and including)
+    ``as_of_epoch`` — base plus every delta directory with a smaller or
+    equal epoch id.  The epoch-keyed layout gives snapshot reads for
+    free: a snapshot is just a prefix of the log, and since partials are
+    associative the prefix merges exactly like the full log.  Epochs
+    newer than the requested snapshot are simply not read — no tombstones
+    or version manifests needed until compaction folds the log."""
+    import os
+    import re
+
+    frames = [spark.read.parquet(f"{path}/base")]
+    deltas_dir = f"{path}/deltas"
+    if os.path.isdir(deltas_dir):
+        for d in sorted(os.listdir(deltas_dir)):
+            m = re.fullmatch(r"batch=(\d+)", d)
+            if m and int(m.group(1)) <= as_of_epoch:
+                frames.append(
+                    spark.read.parquet(f"{deltas_dir}/{d}")
+                )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    return union.groupBy(*keys).agg(
+        F.sum("revenue_cents").alias("revenue_cents"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -185,3 +185,43 @@ def test_streaming_mv_exactly_once_and_compaction(spark, sf_dir, tmp_path):
 
     assert not os.path.isdir(f"{path}/deltas")
     assert canon(smv.read_current_mv(spark, path, keys)) == expected
+
+
+def test_mv_time_travel_reads_log_prefix(spark, sf_dir, tmp_path):
+    """as-of epoch 0 sees base+batch0 only; as-of a later epoch sees
+    everything; both equal the corresponding batch recomputes."""
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+    from mapreducemovieanalysis_cloud_spark.streaming import mv as smv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    keys = ["priority", "month"]
+    base_facts = orders.where(F.col("k") % 3 == 0)
+    b1 = orders.where(F.col("k") % 3 == 1)
+    b2 = orders.where(F.col("k") % 3 == 2)
+    path = str(tmp_path / "mv")
+    smv.write_base(
+        matview.aggregate_mv(base_facts, keys, F.col("cents")), path
+    )
+    for epoch, batch in ((0, b1), (1, b2)):
+        matview.aggregate_mv(batch, keys, F.col("cents")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/deltas/batch={epoch}")
+
+    def canon(df):
+        return sorted(
+            (r["priority"], r["month"], r["revenue_cents"], r["n_rows"])
+            for r in df.collect()
+        )
+
+    upto0 = matview.aggregate_mv(
+        base_facts.unionByName(b1), keys, F.col("cents")
+    )
+    assert canon(smv.read_mv_asof(spark, path, keys, 0)) == canon(upto0)
+    assert canon(smv.read_mv_asof(spark, path, keys, 5)) == canon(
+        matview.aggregate_mv(orders, keys, F.col("cents"))
+    )
