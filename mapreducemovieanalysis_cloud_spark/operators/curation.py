@@ -18,7 +18,7 @@ partial-aggregate map-side before the shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions import text as T
@@ -350,6 +350,26 @@ def tokenize_with_vocab(
     )
 
 
+def ares_priority(
+    weight_col: str, id_col: str = "doc_id", salt: str = "ares"
+) -> Column:
+    """The A-Res log-space priority as a reusable expression: ln(u)/w in
+    micro units, u drawn from md5(salt:id) — pure function of the id, so
+    the SAME document carries the SAME priority in every sampler built on
+    it (global, stratified, reservoir-merge)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    return F.round(
+        F.log(u) / F.col(weight_col).cast("double") * 1_000_000
+    ).cast("long")
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -374,17 +394,7 @@ def weighted_sample(
     Scale: the draw is a map-side expression; the top-k is a
     TakeOrderedAndProject (per-partition heaps of k, never a global
     sort).  Output columns: (id, weight, priority_micro)."""
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
-    key = F.round(
-        F.log(u) / F.col(weight_col).cast("double") * 1_000_000
-    ).cast("long")
+    key = ares_priority(weight_col, id_col, salt)
     return (
         df.select(
             F.col(id_col),

@@ -549,3 +549,67 @@ def mv_incremental_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta_agg = matview.aggregate_mv(delta, _MV_KEYS, F.col("cents"))
     return matview.merge_mv(stored, delta_agg, _MV_KEYS)
+
+
+# ---- stratified weighted sampling -------------------------------------------
+
+_SWS_K = 10
+
+
+@query(
+    "weighted_sample_per_lang",
+    oracle=f"""
+    WITH pri AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(ROUND(ln((CAST(('0x' || substr(md5('ares:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                    / 4294967297.0)
+                  / n_chars * 1000000) AS BIGINT) AS priority_micro
+      FROM documents)
+    SELECT lang, doc_id, weight, priority_micro,
+           CAST(rk AS INT) AS rank_in_lang
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY priority_micro DESC, doc_id) AS rk
+          FROM pri)
+    WHERE rk <= {_SWS_K}
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: the top-{k} A-Res draw WITHIN each
+    language — the per-stratum counterpart of `weighted_sample_docs`
+    (every multilingual mix wants both: global draws for the blend,
+    per-language draws for balanced eval slices).
+
+    Same md5-seeded micro-rounded priority as the global sampler (pure
+    function of doc_id — append/retry/engine stable, and a document
+    keeps the SAME priority in both samplers, so the stratified sample
+    of one language is exactly the global sample restricted to it).
+    Plan: map-side draw + one window rank per stratum — the shuffle keys
+    on lang and each partition heap-ranks its own stratum."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    joined = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        curation.ares_priority("n_chars").alias("priority_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("priority_micro"), "doc_id"
+    )
+    return (
+        joined.withColumn("rank_in_lang", F.row_number().over(w))
+        .where(F.col("rank_in_lang") <= _SWS_K)
+        .select(
+            "lang",
+            "doc_id",
+            "weight",
+            "priority_micro",
+            F.col("rank_in_lang").cast("int").alias("rank_in_lang"),
+        )
+    )
+
+
+weighted_sample_per_lang.__doc__ = weighted_sample_per_lang.__doc__.format(
+    k=_SWS_K
+)

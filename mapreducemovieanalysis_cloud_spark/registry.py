@@ -77,6 +77,7 @@ _PRIORITY = [
     "ann_lsh_multiband",
     "corr_matrix_lineitem",
     "mv_incremental_sales",
+    "weighted_sample_per_lang",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

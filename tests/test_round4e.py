@@ -378,3 +378,25 @@ def test_mv_refresh_never_rescans_base_facts(spark, sf_dir):
     df = registry.queries()["mv_incremental_sales"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_stratified_weighted_sample(spark, sf_dir, oracle_sf_dir):
+    """Oracle diff at both SFs, plus the consistency property: the
+    stratified sample of a language equals the global priority order
+    restricted to that language (same priority function)."""
+    sql = registry.oracle_sql()["weighted_sample_per_lang"]
+    q = registry.queries()["weighted_sample_per_lang"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    global_pri = {
+        r["doc_id"]: r["priority_micro"]
+        for r in curation.weighted_sample(
+            docs, k=10_000, weight_col="n_chars"
+        ).collect()
+    }
+    for r in q(spark, sf_dir).collect():
+        assert global_pri[r["doc_id"]] == r["priority_micro"]
