@@ -211,3 +211,37 @@ def test_bpe_encode_preserves_characters(spark, words, n_merges):
         assert "".join(toks) == w
         expected.extend(toks)
     assert enc == expected
+
+
+def test_results_are_partition_count_invariant(spark, sf_dir):
+    """The engine's central determinism claim, pinned: queries whose
+    kernels do distributed prefix sums, folds, quantized sums, or
+    hash-dealt sampling return BIT-identical results when the shuffle
+    partition count changes (1 vs the suite default). Covers the ops
+    whose naive formulations are partition-sensitive."""
+    from tests.oracle import _canon
+
+    NAMES = [
+        "shuffle_for_training",  # two-phase distributed prefix rank
+        "pack_sequences",        # two-phase prefix sum packing
+        "ewma_user_value",       # ordered fold
+        "weighted_sample_docs",  # hash-priority top-k
+        "pca_gram",              # quantized int sums
+        "event_transition_matrix",
+        "classifier_auc",        # bucket rank-sum
+    ]
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    qs = registry.queries()
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("1", default):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in NAMES:
+                pdf = qs[name](spark, sf_dir).toPandas()
+                results.setdefault(name, []).append(_canon(pdf))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} changed under repartitioning"
