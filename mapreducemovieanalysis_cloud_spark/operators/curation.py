@@ -356,7 +356,10 @@ def ares_priority(
     """The A-Res log-space priority as a reusable expression: ln(u)/w in
     micro units, u drawn from md5(salt:id) — pure function of the id, so
     the SAME document carries the SAME priority in every sampler built on
-    it (global, stratified, reservoir-merge)."""
+    it (global, stratified, reservoir-merge).  Weights must be strictly
+    positive: w <= 0 makes ln(u)/w NULL/inf, and engines disagree on
+    NULL placement under DESC ordering — filter or clamp upstream rather
+    than relying on either engine's default."""
     v = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8

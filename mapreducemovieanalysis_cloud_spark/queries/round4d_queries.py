@@ -84,7 +84,10 @@ def langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, marginals and the kappa assemble on that tiny table with
     broadcast cross-joins.  At n beyond ~3·10^9 the n^2 term needs
     DECIMAL(38) instead of int64 — wire the cast when a corpus actually
-    crosses it rather than paying decimal arithmetic everywhere now."""
+    crosses it rather than paying decimal arithmetic everywhere now.
+    Degenerate corpora (one class on both axes) zero the denominator —
+    kappa is undefined there by definition; Spark's div yields NULL,
+    which the caller should read as "no chance correction possible"."""
     docs = load_table(spark, sf_dir, "documents")
     scores = T.lang_scores_from_tokens(T.tokens("text"))
     pred = docs.select(
