@@ -229,3 +229,33 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
     raise RuntimeError(
         f"k_core did not reach a fixpoint within {max_iters} rounds"
     )
+
+
+def two_hop_reach(edges: DataFrame) -> DataFrame:
+    """(node, n_reachable): how many distinct nodes sit within <= 2 hops
+    of each node (self excluded) — the friends-of-friends expansion
+    behind recommendation candidates and influence scoring.
+
+    One symmetric edge pass plus ONE self-join on the middle node: the
+    2-hop candidate volume is sum over mid-nodes of deg(mid)^2, so cost
+    is degree-distribution-driven, not n^2 — on power-law graphs cap the
+    expansion at hub nodes (drop mids above a degree ceiling, the
+    standard approximation) before this join; the co-supply graph's
+    min_shared threshold already bounds degrees here. The distinct +
+    count shuffles (node, neighbor) pairs once.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    two = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    return (
+        sym.union(two)
+        .distinct()
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_reachable"))
+    )

@@ -613,3 +613,45 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 weighted_sample_per_lang.__doc__ = weighted_sample_per_lang.__doc__.format(
     k=_SWS_K
 )
+
+
+# ---- two-hop reach -----------------------------------------------------------
+
+
+@query(
+    "two_hop_reach_suppliers",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pr AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS shared
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pr WHERE shared >= 20),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    two AS (SELECT a.u AS u, b.v AS v
+            FROM sym a JOIN sym b ON a.v = b.u WHERE a.u <> b.v),
+    reach AS (SELECT DISTINCT u, v FROM
+              (SELECT u, v FROM sym UNION ALL SELECT u, v FROM two))
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS n_reachable
+    FROM reach GROUP BY 1
+    """,
+)
+def two_hop_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends reach in the supplier co-supply graph (same
+    edge definition as the triangle query: >= 20 shared orders) —
+    distinct nodes within two hops per node (operators/graph.py:
+    two_hop_reach).
+
+    Scale: the 2-hop expansion is sum-of-degree-squared over middle
+    nodes; the co-occurrence threshold bounds degrees, and at power-law
+    scale hubs get a degree ceiling before the mid-join (documented in
+    the operator). Pair dedup shuffles (node, neighbor) once."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    edges = graph.cooccurrence_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        group_col="l_orderkey",
+        node_col="l_suppkey",
+        min_shared=20,
+    )
+    return graph.two_hop_reach(edges)

@@ -78,6 +78,7 @@ _PRIORITY = [
     "corr_matrix_lineitem",
     "mv_incremental_sales",
     "weighted_sample_per_lang",
+    "two_hop_reach_suppliers",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

@@ -158,3 +158,29 @@ def test_k_core_invariants(spark):
     core2 = {r["node"] for r in graph.k_core(edges, k=2).collect()}
     assert core2 == {1, 2, 3}
     assert graph.k_core(edges, k=3).count() == 0
+
+
+def test_two_hop_reach_serial_reference(spark):
+    """2-hop reach on a crafted graph equals BFS depth-2 set sizes:
+    path a-b-c-d (a reaches b,c; b reaches a,c,d), plus an isolated
+    edge x-y."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u LONG, v LONG"
+    )
+    got = {
+        r["node"]: r["n_reachable"]
+        for r in graph.two_hop_reach(edges).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 3, 4: 2, 10: 1, 11: 1}
+
+
+def test_two_hop_reach_registry_oracle(spark, sf_dir, oracle_sf_dir):
+    from mapreducemovieanalysis_cloud_spark import registry
+    from tests.oracle import assert_matches_oracle
+
+    sql = registry.oracle_sql()["two_hop_reach_suppliers"]
+    q = registry.queries()["two_hop_reach_suppliers"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
