@@ -244,8 +244,15 @@ def two_hop_reach(edges: DataFrame) -> DataFrame:
     min_shared threshold already bounds degrees here. The distinct +
     count shuffles (node, neighbor) pairs once.
     """
-    sym = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # the symmetric edge list is consumed three times (both join sides +
+    # the 1-hop union); localCheckpoint it so the upstream edge
+    # derivation (often a co-occurrence self-join) runs once, not per
+    # consumer — same lazy-checkpoint discipline as the banded-signature
+    # and contingency tables
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
     )
     two = (
         sym.alias("a")
