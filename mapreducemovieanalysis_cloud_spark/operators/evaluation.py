@@ -96,3 +96,50 @@ def recall_at_k(
             F.expr(f"(n_hits * {MICRO}) div {k}").alias("recall_micro"),
         )
     )
+
+
+def auc_by_group(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Sliced ROC-AUC: one (group, n_pos, n_neg, auc_micro) row per
+    group — the per-segment evaluation every quality dashboard slices by
+    (language, source, cohort), same exact rank-sum kernel as the global
+    ``auc_by_ranksum``.
+
+    The bucket table is now (group x score-domain)-bounded and the
+    ordered window partitions BY GROUP — so slices rank independently
+    and in parallel, still never sorting corpus rows.  Groups with a
+    single class emit NULL auc_micro (undefined by definition) rather
+    than a fabricated 0.5."""
+    buckets = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(score_col).alias("__s")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(label_col).cast("long")).alias("__np"),
+    )
+    w = Window.partitionBy("grp").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = buckets.withColumn(
+        "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.sum("__np").cast("long").alias("n_pos"),
+            (F.sum("__n") - F.sum("__np")).cast("long").alias("n_neg"),
+            F.sum(
+                F.col("__np") * (2 * F.col("__cum") + F.col("__n") + 1)
+            ).alias("__two_mid"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_pos",
+            "n_neg",
+            F.expr(
+                f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
+                f"((__two_mid - n_pos * (n_pos + 1)) * {MICRO})"
+                f" div (2 * n_pos * n_neg) END"
+            ).alias("auc_micro"),
+        )
+    )

@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+    _SQL_LOGIT,
+)
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
@@ -655,3 +658,52 @@ def two_hop_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=20,
     )
     return graph.two_hop_reach(edges)
+
+
+# ---- sliced AUC --------------------------------------------------------------
+
+
+@query(
+    "classifier_auc_by_source",
+    oracle=f"""
+    WITH f AS (SELECT source, CAST({_SQL_LOGIT} AS BIGINT) AS s,
+                      CAST(lang = 'en' AS BIGINT) AS y
+               FROM documents),
+    b AS (SELECT source, s, COUNT(*) AS n, SUM(y) AS np
+          FROM f GROUP BY 1, 2),
+    r AS (SELECT source, n, np,
+                 COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+          FROM b)
+    SELECT source,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+           CAST(CASE WHEN SUM(np) = 0 OR SUM(n) = SUM(np) THEN NULL ELSE
+             ((SUM(np * (2 * cum + n + 1)) - SUM(np) * (SUM(np) + 1))
+              * 1000000) // (2 * SUM(np) * (SUM(n) - SUM(np))) END
+             AS BIGINT) AS auc_micro
+    FROM r GROUP BY source
+    """,
+)
+def classifier_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sliced ROC-AUC of the quality logit — the dashboard
+    view that catches a classifier working globally but failing on one
+    source (operators/evaluation.py:auc_by_group).
+
+    Scale: buckets are (source x score-domain)-bounded; the only ordered
+    window partitions by source, so slices rank independently — no
+    global sort, no cross-slice coupling; single-class slices emit NULL
+    (undefined), never a fabricated 0.5."""
+    from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+        SPARK_LOGIT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"CAST({SPARK_LOGIT} AS BIGINT)").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import evaluation
+
+    return evaluation.auc_by_group(docs, "source", "score", "label")

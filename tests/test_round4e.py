@@ -400,3 +400,48 @@ def test_stratified_weighted_sample(spark, sf_dir, oracle_sf_dir):
     }
     for r in q(spark, sf_dir).collect():
         assert global_pri[r["doc_id"]] == r["priority_micro"]
+
+
+def test_auc_by_source_oracle_and_slice_consistency(
+    spark, sf_dir, oracle_sf_dir
+):
+    """Oracle diff at both SFs, plus the slicing property: each source's
+    sliced AUC equals the global kernel run on that source's rows alone,
+    and a single-class crafted slice yields NULL."""
+    from mapreducemovieanalysis_cloud_spark.operators.evaluation import (
+        auc_by_group,
+        auc_by_ranksum,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+        SPARK_LOGIT,
+    )
+
+    sql = registry.oracle_sql()["classifier_auc_by_source"]
+    q = registry.queries()["classifier_auc_by_source"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"CAST({SPARK_LOGIT} AS BIGINT)").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    sliced = {
+        r["source"]: (r["n_pos"], r["n_neg"], r["auc_micro"])
+        for r in auc_by_group(docs, "source", "score", "label").collect()
+    }
+    for src in list(sliced)[:3]:
+        solo = auc_by_ranksum(
+            docs.where(F.col("source") == src), "score", "label"
+        ).collect()[0]
+        assert sliced[src] == (
+            solo["n_pos"],
+            solo["n_neg"],
+            solo["auc_micro"],
+        ), src
+
+    one_class = spark.createDataFrame(
+        [("s", 1, 1), ("s", 2, 1)], "g STRING, score LONG, label LONG"
+    )
+    row = auc_by_group(one_class, "g", "score", "label").collect()[0]
+    assert row["auc_micro"] is None
