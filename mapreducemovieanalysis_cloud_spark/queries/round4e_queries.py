@@ -707,3 +707,99 @@ def classifier_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducemovieanalysis_cloud_spark.operators import evaluation
 
     return evaluation.auc_by_group(docs, "source", "score", "label")
+
+
+# ---- population stability index (drift) -------------------------------------
+
+
+@query(
+    "quality_psi_by_source",
+    oracle=f"""
+    WITH f AS (SELECT source,
+                      (CAST({_SQL_LOGIT} AS BIGINT) - (-300)) // 60 AS bin
+               FROM documents),
+    nbins AS (SELECT COUNT(DISTINCT bin) AS k FROM f),
+    total AS (SELECT COUNT(*) AS n_all FROM f),
+    per_src AS (SELECT source, COUNT(*) AS n_src FROM f GROUP BY 1),
+    per_bin AS (SELECT bin, COUNT(*) AS c_all FROM f GROUP BY 1),
+    per_sb AS (SELECT source, bin, COUNT(*) AS c_sb FROM f GROUP BY 1, 2),
+    grid AS (SELECT s.source, b.bin, s.n_src, b.c_all,
+                    COALESCE(sb.c_sb, 0) AS c_sb
+             FROM per_src s CROSS JOIN per_bin b
+             LEFT JOIN per_sb sb
+               ON sb.source = s.source AND sb.bin = b.bin),
+    terms AS (SELECT source,
+                     (CAST(c_sb + 1 AS DOUBLE)
+                      / CAST(n_src + k AS DOUBLE)) AS p,
+                     (CAST(c_all - c_sb + 1 AS DOUBLE)
+                      / CAST(n_all - n_src + k AS DOUBLE)) AS q
+              FROM grid, nbins, total)
+    SELECT source,
+           CAST(ROUND(SUM((p - q) * ln(p / q)) * 1000000) AS BIGINT)
+             AS psi_micro
+    FROM terms GROUP BY source
+    """,
+)
+def quality_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each source's quality-logit
+    distribution against the REST of the corpus, over the calibration
+    bins — the drift alarm that fires when one source's quality profile
+    diverges (PSI > 0.2 is the conventional 'investigate' threshold,
+    i.e. 200_000 micro).
+
+    Add-one smoothing over the full bin grid keeps ln() finite for bins
+    a source never hits; fractions are integer-count rationals, the
+    (p-q)·ln(p/q) terms run the identical double expression both
+    engines, and only the ~bins-term sum is float before the micro
+    rounding.  Scale: everything after the first aggregate operates on
+    (sources × bins) rows — corpus-size-independent; the corpus is
+    scanned once."""
+    from mapreducemovieanalysis_cloud_spark.queries.round3_queries import (
+        SPARK_LOGIT,
+    )
+
+    f = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            f"(CAST({SPARK_LOGIT} AS BIGINT) - (-300)) div 60"
+        ).alias("bin"),
+    )
+    per_sb = (
+        f.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c_sb"))
+        .localCheckpoint(eager=False)
+    )
+    per_src = per_sb.groupBy("source").agg(
+        F.sum("c_sb").alias("n_src")
+    )
+    per_bin = per_sb.groupBy("bin").agg(F.sum("c_sb").alias("c_all"))
+    nbins = per_bin.agg(F.count(F.lit(1)).alias("k"))
+    total = per_src.agg(F.sum("n_src").alias("n_all"))
+    grid = (
+        per_src.crossJoin(F.broadcast(per_bin))
+        .join(per_sb, ["source", "bin"], "left")
+        .withColumn("c_sb", F.coalesce("c_sb", F.lit(0)))
+        .crossJoin(F.broadcast(nbins))
+        .crossJoin(F.broadcast(total))
+    )
+    terms = grid.select(
+        "source",
+        (
+            (F.col("c_sb") + 1).cast("double")
+            / (F.col("n_src") + F.col("k")).cast("double")
+        ).alias("p"),
+        (
+            (F.col("c_all") - F.col("c_sb") + 1).cast("double")
+            / (F.col("n_all") - F.col("n_src") + F.col("k")).cast(
+                "double"
+            )
+        ).alias("q"),
+    )
+    return terms.groupBy("source").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("psi_micro")
+    )

@@ -80,6 +80,7 @@ _PRIORITY = [
     "weighted_sample_per_lang",
     "two_hop_reach_suppliers",
     "classifier_auc_by_source",
+    "quality_psi_by_source",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

@@ -445,3 +445,25 @@ def test_auc_by_source_oracle_and_slice_consistency(
     )
     row = auc_by_group(one_class, "g", "score", "label").collect()[0]
     assert row["auc_micro"] is None
+
+
+def test_psi_oracle_and_properties(spark, sf_dir, oracle_sf_dir):
+    """Oracle diff at both SFs, plus PSI's defining properties:
+    non-negativity (each (p-q)ln(p/q) term is sign-aligned) and actual
+    discrimination — the corpus's sources differ in quality by
+    construction (that is why source_quality_filter exists), so at
+    least one source must register meaningful drift."""
+    from mapreducemovieanalysis_cloud_spark.queries.round4e_queries import (
+        quality_psi_by_source,
+    )
+
+    sql = registry.oracle_sql()["quality_psi_by_source"]
+    q = registry.queries()["quality_psi_by_source"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+    out = {r["source"]: r["psi_micro"] for r in q(spark, sf_dir).collect()}
+    assert out, "no sources"
+    for src, psi in out.items():
+        assert psi >= 0, (src, psi)  # PSI is a divergence
+    assert max(out.values()) > 10_000  # sources DO differ, by design
