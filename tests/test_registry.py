@@ -62,6 +62,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tpch_q22_global_sales",
         "merge_upsert_orders",
         "target_encode_segment",
+        # (sources x bins) smoothing grid + 1-row bin-count/total scalars
+        "quality_psi_by_source",
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
