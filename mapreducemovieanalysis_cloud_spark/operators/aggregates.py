@@ -399,3 +399,74 @@ def profile_columns_approx(
             "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Grouped simple-OLS fit y = a + b*x from exact integer sums: one
+    aggregate computes (n, Σx, Σy, Σxy, Σx², Σy²) per group map-side,
+    then the closed forms
+
+        b  = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        a  = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+        r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    evaluate in double on the group row and round to ``unit`` fixed-point
+    (micro by default).  Groups with zero x-variance (or zero y-variance
+    for r²) emit NULL, never a fabricated 0.
+
+    Cross-engine exactness contract (same as the correlation matrix):
+    x and y must already be int64-quantized so every sum is exact int64
+    whose double image stays below 2^53 at the test scale; both engines
+    then run the IDENTICAL scalar double expression on identical
+    operands.  At 10¹²-row scale switch the sums to DECIMAL(38) — same
+    shape, same closed forms.
+
+    Scale: ONE partial/final HashAggregate over (group) — no Expand, no
+    second pass, no per-group sort; output is group-cardinality rows
+    with 6 int64s each, broadcastable downstream.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    s = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    dd = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dy = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    cov = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            f"CAST(CASE WHEN {dd} = 0 THEN NULL ELSE"
+            f" ROUND({cov} / {dd} * {unit}) END AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {dd} = 0 THEN NULL ELSE"
+            f" ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            f"        - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+            f" / {dd} * {unit}) END AS BIGINT)"
+        ).alias("intercept_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {dd} = 0 OR {dy} = 0 THEN NULL ELSE"
+            f" ROUND({cov} * {cov} / ({dd} * {dy}) * {unit}) END AS BIGINT)"
+        ).alias("r2_micro"),
+    )

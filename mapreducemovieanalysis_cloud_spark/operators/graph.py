@@ -231,6 +231,53 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
     )
 
 
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge list: (node, hops) — the
+    minimum hop distance from the nearest source, for every node within
+    ``max_hops`` (sources themselves at 0).  The reachability-with-
+    distance primitive behind blast-radius, influence-horizon, and
+    shortest-chain queries.
+
+    Frontier loop: each round expands only the NEWLY reached frontier
+    through one edge join and anti-joins the visited set — a node's
+    distance is fixed the first round it appears, which IS the BFS
+    minimum, so no per-node min must be recomputed.  Frontier and
+    visited localCheckpoint per round: lineage stays one round deep and
+    the visited set is scanned, never rebuilt.  An empty frontier stops
+    the loop early (O(1)-row count action per round, same driver
+    discipline as ``k_core``).
+
+    Scale: round r shuffles |frontier_r x avg-degree| edge matches —
+    total work is edges-within-horizon, not nodes x hops; state is one
+    (node, hops) row per reached node.  ``max_hops`` caps the rounds; on
+    power-law graphs the frontier saturates in a few rounds (small-world
+    diameter) so the loop is short regardless of graph size.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    visited = sources.select(
+        F.col("node"), F.lit(0).cast("int").alias("hops")
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def two_hop_reach(edges: DataFrame) -> DataFrame:
     """(node, n_reachable): how many distinct nodes sit within <= 2 hops
     of each node (self excluded) — the friends-of-friends expansion

@@ -89,6 +89,214 @@ def resample_hourly_locf(
     )
 
 
+def resample_hourly_interp(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Linear interpolation at interior hour boundaries per key — the
+    gap-fill complement of LOCF (sensor/metric series want the straight
+    line between observations, not a step function): one row per (user,
+    hour) for every hour boundary STRICTLY inside the user's observed
+    span, with the value linearly interpolated between the nearest
+    observation at-or-before and strictly-after the boundary.
+
+    Exactness: values quantize to int64 micro units up front; the
+    interpolation term is pure integer arithmetic
+    (``pv + sign * (|nv-pv| * (g-pt)) div (nt-pt)`` — abs/sign split so
+    truncating integer division agrees across engines for negative
+    slopes).  Duplicate timestamps collapse to the (ts, tiebreak)-latest
+    observation first, so time -> value is a function.
+
+    Plan shape: one aggregate collapses duplicates, one per-user span
+    aggregate explodes the hour grid (span-bounded, never
+    event-bounded), then grid + observations merge into ONE per-user
+    ordered stream where two frames of the same window sort supply
+    prev (last ignorenulls, preceding) and next (first ignorenulls,
+    following) — a single sort shuffle keyed on the user, no as-of
+    join, no self-join."""
+    us = F.unix_micros(F.col(ts_col))
+    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    obs = (
+        df.select(
+            F.col(user_col),
+            us.alias("t"),
+            F.col(tiebreak_col).alias("__tb"),
+            vm.alias("__vm"),
+        )
+        .groupBy(user_col, "t")
+        .agg(F.max_by("__vm", F.col("__tb")).alias("vm"))
+    )
+    span = obs.groupBy(user_col).agg(
+        F.min("t").alias("__lo"), F.max("t").alias("__hi")
+    )
+    h = F.lit(US_PER_HOUR)
+    grid = span.where(
+        (F.col("__lo") / h).cast("long") + 1
+        <= ((F.col("__hi") - 1) / h).cast("long")
+    ).select(
+        F.col(user_col),
+        F.explode(
+            F.sequence(
+                (F.col("__lo") / h).cast("long") + 1,
+                ((F.col("__hi") - 1) / h).cast("long"),
+            )
+        ).alias("__h"),
+    )
+    merged = obs.select(
+        user_col, "t", F.lit(0).alias("__is_grid"), "vm"
+    ).unionByName(
+        grid.select(
+            F.col(user_col),
+            (F.col("__h") * US_PER_HOUR).alias("t"),
+            F.lit(1).alias("__is_grid"),
+            F.lit(None).cast("long").alias("vm"),
+        )
+    )
+    # observations sort before a grid point at the same instant, so a
+    # boundary landing exactly on an observation interpolates to it
+    w = Window.partitionBy(user_col).orderBy("t", "__is_grid")
+    prev_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_frame = w.rowsBetween(1, Window.unboundedFollowing)
+    obs_t = F.when(F.col("__is_grid") == 0, F.col("t"))
+    filled = merged.select(
+        F.col(user_col),
+        "t",
+        "__is_grid",
+        F.last("vm", ignorenulls=True).over(prev_frame).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(prev_frame).alias("pt"),
+        F.first("vm", ignorenulls=True).over(next_frame).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(next_frame).alias("nt"),
+    ).where(
+        (F.col("__is_grid") == 1)
+        & F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+    )
+    # the |Δv| * Δt product overflows int64 for long gaps (5e8 micro x a
+    # multi-hour gap in epoch-micros); widen to DECIMAL(38) for the one
+    # multiply-divide — operands are positive after the abs/sign split,
+    # so Spark's `div` and DuckDB's HUGEINT `//` truncate identically
+    d = F.col("nv") - F.col("pv")
+    q = F.expr(
+        "CAST((CAST(abs(nv - pv) AS DECIMAL(38,0)) * (t - pt))"
+        " div (nt - pt) AS BIGINT)"
+    )
+    return filled.select(
+        F.col(user_col),
+        F.date_format(
+            F.timestamp_micros(F.col("t")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour"),
+        (
+            F.col("pv") + F.when(d < 0, -q).otherwise(q)
+        ).alias("interp_micro"),
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_us_col: str = "__s",
+    end_us_col: str = "__e",
+) -> DataFrame:
+    """Sweep-line peak concurrency per key over [start, end) intervals:
+    (key, n_intervals, max_concurrent) — the capacity-planning statistic
+    (max simultaneous sessions / transfers / rentals) that a naive
+    interval self-join computes quadratically and this computes in one
+    sort.
+
+    Each interval contributes +1 at start and -1 at end; deltas collapse
+    per (key, instant) FIRST (so ends and starts at the same instant net
+    out — the closed-open convention where a slot freed at t is reusable
+    at t), then one ordered running sum per key; the peak is the max
+    running total.  Ties need no tiebreak: net deltas are aggregated per
+    instant before the ordered scan, so the cumulative series — and its
+    max — is unique whatever the engine's sort is.
+
+    Scale: two shuffles on the key (delta aggregate, ordered window) —
+    point volume is 2x intervals, state is one counter per partition
+    row.  A key's points must sort in one partition; keys here are
+    low-cardinality dimensions (event types, device classes), the
+    per-key point count is what grows."""
+    points = df.select(
+        F.col(key_col), F.col(start_us_col).alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        df.select(
+            F.col(key_col), F.col(end_us_col).alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    net = points.groupBy(key_col, "t").agg(F.sum("d").alias("net"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = net.withColumn("cur", F.sum("net").over(w))
+    return (
+        running.groupBy(key_col)
+        .agg(F.max("cur").cast("long").alias("max_concurrent"))
+        .join(
+            df.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("n_intervals")
+            ),
+            key_col,
+        )
+        .select(key_col, "n_intervals", "max_concurrent")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_us_col: str = "__s",
+    end_us_col: str = "__e",
+    tiebreak_col: str = "__tb",
+) -> DataFrame:
+    """Union-of-intervals coverage per key: merge overlapping/touching
+    [start, end) intervals into islands and report (key, n_intervals,
+    n_islands, covered_us) — utilization/uptime accounting where
+    overlapping sessions must not double-count.
+
+    The gaps-and-islands pass: per key in (start, end, tiebreak) order,
+    an interval opens a NEW island iff its start exceeds the running max
+    of all previous ends (ROWS ... 1 PRECEDING); the island id is the
+    running count of opens; coverage sums max(end)-min(start) per
+    island.  Touching intervals (start == prev end) merge — [1,3)+[3,5)
+    covers 4.  All arithmetic is int64 epoch-micros.
+
+    Scale: one sort shuffle on the key feeds both windows (same
+    partitioning and order), then two key-local aggregates; no
+    self-join, no explode — the classic O(n^2) overlap join becomes
+    O(n log n) sort."""
+    w = Window.partitionBy(key_col).orderBy(
+        start_us_col, end_us_col, tiebreak_col
+    )
+    prev_max_end = F.max(end_us_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_us_col) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.select(
+        F.col(key_col),
+        F.col(start_us_col).alias("__s"),
+        F.col(end_us_col).alias("__e"),
+        F.sum(opens)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__island"),
+    )
+    per_island = islands.groupBy(key_col, "__island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max("__e") - F.min("__s")).alias("__len"),
+    )
+    return per_island.groupBy(key_col).agg(
+        F.sum("__n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("__len").cast("long").alias("covered_us"),
+    )
+
+
 def ewma_per_key(
     df: DataFrame,
     alpha: float,

@@ -81,6 +81,13 @@ _PRIORITY = [
     "two_hop_reach_suppliers",
     "classifier_auc_by_source",
     "quality_psi_by_source",
+    "regr_price_on_qty_by_brand",
+    "peak_concurrent_by_type",
+    "interval_coverage_user",
+    "resample_hourly_interp",
+    "bfs_hops_suppliers",
+    "tfidf_top_terms",
+    "anomaly_hour_of_day",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -182,6 +189,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

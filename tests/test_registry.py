@@ -64,6 +64,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "target_encode_segment",
         # (sources x bins) smoothing grid + 1-row bin-count/total scalars
         "quality_psi_by_source",
+        # 1-row corpus-count broadcast into the IDF term
+        "tfidf_top_terms",
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
