@@ -10,7 +10,7 @@ is always-on map-side partial aggregation in Spark).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -469,4 +469,98 @@ def ols_by_group(
             f"CAST(CASE WHEN {dd} = 0 OR {dy} = 0 THEN NULL ELSE"
             f" ROUND({cov} * {cov} / ({dd} * {dy}) * {unit}) END AS BIGINT)"
         ).alias("r2_micro"),
+    )
+
+
+def pearson_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    unit: int = 1_000_000,
+    min_n: int = 2,
+) -> DataFrame:
+    """Grouped Pearson correlation from exact integer sums — the grouped
+    sibling of the global correlation matrix (same exactness contract as
+    ``ols_by_group``: int64-quantized inputs, one partial/final
+    HashAggregate for (n, Σx, Σy, Σxy, Σx², Σy²), one IDENTICAL scalar
+    double expression per group row, one rounding to ``unit``).  Groups
+    with n < ``min_n`` or zero variance on either side emit NULL.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    s = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    dd = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dy = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    cov = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            f"CAST(CASE WHEN n < {min_n} OR {dd} = 0 OR {dy} = 0"
+            f" THEN NULL ELSE"
+            f" ROUND({cov} / (sqrt({dd}) * sqrt({dy})) * {unit})"
+            f" END AS BIGINT)"
+        ).alias("corr_micro"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Grouped Gini concentration coefficient over non-negative int64
+    values:  G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)  with xᵢ ascending —
+    the inequality/concentration statistic (0 = uniform, →1 = one member
+    holds everything).  NULL when the group sums to zero.
+
+    Determinism: the rank i comes from a total order (value, tiebreak),
+    and Σ(i·xᵢ) is invariant under permutations WITHIN a tied value run
+    anyway (equal x), so any engine's sort yields the same sum; the
+    closed form is one double expression on int64 operands, rounded to
+    ``unit``.
+
+    Scale: one sort shuffle on the group key ranks members in-partition,
+    then a key-local aggregate — no self-join, no global sort.  Σ(i·x)
+    needs i·x < 2^63: at 10⁹-member groups switch the products to
+    DECIMAL(38), same shape."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__x"),
+        F.row_number().over(w).alias("__i"),
+    )
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.col("__i").cast("long") * F.col("__x")).alias("six"),
+    )
+    return s.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            f"CAST(CASE WHEN sx = 0 THEN NULL ELSE"
+            f" ROUND((2.0D * CAST(six AS DOUBLE)"
+            f"        - (CAST(n AS DOUBLE) + 1.0D) * CAST(sx AS DOUBLE))"
+            f" / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) * {unit})"
+            f" END AS BIGINT)"
+        ).alias("gini_micro"),
     )

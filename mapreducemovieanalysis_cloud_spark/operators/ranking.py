@@ -22,7 +22,7 @@ a TakeOrderedAndProject, not a global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions.text import tokens
@@ -143,3 +143,46 @@ def bm25_oracle_sql(terms: list[str], topk: int = 50) -> str:
     FROM sc GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id ASC LIMIT {topk}
     """
+
+
+def skyline_2d(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the points not dominated under
+    (maximize y, minimize x) — a point loses if another has y' >= y AND
+    x' <= x with one strict.  Returns one (y, x) row per frontier point,
+    x strictly increasing with y.
+
+    Exploits the 2-D structure instead of the quadratic NOT-EXISTS: the
+    skyline is a subset of {per-y min x} (anything else is dominated at
+    its own y), so one distributive map-side MIN collapses the input to
+    y-domain cardinality, and a single running-min sweep in descending y
+    keeps exactly the rows whose x undercuts every higher-y minimum —
+    ties on x lose to the higher y, ties on y lose to the smaller x,
+    matching the strict-dominance definition.
+
+    Scale: the aggregate is the only pass over the data (map-side
+    partial MIN — a hot y costs nothing); the window runs over y-domain
+    rows only.  For continuous y, bucket y first or run the same sweep
+    per partition and re-sweep the union of partial frontiers — the
+    skyline operator is distributive the same way MIN is.
+    """
+    per_y = df.groupBy(F.col(y_col).alias("y")).agg(
+        F.min(F.col(x_col)).alias("x")
+    )
+    w = (
+        Window.orderBy(F.desc("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_y.withColumn("__best_above", F.min("x").over(w))
+        .where(
+            F.col("__best_above").isNull()
+            | (F.col("x") < F.col("__best_above"))
+        )
+        .select(
+            F.col("y").alias(y_col), F.col("x").alias(x_col)
+        )
+    )

@@ -88,6 +88,12 @@ _PRIORITY = [
     "bfs_hops_suppliers",
     "tfidf_top_terms",
     "anomaly_hour_of_day",
+    "skyline_qty_price",
+    "gini_revenue_by_nation",
+    "benford_totalprice",
+    "acf1_user_value",
+    "entropy_lang_by_source",
+    "chi2_cells_type_hod",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -190,6 +196,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
