@@ -564,3 +564,61 @@ def gini_by_group(
             f" END AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    cents_col: Column,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Robust dispersion profile per group: exact median, exact median
+    absolute deviation (MAD), and the count of rows beyond
+    (k_num/k_den)·MAD from the median — the outlier gate that, unlike the
+    z-score (``integer_z_outliers``), a handful of extreme values cannot
+    drag open (50% breakdown point vs 0%).
+
+    Exactness: medians ride the 2× trick — ``med2`` = 2·median(cents) and
+    ``mad4`` = 2·median(2·|dev|) are integers for integer inputs (doubled
+    middle, or the sum of the two middles), so engine interpolation paths
+    cannot differ.  The gate |x − med| > k·MAD is applied as
+    2·k_den·dev2 > k_num·mad4 — pure int64.
+
+    Scale: two aggregate passes over the fact (median, then MAD +
+    count), each a partial/final aggregate on the group key; the per-group
+    med2/mad4 rows broadcast back.  ``percentile`` holds the group's
+    values per partition before merging, so at extreme per-group
+    cardinality the approximate tier (percentile_approx) substitutes.
+    """
+    vals = df.select(F.col(group_col), cents_col.alias("__x"))
+    med = vals.groupBy(group_col).agg(
+        F.round(F.expr("percentile(__x, 0.5D)") * 2)
+        .cast("long")
+        .alias("med2_cents")
+    )
+    dev = vals.join(F.broadcast(med), group_col).select(
+        F.col(group_col),
+        "med2_cents",
+        F.abs(F.lit(2) * F.col("__x") - F.col("med2_cents")).alias("__dev2"),
+    )
+    w = Window.partitionBy(group_col)
+    gated = dev.select(
+        F.col(group_col),
+        "med2_cents",
+        "__dev2",
+        F.round(F.expr("percentile(__dev2, 0.5D)").over(w) * 2)
+        .cast("long")
+        .alias("mad4_cents"),
+    )
+    return gated.groupBy(group_col, "med2_cents", "mad4_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (
+                F.lit(2 * k_den) * F.col("__dev2")
+                > F.lit(k_num) * F.col("mad4_cents")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )

@@ -94,6 +94,13 @@ _PRIORITY = [
     "acf1_user_value",
     "entropy_lang_by_source",
     "chi2_cells_type_hod",
+    "cusum_user_value",
+    "twap_user_value",
+    "rolling_median_value",
+    "ohlc_hourly_by_type",
+    "sliding_reach_by_type",
+    "streaks_user_days",
+    "mad_outliers_by_type",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -197,6 +204,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
