@@ -407,3 +407,138 @@ def weighted_sample(
         .orderBy(F.desc("priority_micro"), id_col)
         .limit(k)
     )
+
+
+def llr_keyness(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    topk: int = 10,
+    min_support: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per group by Dunning's log-likelihood-ratio
+    keyness: for each (group, token), a = in-group occurrences,
+    b = rest-of-corpus occurrences, and
+
+        LLR = 2·(a·ln(a·N/(A·(a+b))) + b·ln(b·N/(B·(a+b))))
+
+    (A/B in-/out-group token totals, N = A+B).  Tokens are kept only when
+    OVER-represented (a·N > A·(a+b), decided in exact int64) and supported
+    (a+b >= min_support); the top-``topk`` per group are ranked by
+    micro-rounded LLR with the token string as the total-order tiebreak —
+    the ranking key is the already-rounded integer, so a sub-ulp float
+    divergence can never reorder engines.
+
+    Scale: one token explode feeding two grouped counts (group×token,
+    token) plus two scalar/group totals; joins key on the token and the
+    group — the corpus text itself never shuffles.  The double steps are
+    two ln() calls on ratios of int64 counts (identical operands both
+    engines); products stay in doubles so no int64 overflow gate applies.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(T.tokens(text_col)).alias("tok"),
+    ).where(F.length("tok") > 0)
+    a = toks.groupBy("g", "tok").agg(F.count(F.lit(1)).alias("cin"))
+    tot = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ab"))
+    grp = toks.groupBy("g").agg(F.count(F.lit(1)).alias("gtot"))
+    n_total = grp.agg(F.sum("gtot").alias("ntot"))
+    j = (
+        a.join(tot, "tok")
+        .join(F.broadcast(grp), "g")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("cout", F.col("ab") - F.col("cin"))
+        .withColumn("resttot", F.col("ntot") - F.col("gtot"))
+        .where(
+            (F.col("ab") >= min_support)
+            & (F.col("cin") * F.col("ntot") > F.col("gtot") * F.col("ab"))
+        )
+    )
+    ad, bd = F.col("cin").cast("double"), F.col("cout").cast("double")
+    nd = F.col("ntot").cast("double")
+    abd = F.col("ab").cast("double")
+    term_a = ad * F.log(ad * nd / (F.col("gtot").cast("double") * abd))
+    term_b = F.when(F.col("cout") == 0, F.lit(0.0)).otherwise(
+        bd * F.log(bd * nd / (F.col("resttot").cast("double") * abd))
+    )
+    scored = j.select(
+        F.col("g").alias(group_col),
+        F.col("tok").alias("token"),
+        F.col("cin").cast("long").alias("cnt_in"),
+        F.col("cout").cast("long").alias("cnt_out"),
+        F.round((term_a + term_b) * 2 * 1_000_000)
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("llr_micro").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= topk)
+        .drop("__rk")
+    )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 3,
+    permille: int = 100,
+) -> DataFrame:
+    """Per-source boilerplate n-grams: word shingles appearing in at least
+    ``min_df`` documents AND at least ``permille``/1000 of the source's
+    documents — the template/header/footer detector that runs before
+    near-dedup so shared boilerplate doesn't glue unrelated docs into one
+    near-dup cluster (the C4/MassiveText line-dedup motivation, lifted to
+    shingles).
+
+    Both gates are exact integer comparisons (df·1000 >= docs·permille);
+    output carries df, the source's doc count, and the floor-permille
+    share.
+
+    Scale: distinct (source, doc, shingle) explode partial-aggregates
+    map-side into (source, shingle) df counts; the per-source doc count
+    broadcasts.  Output is bounded by genuinely repeated shingles — random
+    text yields ~nothing, templated corpora yield the template.
+    """
+    toked = docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        T.tokens(text_col).alias("__toks"),
+    )
+    sh = toked.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.shingles_from_tokens(F.col("__toks"), n))
+        ).alias("shingle"),
+    )
+    df_counts = sh.groupBy(source_col, "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("docs_in_source")
+    )
+    return (
+        df_counts.join(F.broadcast(per_source), source_col)
+        .where(
+            (F.col("df") >= min_df)
+            & (
+                F.col("df") * 1000
+                >= F.col("docs_in_source") * F.lit(permille)
+            )
+        )
+        .select(
+            F.col(source_col),
+            "shingle",
+            F.col("df").cast("long").alias("df"),
+            F.col("docs_in_source").cast("long").alias("docs_in_source"),
+            F.expr("CAST(df * 1000 div docs_in_source AS BIGINT)").alias(
+                "df_permille"
+            ),
+        )
+    )

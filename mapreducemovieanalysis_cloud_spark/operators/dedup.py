@@ -696,3 +696,81 @@ def duplicate_passages(
         .orderBy(F.col("n_occurrences").desc(), F.col("passage").asc())
         .limit(topk)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: directional (doc_a, doc_b)
+    with |A∩B|/|A| >= t_num/t_den — the doc-in-doc detector Jaccard
+    misses (a paragraph fully quoted inside a much longer doc has high
+    containment but low Jaccard, because the union is dominated by B).
+
+    The threshold is a RATIONAL t_num/t_den and every gate is exact
+    integer arithmetic: required overlap r = ceil(t·|A|) computed as
+    (t_num·|A| + t_den − 1) div t_den; the candidate filter keeps only
+    the probing side's prefix — under the global md5 shingle order, any
+    r-subset of A must intersect A's first |A| − r + 1 shingles — joined
+    against FULL postings of B (containment constrains only A's side, so
+    B cannot be prefix-pruned; that asymmetry is what makes this cheaper
+    than symmetric PPJoin on the A side and is lossless).  The final gate
+    re-counts the exact intersection and keeps c·t_den >= t_num·|A|.
+
+    Scale: postings join keyed on the shingle; candidate volume is
+    prefix(A) × df(shingle), linear in genuinely-shared content.  Output
+    carries |A|, the overlap, and floor-permille containment.
+    """
+    sh = shingle_sets(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
+    rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
+    prefix = (
+        sh.withColumn("rk", F.row_number().over(rank_w))
+        .join(sizes, id_col)
+        .where(
+            F.col("rk")
+            <= F.col("s")
+            - F.expr(f"CAST((s * {t_num} + {t_den - 1}) div {t_den} AS BIGINT)")
+            + 1
+        )
+        .select(F.col(id_col).alias("doc_a"), "shingle")
+    )
+    cands = (
+        prefix.join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cands.join(
+            sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .where(F.col("overlap") * t_den >= F.lit(t_num) * F.col("s"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("s").cast("long").alias("size_a"),
+            F.col("overlap").cast("long").alias("overlap"),
+            F.expr("CAST(overlap * 1000 div s AS BIGINT)").alias(
+                "containment_permille"
+            ),
+        )
+    )
+    return out

@@ -101,6 +101,9 @@ _PRIORITY = [
     "sliding_reach_by_type",
     "streaks_user_days",
     "mad_outliers_by_type",
+    "keyness_llr_by_lang",
+    "containment_pairs",
+    "boilerplate_by_source",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -205,6 +208,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

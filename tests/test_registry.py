@@ -66,6 +66,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "quality_psi_by_source",
         # 1-row corpus-count broadcast into the IDF term
         "tfidf_top_terms",
+        # 1-row corpus-token-total broadcast into the LLR contrast
+        "keyness_llr_by_lang",
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
