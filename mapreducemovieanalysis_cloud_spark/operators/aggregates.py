@@ -585,24 +585,27 @@ def mad_outlier_stats(
     cannot differ.  The gate |x − med| > k·MAD is applied as
     2·k_den·dev2 > k_num·mad4 — pure int64.
 
-    Scale: two aggregate passes over the fact (median, then MAD +
-    count), each a partial/final aggregate on the group key; the per-group
-    med2/mad4 rows broadcast back.  ``percentile`` holds the group's
-    values per partition before merging, so at extreme per-group
-    cardinality the approximate tier (percentile_approx) substitutes.
+    Scale: ONE exchange on the group key — both unbounded ``percentile``
+    windows and the final count aggregate share the same partitioning,
+    so the fact scans once.  ``percentile`` holds a group's values in
+    the window buffer, so at extreme per-group cardinality the
+    approximate tier (percentile_approx) substitutes.
     """
+    w = Window.partitionBy(group_col)
+    # Both medians ride unbounded windows over the same partition key:
+    # one exchange, one scan — no median aggregate joined back.
     vals = df.select(F.col(group_col), cents_col.alias("__x"))
-    med = vals.groupBy(group_col).agg(
-        F.round(F.expr("percentile(__x, 0.5D)") * 2)
+    dev = vals.select(
+        F.col(group_col),
+        "__x",
+        F.round(F.expr("percentile(__x, 0.5D)").over(w) * 2)
         .cast("long")
-        .alias("med2_cents")
-    )
-    dev = vals.join(F.broadcast(med), group_col).select(
+        .alias("med2_cents"),
+    ).select(
         F.col(group_col),
         "med2_cents",
         F.abs(F.lit(2) * F.col("__x") - F.col("med2_cents")).alias("__dev2"),
     )
-    w = Window.partitionBy(group_col)
     gated = dev.select(
         F.col(group_col),
         "med2_cents",

@@ -53,14 +53,19 @@ def cusum_max_excursion(
     n, ``excursion_n_cents`` = max|D_k| (n-scaled cents), and ``at_k`` =
     the earliest 1-based step attaining it.
 
-    Scale: one window pass ordered within the key partition (running sum
-    + row number), one same-key aggregate for (n, T), one same-key
-    aggregate for the argmax — the series never crosses partitions.
+    Scale: ONE exchange on the key — the ordered running-sum window, the
+    unordered (n, T) windows, and the final argmax aggregate all share
+    the same partitioning, so the series never crosses partitions and
+    the fact scans once.
     Magnitude bound: |D_k| <= n²·max_cents, safely inside int64 for
     per-key series below ~10⁶ rows at TPC-H-like value ranges.
     """
     v = _cents(value_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    w_all = Window.partitionBy(key_col)
+    # (n, T) ride unordered windows over the SAME partition key as the
+    # ordered running-sum window, so the whole derivation is one exchange
+    # and one scan — no totals join back onto the fact.
     stepped = df.select(
         F.col(key_col),
         v.alias("__v"),
@@ -68,11 +73,14 @@ def cusum_max_excursion(
         F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "__s"
         ),
+    ).select(
+        F.col(key_col),
+        F.col("__k"),
+        F.col("__s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("__v").over(w_all).alias("__tot"),
     )
-    totals = stepped.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__v").alias("__tot")
-    )
-    dev = stepped.join(totals, key_col).select(
+    dev = stepped.select(
         F.col(key_col),
         F.col("n"),
         F.col("__k"),
