@@ -248,35 +248,99 @@ def sliding_distinct(
     many distinct members touched this key in the ``window_seconds``
     ending at each event's timestamp (rolling 24 h reach by default).
 
-    RANGE frame over integer epoch seconds, so rows sharing a second are
-    frame peers in both engines — the count is a pure function of
-    (key, second), never of intra-second ordering.
-
     Output: one row per event — id, key, ``sec`` (epoch), ``reach``.
+    The count is a pure function of (key, second): a member counts at
+    query second s iff it has an event in [s−W+1, s].
 
-    Scale: the frame buffer holds the window's member set per key
-    partition — bounded by the key's active-member cardinality inside one
-    window span, not by history.  At 100 TB tiers where that set itself
-    is large, the scale paths are the streaming watermarked variant
-    (streaming/windows.py) or an HLL sketch column; this operator is the
-    exact tier.
+    LINEAR sweep-line formulation (the naive RANGE-frame
+    ``collect_set`` rebuilds the member set per row — measured 20×
+    wall on 10× data): a member's events each cover query seconds
+    [t, t+W−1]; chaining a member's events whose gap <= W merges that
+    coverage into disjoint intervals, so the member can never be
+    double-counted.  Each interval emits +1 at its start and −1 one past
+    its end; the key-ordered running sum of deltas AT each event second
+    (deltas sort before query rows on the same second) is exactly the
+    distinct reach.
+
+    Scale: two exchanges — (key, member) for the chain window, then
+    (key) for the sweep — both linear in events with no per-row set
+    state; this is the same sweep kernel as peak_concurrency, derived
+    per member first.  The streaming watermarked variant or an HLL
+    sketch column remain the alternatives when even two sorted passes
+    are too dear.
     """
+    w = window_seconds
     sec = (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).cast("long")
-    frame = (
-        Window.partitionBy(key_col)
-        .orderBy("sec")
-        .rangeBetween(-(window_seconds - 1), 0)
-    )
-    return df.select(
+    ev = df.select(
         F.col(tiebreak_col),
         F.col(key_col),
         sec.alias("sec"),
         F.col(member_col).alias("__m"),
+    )
+    # chain each member's events into merged coverage intervals
+    w_m = Window.partitionBy(key_col, "__m").orderBy("sec")
+    chained = ev.select(
+        F.col(key_col),
+        "__m",
+        "sec",
+        F.when(
+            F.lag("sec").over(w_m).isNull()
+            | (F.col("sec") - F.lag("sec").over(w_m) > w),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
     ).select(
-        F.col(tiebreak_col),
+        F.col(key_col),
+        "__m",
+        "sec",
+        F.sum("__new")
+        .over(w_m.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__grp"),
+    )
+    intervals = chained.groupBy(key_col, "__m", "__grp").agg(
+        F.min("sec").alias("__start"),
+        (F.max("sec") + F.lit(w)).alias("__stop"),  # one past last covered
+    )
+    deltas = intervals.select(
+        F.col(key_col),
+        F.col("__start").alias("sec"),
+        F.lit(1).alias("__d"),
+        F.lit(0).alias("__q"),
+        F.lit(None).cast("long").alias(tiebreak_col),
+    ).unionByName(
+        intervals.select(
+            F.col(key_col),
+            F.col("__stop").alias("sec"),
+            F.lit(-1).alias("__d"),
+            F.lit(0).alias("__q"),
+            F.lit(None).cast("long").alias(tiebreak_col),
+        )
+    )
+    queries_rows = ev.select(
         F.col(key_col),
         "sec",
-        F.size(F.collect_set("__m").over(frame)).cast("long").alias("reach"),
+        F.lit(0).alias("__d"),
+        F.lit(1).alias("__q"),
+        F.col(tiebreak_col),
+    )
+    # deltas (__q=0) sort before query rows (__q=1) on the same second,
+    # so a coverage starting AT s counts and one ending before s doesn't;
+    # query rows carry delta 0, so tie order among them cannot matter.
+    sweep = Window.partitionBy(key_col).orderBy("sec", "__q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        deltas.unionByName(queries_rows)
+        .select(
+            F.col(tiebreak_col),
+            F.col(key_col),
+            "sec",
+            "__q",
+            F.sum("__d").over(sweep).cast("long").alias("reach"),
+        )
+        .where(F.col("__q") == 1)
+        .select(tiebreak_col, key_col, "sec", "reach")
     )
 
 
