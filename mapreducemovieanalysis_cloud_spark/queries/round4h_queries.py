@@ -252,14 +252,16 @@ def streaks_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust dispersion profile per event type: exact median (2×),
-    exact MAD (4×), and the count beyond 3·MAD (operators/aggregates.py:
-    mad_outlier_stats) — the 50%-breakdown-point complement of the
-    z-score gate (outliers_value_z), which extreme values themselves
-    drag open.
+    """Robust dispersion PROFILE per event type: exact median (2×),
+    exact MAD (4×), and the outlier count beyond 3·MAD (operators/
+    aggregates.py:mad_outlier_stats).  Companion to the row-level gate
+    ``outliers_value_mad`` (round3), which LISTS the outlying rows: the
+    profile is the monitoring/drift view (types × 5 columns), the gate
+    is the cleaning view — and the profile's plan is ONE exchange (both
+    medians ride same-partition windows) vs the gate's
+    aggregate+broadcast+rescan.
 
-    Scale: median aggregate + broadcast-back + one windowed MAD pass,
-    all keyed on the type; the gate is pure int64."""
+    Scale: one hash exchange on the type; the gate is pure int64."""
     from mapreducemovieanalysis_cloud_spark.operators import aggregates
 
     return aggregates.mad_outlier_stats(
