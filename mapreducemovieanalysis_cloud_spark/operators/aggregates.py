@@ -625,3 +625,192 @@ def mad_outlier_stats(
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    cents_col: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic for each group vs
+    the REST of the table: D = max over pooled values of
+    |CDF_in(v) − CDF_rest(v)|, reported as floor-micro with the whole
+    derivation in exact int64 (cross-multiplied counts — no float CDFs).
+
+    Evaluates the CDF gap at every pooled distinct value (the max of the
+    step-function difference is attained there), via a
+    (distinct values × groups) grid: bounded by the value DOMAIN, not the
+    row count — the same collapse the histogram/Benford kernels ride.
+
+    Scale: one aggregate collapses the fact to (value, group) counts;
+    the grid cross-join broadcasts the per-group totals (group
+    cardinality rows); cumulative sums run per group over the value
+    order.  Overflow envelope: cum·n_rest ≤ n_in·n_rest and the ×10⁶
+    product must stay under 2⁶³ — lift to DECIMAL(38) beyond ~10⁹ rows
+    per side.
+    """
+    counts = (
+        df.select(F.col(group_col), cents_col.alias("__v"))
+        .groupBy(group_col, "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("n_in"))
+    grand = totals.agg(F.sum("n_in").alias("__n_all"))
+    vals = counts.select("__v").distinct()
+    grid = vals.crossJoin(F.broadcast(totals)).join(
+        counts, [group_col, "__v"], "left"
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v_tot = (
+        counts.groupBy("__v")
+        .agg(F.sum("__c").alias("__cv"))
+        .select(
+            "__v",
+            F.sum("__cv")
+            .over(
+                Window.orderBy("__v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("__cum_all"),
+        )
+    )
+    stepped = (
+        grid.select(
+            F.col(group_col),
+            "__v",
+            "n_in",
+            F.sum(F.coalesce("__c", F.lit(0))).over(w_cum).alias("__cum_in"),
+        )
+        .join(v_tot, "__v")
+        .crossJoin(F.broadcast(grand))
+    )
+    num = F.abs(
+        F.col("__cum_in") * (F.col("__n_all") - F.col("n_in"))
+        - (F.col("__cum_all") - F.col("__cum_in")) * F.col("n_in")
+    )
+    return (
+        stepped.select(
+            F.col(group_col),
+            F.col("n_in"),
+            (F.col("__n_all") - F.col("n_in")).alias("n_rest"),
+            (num * 1_000_000).alias("__num"),
+        )
+        .groupBy(group_col, "n_in", "n_rest")
+        .agg(
+            F.expr("CAST(MAX(__num) div (n_in * n_rest) AS BIGINT)").alias(
+                "ks_micro"
+            )
+        )
+        .select(
+            group_col,
+            F.col("n_in").cast("long").alias("n_in"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            "ks_micro",
+        )
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    cents_col: Column,
+    tail_num: int = 5,
+    tail_den: int = 100,
+) -> DataFrame:
+    """Winsorized mean per group: the k = ⌊n·tail⌋ smallest values are
+    clamped up to the (k+1)-th order statistic and the k largest down to
+    the (n−k)-th, then averaged — the bounded-influence alternative to
+    trimming (keeps n constant) whose clamp bounds are EXACT order
+    statistics picked by integer rank, so no quantile interpolation
+    exists anywhere.
+
+    Output per group: n, k, raw ``mean_cents_milli`` and
+    ``winsorized_mean_cents_milli`` (both floor-milli of exact integer
+    sums).
+
+    Scale: ONE exchange on the group key — the rank window, the
+    unordered (n, lo, hi) windows, and the final aggregate all share one
+    hash partitioning (the CUSUM/MAD plan shape).
+    """
+    w_rank = Window.partitionBy(group_col).orderBy("__x")
+    w_all = Window.partitionBy(group_col)
+    k = F.expr(f"CAST(n * {tail_num} div {tail_den} AS BIGINT)")
+    ranked = (
+        df.select(F.col(group_col), cents_col.alias("__x"))
+        .select(
+            F.col(group_col),
+            "__x",
+            F.row_number().over(w_rank).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .withColumn("__k", k)
+        .select(
+            F.col(group_col),
+            "__x",
+            "n",
+            "__k",
+            F.max(
+                F.when(F.col("__rn") == F.col("__k") + 1, F.col("__x"))
+            )
+            .over(w_all)
+            .alias("__lo"),
+            F.max(
+                F.when(F.col("__rn") == F.col("n") - F.col("__k"), F.col("__x"))
+            )
+            .over(w_all)
+            .alias("__hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("__x"), F.col("__lo")), F.col("__hi"))
+    return ranked.groupBy(group_col, "n", "__k").agg(
+        F.expr("CAST(SUM(__x) * 1000 div MAX(n) AS BIGINT)").alias(
+            "mean_cents_milli"
+        ),
+        F.sum(clamped).alias("__ws"),
+    ).select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k"),
+        "mean_cents_milli",
+        F.expr("CAST(__ws * 1000 div n AS BIGINT)").alias(
+            "winsorized_mean_cents_milli"
+        ),
+    )
+
+
+def percentile_bands(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: Column,
+) -> DataFrame:
+    """P50/P95/P99 bands per group in scaled-integer exactness: for a
+    rational quantile a/b over int64 inputs, b×percentile is an integer
+    (the interpolation fraction is a multiple of 1/b), so ROUND(b·q)
+    is bit-identical across engines — p50 ships ×2, p95 ×20, p99 ×100
+    (the latency-band rollup every metrics pipeline publishes).
+
+    Scale: one partial/final aggregate per group; ``percentile`` holds a
+    group's values before the merge, so extreme per-group cardinality
+    swaps in the approximate tier with the same output contract.
+    """
+    return (
+        df.select(*[F.col(c) for c in group_cols], cents_col.alias("__x"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(__x, 0.5D)") * 2)
+            .cast("long")
+            .alias("p50_x2"),
+            F.round(F.expr("percentile(__x, 0.95D)") * 20)
+            .cast("long")
+            .alias("p95_x20"),
+            F.round(F.expr("percentile(__x, 0.99D)") * 100)
+            .cast("long")
+            .alias("p99_x100"),
+        )
+    )

@@ -104,6 +104,9 @@ _PRIORITY = [
     "keyness_llr_by_lang",
     "containment_pairs",
     "boilerplate_by_source",
+    "ks_drift_by_type",
+    "winsorized_orders_by_priority",
+    "percentile_bands_type_hod",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -209,6 +212,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

@@ -68,6 +68,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tfidf_top_terms",
         # 1-row corpus-token-total broadcast into the LLR contrast
         "keyness_llr_by_lang",
+        # type-cardinality totals + 1-row grand-total broadcast into the
+        # (value-domain x type) KS grid
+        "ks_drift_by_type",
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
