@@ -107,6 +107,9 @@ _PRIORITY = [
     "ks_drift_by_type",
     "winsorized_orders_by_priority",
     "percentile_bands_type_hod",
+    "feature_hash_docs",
+    "time_intelligence_nation",
+    "k_anonymity_customers",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -213,6 +216,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True
