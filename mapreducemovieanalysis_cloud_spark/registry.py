@@ -38,14 +38,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness run covers a bounded prefix of the registry
 # (~50 entries), so registration order is a coverage decision, not a style
 # one.  Policy (round 4): never-checked first, then rotation.  The head is
-# the two queries whose semantics (and oracles) changed this round plus the
-# fifteen round-4 additions — none has any driver row yet.  Rotation fills
-# the rest: the r02 entries reading the `events` table (the driver
-# regenerated events.ts' physical parquet type after their last green row),
-# then the queries whose only green row is round 1, oldest coverage first.
-# The r01-stale entries past the ~50-slot cut roll to the round-5 window
-# (all are union-green across r01-r03 and stay covered by the local
-# driver-sim + pytest oracle suite every round).
+# the two queries whose semantics (and oracles) changed this round plus
+# every round-4 addition — none has any driver row yet.  With the late
+# waves the head itself now exceeds the ~50-slot window; the OVERFLOW
+# (the newest entries at the head's tail) plus the whole rotation section
+# rolls to the round-5 window.  Every registered query — in-window or
+# not — passes the fresh-process local driver-sim (tools/driver_sim.py)
+# and the pytest oracle suite at sf0.001 AND sf0.01 each round, so the
+# driver row is confirmation, not the only evidence.
 _PRIORITY = [
     # --- re-check first: semantics changed this round (semantic_dedup's k
     # now derived from corpus count + salted cluster join;

@@ -122,3 +122,40 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _exchanges(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def test_single_exchange_series_kernels(spark, sf_dir):
+    """The round-4h/4j design claim, pinned: CUSUM, the MAD profile, and
+    the winsorized mean each move data exactly ONCE — ordered windows,
+    unordered totals windows, and the final aggregate all share one hash
+    partitioning on the series/group key. A refactor that re-introduces
+    the totals-join-back shape fails here before any probe sees it."""
+    for name in (
+        "cusum_user_value",
+        "mad_outliers_by_type",
+        "winsorized_orders_by_priority",
+    ):
+        df = registry.queries()[name](spark, sf_dir)
+        plan = plans.executed_plan(df)
+        assert _exchanges(plan) == 1, (name, _exchanges(plan))
+        assert plan.count("FileScan") == 1, name
+
+
+def test_grid_collapse_kernels_shuffle_domain_not_rows(spark, sf_dir):
+    """Time intelligence and the percentile bands collapse the fact to a
+    bounded grid in their FIRST aggregate; everything downstream (windows,
+    dimension joins) must not add a rows-proportional exchange. Pinned as:
+    no SortMergeJoin anywhere (dims broadcast), and the band rollup is a
+    single exchange."""
+    ti = registry.queries()["time_intelligence_nation"](spark, sf_dir)
+    assert not plans.uses_sort_merge_join(ti)
+    bands = registry.queries()["percentile_bands_type_hod"](spark, sf_dir)
+    assert _exchanges(plans.executed_plan(bands)) == 1
