@@ -110,3 +110,71 @@ def streaming_tumbling_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def sliding_reach_windows(
+    events: DataFrame,
+    duration: str = "24 hours",
+    slide: str = "6 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """Batch twin of ``streaming_sliding_reach``: exact distinct members
+    per (sliding window, key).  One definition of the window grid for
+    both engines, so the streaming convergence test compares like with
+    like (the per-event trailing variant lives in
+    operators/series.py:sliding_distinct — this is the window-grid tier)."""
+    return (
+        events.groupBy(
+            F.window(ts_col, duration, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count_distinct(F.col(member_col)).alias("reach"))
+        .select(
+            _fmt(F.col("w.start"), "window_start"),
+            F.col(key_col),
+            F.col("reach").cast("long").alias("reach"),
+        )
+    )
+
+
+def streaming_sliding_reach(
+    stream: DataFrame,
+    duration: str = "24 hours",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sliding-window distinct reach — the watermarked scale
+    tier that operators/series.py:sliding_distinct's docstring points to
+    when even two sorted batch passes are too dear.
+
+    TWO chained stateful operators, both watermark-bounded (Spark's
+    multiple-stateful-operator support): the windowed projection keeps
+    the event-time metadata on the window column, so the
+    ``dropDuplicates`` state holds one row per (window, key, member)
+    inside the watermark horizon, and the downstream count aggregates
+    the survivors per (window, key).  Exact — not a sketch; swap the
+    final agg to ``approx_count_distinct`` on the raw stream for the
+    HLL tier when member cardinality per window is itself the problem.
+
+    Append mode emits each window once, when the watermark passes its
+    end — the convergence test closes windows with a sentinel event.
+    """
+    w1 = stream.withWatermark(ts_col, watermark).select(
+        F.window(ts_col, duration, slide).alias("w"),
+        F.col(key_col),
+        F.col(member_col),
+    )
+    return (
+        w1.dropDuplicates(["w", key_col, member_col])
+        .groupBy("w", key_col)
+        .agg(F.count(F.lit(1)).alias("reach"))
+        .select(
+            _fmt(F.col("w.start"), "window_start"),
+            F.col(key_col),
+            F.col("reach").cast("long").alias("reach"),
+        )
+    )

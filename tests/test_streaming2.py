@@ -225,3 +225,55 @@ def test_mv_time_travel_reads_log_prefix(spark, sf_dir, tmp_path):
     assert canon(smv.read_mv_asof(spark, path, keys, 5)) == canon(
         matview.aggregate_mv(orders, keys, F.col("cents"))
     )
+
+
+def test_streaming_sliding_reach_converges_to_batch(spark, sf_dir, tmp_path):
+    """Two chronological micro-batches + a far-future sentinel to push
+    the watermark past every real window: the append-mode emissions
+    equal the batch twin's exact distinct counts per (window, type)."""
+    from mapreducemovieanalysis_cloud_spark.streaming import windows as SW
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    src = tmp_path / "reach_src"
+    events.where(F.unix_micros("ts") <= cut).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src / "*"))
+    out = SW.streaming_sliding_reach(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reach_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "reach_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        events.where(F.unix_micros("ts") > cut).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        # sentinel: a lone far-future event closes every real window
+        spark.createDataFrame(
+            [("2030-01-01 00:00:00", "zz_sentinel", -1)],
+            "ts string, event_type string, user_id long",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+            str(src / "b3")
+        )
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): r.reach
+            for r in spark.sql(
+                "SELECT * FROM reach_test"
+                " WHERE event_type <> 'zz_sentinel'"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.window_start, r.event_type): r.reach
+        for r in SW.sliding_reach_windows(events).collect()
+    }
+    assert got == expected
