@@ -493,3 +493,67 @@ def ann_lsh_multiband_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary, which random
+    negative sampling (operators/curation.py:negative_pairs) almost
+    never finds.
+
+    Exact tier: broadcast the anchor set, scan the corpus once, score
+    with the quantized-integer cosine, keep the top-k per anchor among
+    cross-label rows (cosine desc, neighbor id tiebreak).  At corpus
+    scales where the full scan is too dear, probe the IVF index
+    (pq.ann_ivf_pq_topk / the stored cell-partitioned index) and
+    post-filter on label — same output contract, sublinear probe.
+    """
+    c = _with_qv(corpus, id_col, vec_col, "neighbor_id").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    q = _with_qv(anchors, query_id_col, vec_col, query_id_col).join(
+        anchors.select(
+            F.col(query_id_col).alias(query_id_col + "_lbl_key"),
+            F.col(label_col).alias("anchor_label"),
+        ),
+        F.col(query_id_col) == F.col(query_id_col + "_lbl_key"),
+    ).drop(query_id_col + "_lbl_key")
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            query_id_col,
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            _pair_cosine(query_id_col, "neighbor_id"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

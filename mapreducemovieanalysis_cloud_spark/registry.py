@@ -110,6 +110,7 @@ _PRIORITY = [
     "feature_hash_docs",
     "time_intelligence_nation",
     "k_anonymity_customers",
+    "hard_negatives_brute",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---
@@ -217,6 +218,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4l_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

@@ -1,0 +1,70 @@
+"""Round-4l tests: hard-negative mining oracle diff + semantics pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark import registry
+from mapreducemovieanalysis_cloud_spark.operators import similarity
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["hard_negatives_brute"])
+def test_matches_oracle_small(spark, sf_dir, name):
+    assert_matches_oracle(
+        registry.queries()[name](spark, sf_dir),
+        registry.oracle_sql()[name],
+        sf_dir,
+    )
+
+
+@pytest.mark.parametrize("name", ["hard_negatives_brute"])
+def test_matches_oracle_sf001(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        registry.queries()[name](spark, oracle_sf_dir),
+        registry.oracle_sql()[name],
+        oracle_sf_dir,
+    )
+
+
+def test_hard_negatives_never_share_the_anchor_label(spark, sf_dir):
+    out = registry.queries()["hard_negatives_brute"](spark, sf_dir)
+    assert (
+        out.where(F.col("neighbor_label") == F.col("anchor_label")).count()
+        == 0
+    )
+
+
+def test_hard_negative_is_harder_than_random(spark, sf_dir):
+    """The rank-1 hard negative's cosine dominates the label-mismatched
+    MEDIAN cosine for that anchor — i.e. mining actually selects the
+    boundary cases."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    mined = similarity.hard_negatives(emb, anchors, k=1).collect()
+    all_pairs = similarity.hard_negatives(
+        emb, anchors, k=10_000_000
+    ).toPandas()
+    for r in mined:
+        med = all_pairs[all_pairs.query_id == r.query_id].cosine.median()
+        assert r.cosine >= med
+
+
+def test_hand_case_picks_nearest_cross_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),  # anchor
+        (1, [1.0, 0.01], 0),  # nearest but SAME label -> excluded
+        (2, [1.0, 0.2], 1),  # nearest cross-label -> rank 1
+        (3, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = similarity.hard_negatives(emb, anchors, k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
