@@ -69,3 +69,43 @@ def hard_negatives_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     return similarity.hard_negatives(emb, anchors)
+
+
+# ---- sliding-window reach (batch twin of the streaming tier) ----------------
+
+
+@query(
+    "sliding_reach_windows",
+    oracle="""
+    WITH e AS (SELECT event_type, user_id,
+                      epoch_us(ts) // 1000000 AS sec
+               FROM events),
+    rep AS (SELECT event_type, user_id,
+                   ((sec // 21600) - k) * 21600 AS win_start
+            FROM e, unnest(generate_series(0, 3)) AS t(k)
+            WHERE ((sec // 21600) - k) * 21600 + 86400 > sec),
+    d AS (SELECT DISTINCT event_type, user_id, win_start FROM rep)
+    SELECT strftime(make_timestamp(win_start * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS reach
+    FROM d GROUP BY 1, 2
+    """,
+)
+def sliding_reach_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user reach per 24 h sliding window (6 h slide) per event
+    type — the window-grid tier of rolling reach (streaming/windows.py:
+    sliding_reach_windows, whose streaming twin chains watermarked
+    dedup + windowed count and is pinned convergent in
+    tests/test_streaming2.py).  The oracle replicates Spark's
+    epoch-aligned window semantics explicitly: each event lands in
+    duration/slide = 4 windows.
+
+    Scale: the Expand replicates each event 4× (duration/slide — a
+    constant), then distinct + count aggregate on (window, type); the
+    streaming tier holds only watermark-deep state instead."""
+    from mapreducemovieanalysis_cloud_spark.streaming import windows as SW
+
+    return SW.sliding_reach_windows(
+        load_table(spark, sf_dir, "events"), "24 hours", "6 hours"
+    )

