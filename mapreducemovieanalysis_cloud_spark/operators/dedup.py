@@ -729,9 +729,19 @@ def containment_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
-    rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
+    # Canonical PPJoin ordering: ascending document frequency with an md5
+    # tiebreak.  The prefix then holds each doc's RAREST shingles, so the
+    # candidate join fans out on low-df postings — on skewed vocabularies
+    # this collapses candidate volume by orders of magnitude vs a random
+    # (md5-only) order, with identical output (any consistent total order
+    # is lossless; this one is just the cheapest to probe).
+    df_rank = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rank_w = Window.partitionBy(id_col).orderBy(
+        "__df", F.md5(F.col("shingle"))
+    )
     prefix = (
-        sh.withColumn("rk", F.row_number().over(rank_w))
+        sh.join(df_rank, "shingle")
+        .withColumn("rk", F.row_number().over(rank_w))
         .join(sizes, id_col)
         .where(
             F.col("rk")
