@@ -649,11 +649,15 @@ def ks_by_group(
     product must stay under 2⁶³ — lift to DECIMAL(38) beyond ~10⁹ rows
     per side.
     """
+    # The (value, group) count table feeds four lineages (totals, grand
+    # total, value grid, per-value cumulative); checkpointing the
+    # domain-bounded aggregate keeps the fact scan single and stops the
+    # re-derivation (measured: 5 scans / 11 exchanges -> 1 scan).
     counts = (
         df.select(F.col(group_col), cents_col.alias("__v"))
         .groupBy(group_col, "__v")
         .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy(group_col).agg(F.sum("__c").alias("n_in"))
     grand = totals.agg(F.sum("n_in").alias("__n_all"))
     vals = counts.select("__v").distinct()
