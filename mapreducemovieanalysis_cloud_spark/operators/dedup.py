@@ -92,15 +92,13 @@ def jaccard_pairs(
     order, so every common element other than the first shared one (at
     rank i in A, j in B) ranks strictly after it in BOTH sets — overlap
     <= 1 + min(|A|-i, |B|-j); pairs whose bound falls below the required
-    overlap ceil(t/(1+t)·(|A|+|B|)) are dropped before the intersection
-    join re-explodes them against full shingle sets. Lossless: the bound
-    is an upper bound on the true overlap, so only pairs that cannot
-    qualify are cut, and the result set is identical to the brute-force
-    join the oracle runs.
+    overlap ceil(t/(1+t)·(|A|+|B|)) are dropped before the exact-set
+    verify intersects the two docs' materialized fingerprint arrays.
+    Lossless: the bound is an upper bound on the true overlap, so only
+    pairs that cannot qualify are cut, and the result set is identical
+    to the brute-force join the oracle runs.
     """
-    sh = shingle_sets(docs, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
     # Required overlap is ceil(t·size) in EXACT arithmetic: the float product
@@ -178,20 +176,35 @@ def jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    inter = (
-        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col(id_col).alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact-set verify (same kernel as containment_pairs): surviving
+    # candidate pairs join one materialized sorted-md5 fingerprint array
+    # per doc and count the intersection locally — shuffle volume is
+    # O(candidates × avg doc fingerprint bytes), no exploded postings
+    # fan-out, no pair-keyed re-aggregation.
+    doc_sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.md5("shingle"))).alias("__fps"),
+        F.count(F.lit(1)).alias("set_size"),
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(
+            doc_sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("__fps").alias("__fa"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("__fps").alias("__fb"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__fa", "__fb")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")
