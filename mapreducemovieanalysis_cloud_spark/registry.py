@@ -53,6 +53,13 @@ _PRIORITY = [
     # oracles regenerated to match ---
     "semantic_dedup",
     "merge_upsert_orders",
+    # --- plan-changed this round (outputs and oracles unchanged): the
+    # exact-set array-intersect verify kernel now backs both shingle
+    # similarity joins, and interpolation's next-neighbor frame was
+    # rewritten as the reverse-sort running frame — re-check first ---
+    "containment_pairs",
+    "dedup_jaccard",
+    "resample_hourly_interp",
     # --- round-4 additions: first driver rows ---
     "zorder_pruned_scan",
     "source_quality_filter",
@@ -84,7 +91,6 @@ _PRIORITY = [
     "regr_price_on_qty_by_brand",
     "peak_concurrent_by_type",
     "interval_coverage_user",
-    "resample_hourly_interp",
     "bfs_hops_suppliers",
     "tfidf_top_terms",
     "anomaly_hour_of_day",
@@ -102,7 +108,6 @@ _PRIORITY = [
     "streaks_user_days",
     "mad_outliers_by_type",
     "keyness_llr_by_lang",
-    "containment_pairs",
     "boilerplate_by_source",
     "ks_drift_by_type",
     "winsorized_orders_by_priority",
@@ -162,7 +167,6 @@ _PRIORITY = [
     "udtf_char_bigrams",
     "grouped_map_top2",
     "dedup_exact",
-    "dedup_jaccard",
     "fingerprint_docs",
     "quality_score",
     "lang_id",
