@@ -65,6 +65,9 @@ def fuzzy_pairs(
         raise ValueError(
             "depth-1 deletion blocking is complete only for max_dist=1"
         )
+    # localCheckpoint: the blocking table feeds BOTH sides of the
+    # self-join — without it the distinct + (L+1)-way explode runs twice
+    # (measured 4.0 s → 2.8 s warm at sf0.1)
     blocked = (
         df.select(F.col(name_col).alias("name"))
         .distinct()
@@ -77,6 +80,7 @@ def fuzzy_pairs(
             F.col("v.pos").alias("pos"),
             F.col("v.block").alias("block"),
         )
+        .localCheckpoint(eager=False)
     )
     # positional pruning makes the candidate set EXACT: a same-position
     # match means the names agree everywhere but that position
