@@ -60,6 +60,27 @@ def bm25_scores(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_from_tables(tf, dl, stats, topk=topk, id_col=id_col)
+
+
+def bm25_from_tables(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    topk: int = 50,
+    id_col: str = "doc_id",
+    n_terms_required: int | None = None,
+) -> DataFrame:
+    """The BM25 score tree over pre-computed tables — shared by the
+    scan-time path (:func:`bm25_scores`) and the stored inverted-index
+    probe (operators/invindex.py), so both produce bit-identical scores
+    against the same oracle SQL.
+
+    ``tf``: (id, term, tf) for the query terms only; ``dl``: (id, dl)
+    for the whole corpus; ``stats``: one row (n_docs_total, sum_dl).
+    ``n_terms_required`` filters to docs hitting exactly that many query
+    terms (conjunctive AND) before the top-k cut.
+    """
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Shape of the score tree mirrors the oracle SQL exactly:
     #   idf_odds = (N - df + 0.5) / (df + 0.5)
@@ -95,18 +116,20 @@ def bm25_scores(
             ).cast("long"),
         )
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.sum("score_micro").alias("bm25_micro"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
-        .orderBy(F.col("bm25_micro").desc(), F.col(id_col).asc())
-        .limit(topk)
+    out = scored.groupBy(id_col).agg(
+        F.sum("score_micro").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
     )
+    if n_terms_required is not None:
+        out = out.where(F.col("n_terms_hit") == F.lit(n_terms_required))
+    return out.orderBy(
+        F.col("bm25_micro").desc(), F.col(id_col).asc()
+    ).limit(topk)
 
 
-def bm25_oracle_sql(terms: list[str], topk: int = 50) -> str:
+def bm25_oracle_sql(
+    terms: list[str], topk: int = 50, require_all: bool = False
+) -> str:
     """DuckDB oracle with the identical literal constants and the identical
     parenthesization as :func:`bm25_scores` (see module docstring)."""
     term_list = ", ".join(f"'{t}'" for t in terms)
@@ -141,6 +164,7 @@ def bm25_oracle_sql(terms: list[str], topk: int = 50) -> str:
     SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,
            COUNT(*) AS n_terms_hit
     FROM sc GROUP BY doc_id
+    {f"HAVING COUNT(*) = {len(terms)}" if require_all else ""}
     ORDER BY bm25_micro DESC, doc_id ASC LIMIT {topk}
     """
 

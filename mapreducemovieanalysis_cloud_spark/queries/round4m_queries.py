@@ -1,0 +1,83 @@
+"""Round-4m: the persistent inverted-index retrieval family — build-once
+term-bucketed postings probed without rescanning the corpus
+(operators/invindex.py), in ranked-OR and conjunctive-AND modes.
+
+Both queries follow the build-if-absent + probe lifecycle of
+``zorder_pruned_scan`` and the stored-IVF query: the index materializes
+once per sf_dir under the temp root, and the registered query is the
+READ path the layout exists for. Oracles are the same BM25 SQL the
+scan-time ``bm25_rank`` is checked against (ranking.bm25_oracle_sql) —
+the index is layout, not semantics, so the stored-index probe must
+hash-match the from-scratch computation exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducemovieanalysis_cloud_spark.operators import invindex, ranking
+from mapreducemovieanalysis_cloud_spark.registry import query
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+# Distinct from bm25_rank's query so the two retrieval paths don't share
+# a cached result by accident; all three are mid-frequency corpus terms.
+_IDX_TERMS = ["hash", "scan", "merge"]
+
+
+def inverted_index_path(sf_dir: str) -> str:
+    """Deterministic per-SF location of the stored inverted index."""
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_invindex", leaf, "documents"
+    )
+
+
+def ensure_inverted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the index once per sf_dir (write-once/probe-many); rebuild
+    only when absent."""
+    path = inverted_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        invindex.build_inverted_index(
+            load_table(spark, sf_dir, "documents"), path
+        )
+    return path
+
+
+@query(
+    "search_bm25_stored_index",
+    oracle=ranking.bm25_oracle_sql(_IDX_TERMS, topk=50),
+)
+def search_bm25_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval from the STORED inverted index: top-50 by BM25
+    for a three-term query, reading ≤ 3 of the 64 postings bucket
+    directories (static partition pruning, pinned in
+    tests/test_round4m.py) plus the one-row stats and doclen tables —
+    the corpus itself is never scanned.
+
+    Scale: probe I/O is O(df of the query terms), independent of corpus
+    size; df and scores derive from the pruned postings through the
+    SAME score tree as the scan-time path, so this hash-matches the
+    from-scratch BM25 oracle."""
+    path = ensure_inverted_index(spark, sf_dir)
+    return invindex.bm25_query_index(spark, path, _IDX_TERMS, topk=50)
+
+
+@query(
+    "search_conjunctive_stored_index",
+    oracle=ranking.bm25_oracle_sql(_IDX_TERMS, topk=50, require_all=True),
+)
+def search_conjunctive_stored_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conjunctive-AND retrieval (docs containing ALL three query terms,
+    BM25-ranked) from the same stored index — the boolean-retrieval mode
+    layered on the identical probe: the n_terms_hit count the ranked
+    mode already computes becomes the AND gate, no second pass over
+    postings."""
+    path = ensure_inverted_index(spark, sf_dir)
+    return invindex.bm25_query_index(
+        spark, path, _IDX_TERMS, topk=50, require_all=True
+    )

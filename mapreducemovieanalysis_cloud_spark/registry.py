@@ -61,6 +61,8 @@ _PRIORITY = [
     "dedup_jaccard",
     "resample_hourly_interp",
     # --- round-4 additions: first driver rows ---
+    "search_bm25_stored_index",
+    "search_conjunctive_stored_index",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",
@@ -224,6 +226,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4l_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round4m_queries  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

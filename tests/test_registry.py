@@ -58,6 +58,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "histogram_equidepth",
         "bigram_pmi",
         "bm25_rank",
+        # same 1-row corpus-stats broadcast through the shared BM25 tree
+        "search_bm25_stored_index",
+        "search_conjunctive_stored_index",
         "tpch_q11_important_stock",
         "tpch_q22_global_sales",
         "merge_upsert_orders",
