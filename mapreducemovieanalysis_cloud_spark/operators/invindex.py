@@ -8,13 +8,17 @@ operators/ranking.py) recomputes tokenization per query — the right
 shape for one-off scoring, the wrong one for a query workload. This
 module materializes the classic search-engine layout once:
 
-- ``<path>/postings``  — (term, doc_id, tf), hash-bucketed by term into
-  ``N_BUCKETS`` partition DIRECTORIES and term-sorted within each file.
-  A probe for |Q| terms statically prunes to ≤ |Q| bucket directories
-  (directory-level partition pruning), and the pushed ``term IN (...)``
-  filter row-group-prunes within them via the sorted footer min/max —
-  the same two-level skipping story as the stored IVF index
-  (operators/similarity.py) and the z-order layout (sources/writers.py).
+- ``<path>/postings``  — (term, doc_id, tf, positions), hash-bucketed by
+  term into ``N_BUCKETS`` partition DIRECTORIES and term-sorted within
+  each file.  A probe for |Q| terms statically prunes to ≤ |Q| bucket
+  directories (directory-level partition pruning), and the pushed
+  ``term IN (...)`` filter row-group-prunes within them via the sorted
+  footer min/max — the same two-level skipping story as the stored IVF
+  index (operators/similarity.py) and the z-order layout
+  (sources/writers.py).  ``positions`` (1-based token indexes) makes
+  the index POSITIONAL: phrase queries intersect adjacent-position
+  posting lists without touching the corpus; non-positional probes
+  (BM25) never read the column — parquet column pruning skips it.
 - ``<path>/doclen``    — (doc_id, dl): the per-doc length normalizer.
 - ``<path>/stats``     — one row (n_docs_total, sum_dl).
 
@@ -47,41 +51,97 @@ def _bucket(col: str) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(N_BUCKETS))
 
 
+def _postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) for a batch of docs — one tokenize pass
+    (localCheckpoint so the explode runs once)."""
+    toked = docs.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).localCheckpoint(eager=False)
+    dl = toked.select(F.col(id_col), F.size("__t").alias("dl"))
+    tf = (
+        toked.select(
+            F.col(id_col), F.posexplode("__t").alias("__p0", "term")
+        )
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            # 1-based, sorted: posexplode is 0-based
+            F.sort_array(F.collect_list(F.col("__p0") + 1)).alias(
+                "positions"
+            ),
+        )
+    )
+    return tf, dl
+
+
+def _write_postings(tf: DataFrame, path: str, mode: str) -> None:
+    """Postings repartition to one file per term-hash bucket and sort by
+    term within the file, so every parquet row group carries a tight
+    term min/max for skipping."""
+    (
+        tf.withColumn("bucket", _bucket("term"))
+        .repartition(N_BUCKETS, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+
+
 def build_inverted_index(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Materialize the three-part index layout at ``path``.
-
-    One tokenize pass feeds doclen, stats, and the postings aggregate
-    (localCheckpoint so the explode runs once). Postings repartition to
-    one file per term-hash bucket and sort by term within the file, so
-    every parquet row group carries a tight term min/max for skipping.
-    """
-    toked = docs.select(
-        F.col(id_col), tokens(text_col).alias("__t")
-    ).localCheckpoint(eager=False)
-    dl = toked.select(F.col(id_col), F.size("__t").alias("dl"))
+    """Materialize the three-part index layout at ``path``."""
+    tf, dl = _postings(docs, id_col, text_col)
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
     dl.agg(
         F.count(F.lit(1)).alias("n_docs_total"),
         F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    tf = (
-        toked.select(F.col(id_col), F.explode("__t").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    (
-        tf.withColumn("bucket", _bucket("term"))
-        .repartition(N_BUCKETS, "bucket")
-        .sortWithinPartitions("bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
+    _write_postings(tf, path, "overwrite")
+
+
+def append_to_inverted_index(
+    docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: index a NEW batch of docs into the
+    existing layout without touching the already-indexed corpus — the
+    postings and doclen batches APPEND as new files inside the same
+    bucket directories (probes see the union automatically; df/tf are
+    per-(doc, term) rows, so counts simply accumulate), and the one-row
+    stats table is the only rewrite, updated from its previous value
+    plus the batch delta (never recomputed from the corpus).
+
+    Contract: batch doc ids must be new (route re-ingests through the
+    incremental exact-dedup store first, operators/dedup.py) — the same
+    append-only discipline as the persistent fingerprint store and the
+    linkage blocking index.
+    """
+    tf, dl = _postings(docs, id_col, text_col)
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    dl.write.mode("append").parquet(f"{path}/doclen")
+    delta = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    _write_postings(tf, path, "append")
+    spark.createDataFrame(
+        [
+            (
+                old.n_docs_total + delta.n,
+                old.sum_dl + (delta.s or 0),
+            )
+        ],
+        "n_docs_total bigint, sum_dl bigint",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def query_term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
@@ -109,6 +169,53 @@ def read_postings(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
         .select(F.col(id_col), "term", "tf")
+    )
+
+
+def phrase_query_index(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval from the POSITIONAL index: docs where the
+    tokens of ``phrase`` occur consecutively, with the exact occurrence
+    count — computed entirely from posting lists (the corpus is never
+    read).
+
+    The first term's positions explode to anchor candidates; each later
+    term joins its posting row per doc and keeps anchors whose shifted
+    position it contains (``array_contains(pos_i, p + i)``).  Work is
+    bounded by the FIRST term's tf within docs that contain all terms —
+    pass the rarest term first when the phrase allows reordering at the
+    call site.
+
+    Scale: |phrase| pruned posting scans + |phrase| - 1 doc-keyed joins
+    whose left side shrinks monotonically; no corpus scan, no window.
+    """
+    if len(phrase) < 2:
+        raise ValueError("a phrase needs at least two terms")
+    terms = sorted(set(phrase))
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(query_term_buckets(spark, terms)))
+        .where(F.col("term").isin(terms))
+        .select(F.col(id_col), "term", "positions")
+    )
+    cur = post.where(F.col("term") == phrase[0]).select(
+        F.col(id_col), F.explode("positions").alias("p")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"__pos{i}")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .where(F.array_contains(F.col(f"__pos{i}"), F.col("p") + i))
+            .select(id_col, "p")
+        )
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
     )
 
 

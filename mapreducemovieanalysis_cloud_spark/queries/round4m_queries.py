@@ -27,11 +27,17 @@ from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 _IDX_TERMS = ["hash", "scan", "merge"]
 
 
+# Layout format version: bump when the stored schema changes so a stale
+# materialization from an earlier build is never probed (v2 = positional
+# postings).
+_FMT = "v2"
+
+
 def inverted_index_path(sf_dir: str) -> str:
     """Deterministic per-SF location of the stored inverted index."""
     leaf = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_invindex", leaf, "documents"
+        tempfile.gettempdir(), "spark_graft_invindex", leaf, "documents", _FMT
     )
 
 
@@ -63,6 +69,35 @@ def search_bm25_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch BM25 oracle."""
     path = ensure_inverted_index(spark, sf_dir)
     return invindex.bm25_query_index(spark, path, _IDX_TERMS, topk=50)
+
+
+_PHRASE = ["hash", "join"]
+
+
+@query(
+    "search_phrase_stored_index",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    WHERE t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'
+    GROUP BY doc_id
+    """,
+)
+def search_phrase_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("{p0} {p1}" as CONSECUTIVE tokens) from
+    the positional index — the query class a bag-of-words index cannot
+    answer; the oracle brute-scans every adjacent token pair while the
+    engine intersects two pruned posting lists' positions and never
+    reads the corpus (operators/invindex.py:phrase_query_index)."""
+    path = ensure_inverted_index(spark, sf_dir)
+    return invindex.phrase_query_index(spark, path, _PHRASE)
+
+
+search_phrase_stored_index.__doc__ = search_phrase_stored_index.__doc__.format(
+    p0=_PHRASE[0], p1=_PHRASE[1]
+)
 
 
 @query(

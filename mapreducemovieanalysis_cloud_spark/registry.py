@@ -63,6 +63,7 @@ _PRIORITY = [
     # --- round-4 additions: first driver rows ---
     "search_bm25_stored_index",
     "search_conjunctive_stored_index",
+    "search_phrase_stored_index",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

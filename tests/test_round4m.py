@@ -18,6 +18,7 @@ from tests.oracle import assert_matches_oracle
 ROUND4M = (
     "search_bm25_stored_index",
     "search_conjunctive_stored_index",
+    "search_phrase_stored_index",
 )
 
 
@@ -89,6 +90,66 @@ def test_conjunctive_mode_is_a_subset_requiring_all_terms(spark, sf_dir):
     assert all(r.n_terms_hit == len(_IDX_TERMS) for r in allhit)
     ranked_ids = {r.doc_id for r in ranked.collect()}
     assert {r.doc_id for r in allhit} <= ranked_ids
+
+
+def test_phrase_probe_counts_adjacent_occurrences(spark):
+    """Hand-built fixture: occurrences are counted per ANCHOR position,
+    duplicates inside one doc count separately, reversed order does not
+    match, and a doc containing both terms non-adjacently is excluded."""
+    import tempfile as _tf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join"),  # two occurrences
+            (2, "join hash"),  # reversed — no match
+            (3, "hash scan join"),  # both terms, not adjacent
+            (4, "a hash join b"),  # one occurrence mid-doc
+        ],
+        "doc_id long, text string",
+    )
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs, d)
+        got = {
+            (r.doc_id, r.n_occurrences)
+            for r in invindex.phrase_query_index(
+                spark, d, ["hash", "join"]
+            ).collect()
+        }
+    assert got == {(1, 2), (4, 1)}
+
+
+def test_incremental_append_equals_full_rebuild(spark, sf_dir):
+    """Index half the corpus, append the other half: every probe mode
+    must return exactly what a from-scratch build over the full corpus
+    returns (postings/doclen append as new files; stats update from the
+    stored row + batch delta, never from a corpus rescan)."""
+    import tempfile as _tf
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half_a = docs.where("doc_id % 2 = 0")
+    half_b = docs.where("doc_id % 2 = 1")
+    with _tf.TemporaryDirectory() as da, _tf.TemporaryDirectory() as db:
+        invindex.build_inverted_index(docs, da)
+        invindex.build_inverted_index(half_a, db)
+        invindex.append_to_inverted_index(half_b, spark, db)
+        full_stats = spark.read.parquet(f"{da}/stats").collect()
+        incr_stats = spark.read.parquet(f"{db}/stats").collect()
+        assert full_stats == incr_stats
+        for kwargs in ({}, {"require_all": True}):
+            full = invindex.bm25_query_index(
+                spark, da, _IDX_TERMS, topk=50, **kwargs
+            ).collect()
+            incr = invindex.bm25_query_index(
+                spark, db, _IDX_TERMS, topk=50, **kwargs
+            ).collect()
+            assert full == incr
+        fp = invindex.phrase_query_index(spark, da, ["hash", "join"])
+        ip = invindex.phrase_query_index(spark, db, ["hash", "join"])
+        assert sorted(map(tuple, fp.collect())) == sorted(
+            map(tuple, ip.collect())
+        )
 
 
 def test_index_df_matches_brute_count(spark, sf_dir):
