@@ -100,6 +100,33 @@ search_phrase_stored_index.__doc__ = search_phrase_stored_index.__doc__.format(
 )
 
 
+_GBA_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """
+
+
+@query("sql_group_by_all", oracle=_GBA_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL conformance through the ``spark.sql``
+    entry path — the analyst-SQL ergonomic both engines resolve to
+    grouping on every non-aggregate select item and ordering by the full
+    output row; ONE SQL string runs verbatim on Spark and DuckDB (the
+    strongest possible surface-parity check, like tpch_q6's shared
+    text).  Plan is the ordinary partial/final hash aggregate + sort."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GBA_SQL)
+
+
 @query(
     "search_conjunctive_stored_index",
     oracle=ranking.bm25_oracle_sql(_IDX_TERMS, topk=50, require_all=True),

@@ -64,6 +64,7 @@ _PRIORITY = [
     "search_bm25_stored_index",
     "search_conjunctive_stored_index",
     "search_phrase_stored_index",
+    "sql_group_by_all",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

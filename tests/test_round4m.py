@@ -19,6 +19,7 @@ ROUND4M = (
     "search_bm25_stored_index",
     "search_conjunctive_stored_index",
     "search_phrase_stored_index",
+    "sql_group_by_all",
 )
 
 
