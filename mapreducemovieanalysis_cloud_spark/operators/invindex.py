@@ -144,6 +144,32 @@ def append_to_inverted_index(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def compact_inverted_index(spark: SparkSession, path: str) -> None:
+    """Offline compaction after a run of appends: rewrite the postings
+    back to one term-sorted file per bucket (appends accumulate one file
+    per batch per bucket, which erodes the row-group min/max skipping
+    the probe relies on).  Same offline-compaction lifecycle as the
+    incremental-MV delta directories (streaming/mv.py).  Read-modify-
+    write through a temp subtree then swap, so a concurrent probe never
+    sees a half-written layout; doclen/stats are untouched.
+    """
+    import shutil
+    import tempfile as _tf
+
+    cur = spark.read.parquet(f"{path}/postings")
+    tmp = _tf.mkdtemp(dir=path, prefix="__compact_")
+    (
+        cur.repartition(N_BUCKETS, "bucket")
+        .sortWithinPartitions("bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{tmp}/postings")
+    )
+    shutil.rmtree(f"{path}/postings")
+    shutil.move(f"{tmp}/postings", f"{path}/postings")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def query_term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
     """Bucket ids for the query terms — a |Q|-row jobs whose collect is
     bounded by the query size (the same defensible driver-side set as

@@ -153,6 +153,47 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir):
         )
 
 
+def test_compaction_preserves_results_and_merges_files(spark, sf_dir):
+    """After appends, compaction rewrites each bucket back to one file;
+    every probe mode must be unchanged."""
+    import glob
+    import tempfile as _tf
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs.where("doc_id % 3 = 0"), d)
+        invindex.append_to_inverted_index(
+            docs.where("doc_id % 3 = 1"), spark, d
+        )
+        invindex.append_to_inverted_index(
+            docs.where("doc_id % 3 = 2"), spark, d
+        )
+        before = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+
+        def files_per_bucket():
+            per = {}
+            for f in glob.glob(f"{d}/postings/bucket=*/*.parquet"):
+                b = f.split("bucket=")[1].split("/")[0]
+                per[b] = per.get(b, 0) + 1
+            return per
+
+        assert max(files_per_bucket().values()) > 1  # appends fragmented
+        invindex.compact_inverted_index(spark, d)
+        assert max(files_per_bucket().values()) == 1
+        after = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+        assert before == after
+        phrase = invindex.phrase_query_index(
+            spark, d, ["hash", "join"]
+        ).count()
+        assert phrase > 0
+
+
 def test_index_df_matches_brute_count(spark, sf_dir):
     """df from the pruned postings equals the number of docs whose token
     set contains the term (the definition the oracle uses)."""
