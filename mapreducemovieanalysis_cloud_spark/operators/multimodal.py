@@ -149,6 +149,128 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).drop("frame_offset_blocks")
 
 
+BLOCKHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("b0", IntegerType(), False),
+        StructField("b1", IntegerType(), False),
+        StructField("b2", IntegerType(), False),
+        StructField("b3", IntegerType(), False),
+    ]
+)
+
+_PH_BITS = 64
+_PH_BLOCKS = 4  # 4 x 16-bit signature blocks (pigeonhole for hamming <= 3)
+
+
+def blockhash64(media: DataFrame) -> DataFrame:
+    """Perceptual BLOCK-MEAN hash of each payload (the blockhash.io
+    algorithm over the decoded sample stream): the 64 "pixel" blocks of
+    the stream (position p -> block (p·64) div n) each contribute one
+    bit — 1 iff the block's mean sample strictly exceeds the global mean
+    (exact integer cross-multiply ``bs·n > total·bl``, no division).
+    Emitted as four 16-bit signature blocks, ready for the pigeonhole
+    pair join (same blocking scheme as the text SimHash kernel,
+    operators/dedup.py:simhash_pairs).
+
+    With the container's fake codec the "samples" are the payload's code
+    points (decode errors="replace", matching extract_features); a real
+    deployment swaps in luminance values from the actual decoder — the
+    hash arithmetic, schema, and join are unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, d in zip(pdf["media_id"], pdf["data"]):
+                cps = [
+                    ord(c)
+                    for c in bytes(d).decode("utf-8", errors="replace")
+                ]
+                n = len(cps)
+                bits = 0
+                if n:
+                    total = sum(cps)
+                    bsum = [0] * _PH_BITS
+                    bcnt = [0] * _PH_BITS
+                    for p, cp in enumerate(cps):
+                        j = (p * _PH_BITS) // n
+                        bsum[j] += cp
+                        bcnt[j] += 1
+                    for j in range(_PH_BITS):
+                        if bcnt[j] and bsum[j] * n > total * bcnt[j]:
+                            bits |= 1 << (_PH_BITS - 1 - j)
+                out.append(
+                    (
+                        mid,
+                        (bits >> 48) & 0xFFFF,
+                        (bits >> 32) & 0xFFFF,
+                        (bits >> 16) & 0xFFFF,
+                        bits & 0xFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(batches, BLOCKHASH_SCHEMA)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup media pairs: blockhash64 signatures joined by
+    the 16-bit-block pigeonhole (hamming <= 3 across 4 blocks leaves at
+    least one block equal), exact hamming re-check on the survivors —
+    the image-dedup stage of a multimodal pipeline, finding payloads
+    whose decoded content is structurally similar even when their bytes
+    (and so their md5) differ.
+
+    Scale: payloads never shuffle (the hash is map-side); the join moves
+    (id, 4 x 16-bit) signature rows; expected bucket size is n/2^16 per
+    block.  Same posture as the text SimHash tier."""
+    if max_hamming >= _PH_BLOCKS:
+        raise ValueError(
+            "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
+        )
+    sigs = blockhash64(media).localCheckpoint(eager=False)
+    cols = [f"b{j}" for j in range(_PH_BLOCKS)]
+    blocked = sigs.select(
+        "media_id",
+        *cols,
+        F.posexplode(F.array(*cols)).alias("blk_idx", "blk_key"),
+    )
+    a = blocked.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(c).alias(f"a{j}") for j, c in enumerate(cols)],
+        "blk_idx",
+        "blk_key",
+    )
+    b = blocked.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(c).alias(f"bb{j}") for j, c in enumerate(cols)],
+        "blk_idx",
+        "blk_key",
+    )
+    hamming = F.lit(0)
+    for j in range(_PH_BLOCKS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}"))
+        )
+    return (
+        a.join(b, ["blk_idx", "blk_key"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a",
+            "media_b",
+            *[F.col(f"a{j}") for j in range(_PH_BLOCKS)],
+            *[F.col(f"bb{j}") for j in range(_PH_BLOCKS)],
+        )
+        .distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 FEATURES_DIM = 8
 
 FEATURES_SCHEMA = StructType(

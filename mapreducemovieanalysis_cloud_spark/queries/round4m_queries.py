@@ -17,6 +17,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.operators import invindex, ranking
 from mapreducemovieanalysis_cloud_spark.registry import query
@@ -98,6 +99,56 @@ def search_phrase_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_phrase_stored_index.__doc__ = search_phrase_stored_index.__doc__.format(
     p0=_PHRASE[0], p1=_PHRASE[1]
 )
+
+
+@query(
+    "multimodal_blockhash",
+    oracle=r"""
+    WITH pos AS (SELECT doc_id, text, length(text) AS n,
+                        unnest(generate_series(1, length(text))) AS i
+                 FROM documents WHERE length(text) > 0),
+    ch AS (SELECT doc_id, n, ((i - 1) * 64) // n AS j,
+                  unicode(substr(text, i, 1)) AS cp
+           FROM pos),
+    blk AS (SELECT doc_id, ANY_VALUE(n) AS n, j,
+                   CAST(SUM(cp) AS BIGINT) AS bs, COUNT(*) AS bl
+            FROM ch GROUP BY doc_id, j),
+    tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS total
+            FROM blk GROUP BY doc_id),
+    bits AS (SELECT b.doc_id, b.j,
+                    CASE WHEN b.bs * b.n > t.total * b.bl
+                         THEN 1 ELSE 0 END AS bit
+             FROM blk b JOIN tot t USING (doc_id))
+    SELECT doc_id AS media_id,
+      CAST(SUM(CASE WHEN j < 16 THEN bit * (1 << (15 - j)) ELSE 0 END)
+           AS INT) AS b0,
+      CAST(SUM(CASE WHEN j >= 16 AND j < 32
+                    THEN bit * (1 << (31 - j)) ELSE 0 END) AS INT) AS b1,
+      CAST(SUM(CASE WHEN j >= 32 AND j < 48
+                    THEN bit * (1 << (47 - j)) ELSE 0 END) AS INT) AS b2,
+      CAST(SUM(CASE WHEN j >= 48 THEN bit * (1 << (63 - j)) ELSE 0 END)
+           AS INT) AS b3
+    FROM bits GROUP BY doc_id
+    """,
+)
+def multimodal_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual block-mean hash of every media payload (blockhash.io
+    over the decoded sample stream; exact integer cross-multiply per
+    bit), emitted as the four 16-bit signature blocks the pigeonhole
+    pair join consumes (operators/multimodal.py:blockhash64 /
+    phash_pairs — the pair kernel itself is fixture-pinned in
+    tests/test_round4m.py because THIS corpus's nearest payloads sit at
+    hamming 10, above any pigeonhole-coverable threshold; the hash is
+    what the driver can check exactly, on every doc).
+
+    Scale: hash is one map-side Arrow pass over payloads (which never
+    shuffle); output is (id, 4 ints) per media row."""
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    return multimodal.blockhash64(multimodal.documents_as_media(docs))
 
 
 _GBA_SQL = """

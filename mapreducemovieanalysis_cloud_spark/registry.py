@@ -65,6 +65,7 @@ _PRIORITY = [
     "search_conjunctive_stored_index",
     "search_phrase_stored_index",
     "sql_group_by_all",
+    "multimodal_blockhash",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

@@ -20,6 +20,7 @@ ROUND4M = (
     "search_conjunctive_stored_index",
     "search_phrase_stored_index",
     "sql_group_by_all",
+    "multimodal_blockhash",
 )
 
 
@@ -192,6 +193,57 @@ def test_compaction_preserves_results_and_merges_files(spark, sf_dir):
             spark, d, ["hash", "join"]
         ).count()
         assert phrase > 0
+
+
+def _media(spark, rows):
+    """rows: (media_id, payload_text) — byte payloads via the adapter."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "media_id long, text string"
+    ).select(
+        "media_id",
+        F.lit("image/fake").alias("media_type"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+
+
+def test_phash_pairs_finds_perceptual_near_dups(spark):
+    """Fixture with genuinely near payloads: a one-sample brightness blip
+    flips at most a few block bits (hamming <= 3 -> paired), while an
+    unrelated payload is far (not paired); identical payloads are
+    hamming 0. Pinned against the brute-force hamming on the same
+    hashes."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal
+
+    base = "abcdefgh" * 32  # 256 samples, 4 per block
+    blip = base[:100] + "z" + base[101:]  # one loud sample, same length
+    other = "".join(chr(ord("a") + (i * 7) % 26) for i in range(256))
+    media = _media(
+        spark, [(1, base), (2, base), (3, blip), (4, other)]
+    )
+    pairs = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in multimodal.phash_pairs(media, max_hamming=3).collect()
+    }
+    # brute force over the same signatures
+    sigs = {
+        r.media_id: (r.b0 << 48) | (r.b1 << 32) | (r.b2 << 16) | r.b3
+        for r in multimodal.blockhash64(media).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    assert (1, 2, 0) in pairs  # identical payloads
+    assert any(p[:2] == (1, 3) for p in pairs)  # the blip is near
+    assert not any(4 in p[:2] for p in pairs)  # unrelated is far
 
 
 def test_index_df_matches_brute_count(spark, sf_dir):
