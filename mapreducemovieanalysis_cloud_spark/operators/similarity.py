@@ -557,3 +557,102 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---- scalar 8-bit quantization (SQ8) tier -----------------------------------
+
+
+def sq8_reconstructed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization of every corpus vector against per-dim
+    corpus [min, max] ranges, DECODED back to the reconstruction the
+    scorer uses — the Faiss ``SQ8`` compression tier that sits between
+    raw vectors and PQ codes (4 bytes/dim -> 1 byte/dim, no codebook
+    training).
+
+    All arithmetic is exact int64 on the shared micro-quantization
+    (functions/vector.py:quantize): code = ((x - mn) * 255) div
+    (mx - mn); recon = mn + (code * (mx - mn)) div 255 — both engines
+    truncate identically because every operand is non-negative.
+
+    Scale: per-dim stats are ONE posexplode aggregate (64 keys) that
+    broadcasts back as two dim-length arrays; encoding is map-side; no
+    corpus shuffle.
+    """
+    qv = corpus.select(F.col(id_col), quantize(vec_col).alias("__q"))
+    st = (
+        qv.select(F.posexplode("__q").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = st.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)"
+        ).alias("__mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)"
+        ).alias("__mx"),
+    )
+    return qv.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.expr(
+            "transform(sequence(0, size(__q) - 1), i -> CASE"
+            " WHEN element_at(__mx, i + 1) = element_at(__mn, i + 1)"
+            " THEN element_at(__mn, i + 1)"
+            " ELSE element_at(__mn, i + 1)"
+            "  + (((element_at(__q, i + 1) - element_at(__mn, i + 1)) * 255)"
+            "     div (element_at(__mx, i + 1) - element_at(__mn, i + 1)))"
+            "    * (element_at(__mx, i + 1) - element_at(__mn, i + 1))"
+            "    div 255 END)"
+        ).alias("recon"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-arithmetic ANN over the SQ8-compressed corpus: top-k per
+    query by squared L2 distance to the RECONSTRUCTED vectors (asymmetric
+    distance — full-precision query against compressed corpus, the same
+    asymmetry as PQ's ADC), neighbor id as the deterministic tie-break.
+
+    Scale: queries broadcast; the corpus is scanned once through the
+    map-side encoder; only (query, neighbor, distance) rows shuffle into
+    the per-query rank window."""
+    rec = sq8_reconstructed(corpus, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col), quantize(vec_col).alias("__qq")
+    )
+    scored = (
+        rec.join(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(__qq, recon, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "dist_sq",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -151,6 +151,61 @@ def multimodal_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blockhash64(multimodal.documents_as_media(docs))
 
 
+_SQ8_QUANT = (
+    "list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+
+@query(
+    "ann_sq8",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      {_SQ8_QUANT.format(v='embedding')} AS qv
+               FROM embeddings WHERE vec_id < 5),
+    e AS (SELECT vec_id, {_SQ8_QUANT.format(v='embedding')} AS v
+          FROM embeddings),
+    comp AS (SELECT vec_id, d, v[d] AS x
+             FROM e, unnest(generate_series(1, len(v))) AS g(d)),
+    st AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY d),
+    rec AS (SELECT vec_id, comp.d,
+              CASE WHEN mx = mn THEN mn
+                   ELSE mn + (((x - mn) * 255) // (mx - mn)) * (mx - mn)
+                        // 255
+              END AS r
+            FROM comp JOIN st USING (d)),
+    dist AS (SELECT q.query_id, rec.vec_id AS neighbor_id,
+                    CAST(SUM((q.qv[rec.d] - rec.r)
+                             * (q.qv[rec.d] - rec.r)) AS BIGINT) AS dist_sq
+             FROM q, rec WHERE rec.vec_id <> q.query_id
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, dist_sq, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, neighbor_id) AS rank
+      FROM dist)
+    WHERE rank <= 10
+    """,
+)
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-8-bit-quantized ANN (Faiss SQ8): top-10 per query by exact
+    int64 squared-L2 against the per-dim [min, max]-coded reconstruction
+    (operators/similarity.py:sq8_topk) — the codebook-free compression
+    tier between raw brute force and PQ (4 bytes/dim -> 1), completing
+    the spectrum brute -> SRP-LSH -> IVF -> SQ8 -> PQ -> IVF-PQ.
+
+    Scale: one 64-key posexplode aggregate broadcasts the dim ranges;
+    encoding is map-side; queries broadcast; only scored triples shuffle
+    into the rank window."""
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.sq8_topk(emb, queries, k=10)
+
+
 _GBA_SQL = """
     SELECT o_orderpriority, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -66,6 +66,7 @@ _PRIORITY = [
     "search_phrase_stored_index",
     "sql_group_by_all",
     "multimodal_blockhash",
+    "ann_sq8",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

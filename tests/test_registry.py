@@ -77,6 +77,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # broadcast query-set x corpus blocks: every query scores every
         # candidate row by design (brute force / probe scoring)
         "ann_bruteforce",
+        "ann_sq8",
         "ann_ivf",
         "ann_ivf_pq",
         "ann_recall_ivf",

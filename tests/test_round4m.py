@@ -21,6 +21,7 @@ ROUND4M = (
     "search_phrase_stored_index",
     "sql_group_by_all",
     "multimodal_blockhash",
+    "ann_sq8",
 )
 
 
@@ -244,6 +245,37 @@ def test_phash_pairs_finds_perceptual_near_dups(spark):
     assert (1, 2, 0) in pairs  # identical payloads
     assert any(p[:2] == (1, 3) for p in pairs)  # the blip is near
     assert not any(4 in p[:2] for p in pairs)  # unrelated is far
+
+
+def test_sq8_reconstruction_error_is_step_bounded(spark, sf_dir):
+    """Per-dim |x - recon| <= quantization step ceil((mx - mn) / 255):
+    the defining guarantee of scalar quantization (and what makes SQ8
+    distances approximate the true ones uniformly)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.vector import quantize
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = similarity.sq8_reconstructed(emb)
+    joined = rec.join(
+        emb.select("vec_id", quantize("embedding").alias("__q")), "vec_id"
+    )
+    st = (
+        emb.select(F.posexplode(quantize("embedding")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.max(F.ceil((F.col("mx") - F.col("mn")) / 255)).alias("step"))
+        .collect()[0]
+    )
+    worst = joined.select(
+        F.expr(
+            "aggregate(zip_with(__q, recon, (a, b) -> abs(a - b)),"
+            " 0L, (acc, x) -> greatest(acc, x))"
+        ).alias("err")
+    ).agg(F.max("err")).collect()[0][0]
+    assert worst <= st.step, (worst, st.step)
 
 
 def test_index_df_matches_brute_count(spark, sf_dir):
