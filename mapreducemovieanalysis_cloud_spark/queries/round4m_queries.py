@@ -151,6 +151,152 @@ def multimodal_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.blockhash64(multimodal.documents_as_media(docs))
 
 
+@query(
+    "skew_report_lineitem",
+    oracle="""
+    WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+    SELECT key, cnt,
+           CAST(cnt * 1000 // total AS BIGINT) AS permille,
+           CAST(cnt * n_keys > 4 * total AS INT) AS skewed,
+           CAST((cnt * n_keys + 4 * total - 1) // (4 * total) AS BIGINT)
+             AS salt_factor
+    FROM c, t
+    ORDER BY cnt DESC, key ASC LIMIT 10
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the fact table's supplier key — the
+    detector that decides WHEN the salted-join kernel
+    (operators/skew.py, `salted_hot_key_agg`) is worth its extra
+    exchange: top-10 heaviest keys with exact-integer share (permille),
+    a >4x-mean skew flag (cross-multiplied, no division), and the
+    ceil-ratio salt factor a skewed key would need to flatten back to
+    ~4x mean.  The ops-tooling read path of the skew family.
+
+    Scale: ONE count aggregate over the fact (map-side partials), a
+    one-row totals broadcast, and a TakeOrderedAndProject — no sort of
+    the key space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 1000 div total AS BIGINT)").alias(
+                "permille"
+            ),
+            F.expr("CAST(cnt * n_keys > 4 * total AS INT)").alias(
+                "skewed"
+            ),
+            F.expr(
+                "CAST((cnt * n_keys + 4 * total - 1) div (4 * total)"
+                " AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS price_cents
+               FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+                  ELSE price_cents END AS price_cents
+      FROM a WHERE o_orderkey % 7 <> 3
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM a), 'N',
+             CAST(0 AS BIGINT)
+      FROM a WHERE o_orderkey % 97 = 0)
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_orderstatus <> b.o_orderstatus
+                     OR a.price_cents <> b.price_cents THEN 'changed'
+                ELSE 'same' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: key-keyed FULL OUTER diff of two table
+    versions into added / removed / changed / same counts — the
+    migration-audit twin of the MERGE kernel (`merge_upsert_orders`
+    APPLIES a change batch; this MEASURES the drift between two
+    materializations, the check you run after any backfill or engine
+    swap).  The second snapshot is derived deterministically (updates on
+    key % 5, deletes on key % 7 = 3, inserts past MAX(key)) so both
+    engines diff identical inputs.
+
+    Scale: one key-partitioned full outer join, counts collapse
+    map-side; at 100 TB both sides bucket-partition by the key and the
+    join is co-located."""
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    max_key = a.agg(F.max("o_orderkey").alias("m"))
+    b = (
+        a.where(F.col("o_orderkey") % 7 != 3)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("price_cents") + 100
+            )
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+        .unionByName(
+            a.where(F.col("o_orderkey") % 97 == 0)
+            .crossJoin(F.broadcast(max_key))
+            .select(
+                (F.col("o_orderkey") + F.col("m") + 1).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(0).cast("long").alias("price_cents"),
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    status = (
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.price_cents") != F.col("b.price_cents")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 _SQ8_QUANT = (
     "list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
     " AS BIGINT))"

@@ -67,6 +67,8 @@ _PRIORITY = [
     "sql_group_by_all",
     "multimodal_blockhash",
     "ann_sq8",
+    "skew_report_lineitem",
+    "snapshot_diff_orders",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

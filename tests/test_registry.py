@@ -64,6 +64,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tpch_q11_important_stock",
         "tpch_q22_global_sales",
         "merge_upsert_orders",
+        # 1-row totals / MAX(key) scalar broadcasts
+        "skew_report_lineitem",
+        "snapshot_diff_orders",
         "target_encode_segment",
         # (sources x bins) smoothing grid + 1-row bin-count/total scalars
         "quality_psi_by_source",

@@ -22,6 +22,8 @@ ROUND4M = (
     "sql_group_by_all",
     "multimodal_blockhash",
     "ann_sq8",
+    "skew_report_lineitem",
+    "snapshot_diff_orders",
 )
 
 
