@@ -56,6 +56,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_right",
+    within=None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' takes the
@@ -69,6 +70,12 @@ def asof_join(
 
     Ties (equal timestamps) resolve as right-row-visible (``<=`` / ``>=``),
     matching DuckDB ASOF semantics.
+
+    ``within``: optional tolerance gate — a callable
+    ``(left_t: Column, matched_right_t: Column) -> boolean Column``; a
+    matched right row failing it has its carried columns NULLed while
+    the left row is kept (pandas ``merge_asof(tolerance=...)``
+    semantics). Evaluated post-window, so it adds zero exchanges.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -110,8 +117,15 @@ def asof_join(
             for c in right_cols
         ],
     )
+    if within is None:
+        carried = {c: F.col(f"__f_{c}") for c in right_cols}
+    else:
+        ok = F.col(f"__f_{right_ts}").isNotNull() & within(
+            F.col("__t"), F.col(f"__f_{right_ts}")
+        )
+        carried = {c: F.when(ok, F.col(f"__f_{c}")) for c in right_cols}
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols
+        carried[c].alias(f"{c}{suffix}") for c in right_cols
     ]
     return filled.where(F.col("__side") == 1).select(*out_cols)
 

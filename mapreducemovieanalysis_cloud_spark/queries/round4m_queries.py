@@ -152,6 +152,62 @@ def multimodal_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+                THEN c.click_event_id END AS click_event_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE gate (pandas ``merge_asof(tolerance)``
+    semantics): each purchase takes the latest prior click by the same
+    user only if it happened within 1 hour — stale matches NULL out while
+    the left row is kept.  The gate is evaluated post-window on the
+    carried match timestamp (operators/joins.py:asof_join ``within``), so
+    the plan is byte-identical to the ungated as-of: one key-partitioned
+    exchange, no range explosion, zero extra shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import joins
+
+    joined = joins.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        within=lambda lt, rt: F.unix_micros(lt) - F.unix_micros(rt)
+        <= 3600 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.col("click_event_id_right").alias("click_event_id"),
+    )
+
+
+@query(
     "skew_report_lineitem",
     oracle="""
     WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

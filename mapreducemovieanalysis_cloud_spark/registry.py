@@ -69,6 +69,7 @@ _PRIORITY = [
     "ann_sq8",
     "skew_report_lineitem",
     "snapshot_diff_orders",
+    "join_asof_tolerance",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

@@ -24,6 +24,7 @@ ROUND4M = (
     "ann_sq8",
     "skew_report_lineitem",
     "snapshot_diff_orders",
+    "join_asof_tolerance",
 )
 
 
@@ -247,6 +248,46 @@ def test_phash_pairs_finds_perceptual_near_dups(spark):
     assert (1, 2, 0) in pairs  # identical payloads
     assert any(p[:2] == (1, 3) for p in pairs)  # the blip is near
     assert not any(4 in p[:2] for p in pairs)  # unrelated is far
+
+
+def test_asof_tolerance_nulls_stale_matches_keeps_rows(spark):
+    """Fixture: a click 30 min before matches; one 2 h before is nulled;
+    a purchase with no prior click stays with NULL — row counts equal the
+    left side in all cases (merge_asof tolerance semantics)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 10:00:00"),
+            (2, 100, "2024-01-01 13:00:00"),
+            (3, 200, "2024-01-01 09:00:00"),
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, "2024-01-01 09:30:00", 91),  # 30 min before purchase 1
+            (100, "2024-01-01 11:00:00", 92),  # 2 h before purchase 2
+        ],
+        "user_id long, ts_s string, click_event_id long",
+    ).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "click_event_id"
+    )
+    out = {
+        r.event_id: r.click_event_id_right
+        for r in joins.asof_join(
+            left,
+            right,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            within=lambda lt, rt: F.unix_micros(lt) - F.unix_micros(rt)
+            <= 3600 * 1_000_000,
+        ).collect()
+    }
+    assert out == {1: 91, 2: None, 3: None}
 
 
 def test_sq8_reconstruction_error_is_step_bounded(spark, sf_dir):
