@@ -250,6 +250,57 @@ def test_phash_pairs_finds_perceptual_near_dups(spark):
     assert not any(4 in p[:2] for p in pairs)  # unrelated is far
 
 
+def test_streaming_index_ingest_foreach_batch(spark, sf_dir, tmp_path):
+    """Streaming index maintenance: each micro-batch of new docs appends
+    into the stored inverted index via foreachBatch (build once on the
+    first batch, append after), and the final probe equals a from-scratch
+    build over everything ingested.  maxFilesPerTrigger=1 forces multiple
+    micro-batches so the append path actually executes across batches —
+    the same ingest lifecycle as the incremental exact-dedup store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(src + "/b1")
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(src + "/b2")
+
+    idx = str(tmp_path / "idx")
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def sink(batch_df, batch_id):
+        if os.path.exists(os.path.join(idx, "postings", "_SUCCESS")):
+            invindex.append_to_inverted_index(batch_df, spark, idx)
+        else:
+            invindex.build_inverted_index(batch_df, idx)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "full")
+    invindex.build_inverted_index(docs, full)
+    got = invindex.bm25_query_index(spark, idx, _IDX_TERMS, topk=50).collect()
+    want = invindex.bm25_query_index(
+        spark, full, _IDX_TERMS, topk=50
+    ).collect()
+    assert got == want and got
+
+
 def test_asof_tolerance_nulls_stale_matches_keeps_rows(spark):
     """Fixture: a click 30 min before matches; one 2 h before is nulled;
     a purchase with no prior click stays with NULL — row counts equal the
