@@ -33,6 +33,7 @@ def scd2_intervals(
     ts_col: str = "ts",
     state_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    formatted: bool = True,
 ) -> DataFrame:
     """One row per consecutive run of ``state_col`` per ``key_col``:
     (key, version BIGINT, state, valid_from, valid_to, n_events).
@@ -40,6 +41,12 @@ def scd2_intervals(
     ``version`` numbers runs 1..k in time order; ``valid_to`` is the next
     run's ``valid_from`` (half-open intervals), ``OPEN_END`` for the
     current run. ``tiebreak_col`` fixes within-timestamp order.
+
+    ``formatted=False`` keeps valid_from/valid_to as RAW timestamps
+    (valid_to NULL for the open run) — required by consumers that join
+    against the boundaries (point-in-time lookup), where the
+    seconds-resolution string format would silently round a
+    microsecond boundary down past a snapshot instant.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     changed = (
@@ -64,6 +71,15 @@ def scd2_intervals(
         F.count(F.lit(1)).alias("n_events"),
     )
     wv = Window.partitionBy(key_col).orderBy("version")
+    if not formatted:
+        return runs.select(
+            F.col(key_col),
+            F.col("version").cast("long").alias("version"),
+            "state",
+            F.col("__vf").alias("valid_from"),
+            F.lead("__vf").over(wv).alias("valid_to"),
+            "n_events",
+        )
     return runs.select(
         F.col(key_col),
         F.col("version").cast("long").alias("version"),

@@ -208,6 +208,94 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_point_in_time",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+    b AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                           OR lag(event_type) OVER w <> event_type
+                         THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT *, SUM(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS version FROM b),
+    g0 AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                  MIN(event_type) AS state, MIN(ts) AS vf
+           FROM v GROUP BY 1, 2),
+    g AS (SELECT * FROM (
+            SELECT *, lead(vf) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS vt
+            FROM g0)
+          WHERE vt IS NULL OR vf <> vt),
+    snaps AS (SELECT DISTINCT user_id,
+                     date_trunc('hour', ts) + INTERVAL 30 MINUTE AS snap_ts
+              FROM events)
+    SELECT s.user_id AS user_id,
+           strftime(s.snap_ts, '%Y-%m-%d %H:%M:%S') AS snap_ts,
+           g.state AS state, g.version AS version
+    FROM snaps s
+    ASOF LEFT JOIN g ON s.user_id = g.user_id AND s.snap_ts >= g.vf
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: reconstruct every user's state at
+    each half-hour snapshot mark from the SCD2 validity history the CDC
+    kernel builds (`scd2_user_state`) — the warehouse op behind "what
+    did the dimension look like when this fact happened".  Because SCD2
+    runs are CONTIGUOUS per key (valid_to = next valid_from, last one
+    open), the PIT lookup is EXACTLY the as-of-backward join on
+    valid_from — one key-partitioned exchange, no interval explosion,
+    no inequality join.  Snapshot marks before a user's first interval
+    stay NULL (as-of left-outer semantics).  Zero-duration runs
+    (valid_from = valid_to, from equal-timestamp state flips) are
+    dropped first: a state that lasted zero time is not observable at
+    any instant, and removing them is exactly what makes the remaining
+    valid_from values strictly increasing per key — i.e., what makes
+    the as-of lookup well-defined.
+
+    Scale: intervals are run-length-bounded (one row per state change),
+    snapshots are grid-bounded; both shuffle once on the key."""
+    from mapreducemovieanalysis_cloud_spark.operators import cdc, joins
+
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        cdc.scd2_intervals(
+            events,
+            key_col="user_id",
+            ts_col="ts",
+            state_col="event_type",
+            tiebreak_col="event_id",
+            formatted=False,
+        )
+        .where(
+            F.col("valid_to").isNull()
+            | (F.col("valid_from") != F.col("valid_to"))
+        )
+        .select(
+            "user_id",
+            F.col("valid_from").alias("vf"),
+            "state",
+            "version",
+        )
+    )
+    snaps = events.select(
+        "user_id",
+        (
+            F.date_trunc("hour", F.col("ts"))
+            + F.expr("INTERVAL 30 MINUTES")
+        ).alias("snap_ts"),
+    ).distinct()
+    pit = joins.asof_join(
+        snaps, iv, key="user_id", left_ts="snap_ts", right_ts="vf"
+    )
+    return pit.select(
+        "user_id",
+        F.date_format("snap_ts", "yyyy-MM-dd HH:mm:ss").alias("snap_ts"),
+        F.col("state_right").alias("state"),
+        F.col("version_right").alias("version"),
+    )
+
+
+@query(
     "skew_report_lineitem",
     oracle="""
     WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

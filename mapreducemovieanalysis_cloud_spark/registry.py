@@ -70,6 +70,7 @@ _PRIORITY = [
     "skew_report_lineitem",
     "snapshot_diff_orders",
     "join_asof_tolerance",
+    "join_point_in_time",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

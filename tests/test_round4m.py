@@ -25,6 +25,7 @@ ROUND4M = (
     "skew_report_lineitem",
     "snapshot_diff_orders",
     "join_asof_tolerance",
+    "join_point_in_time",
 )
 
 
