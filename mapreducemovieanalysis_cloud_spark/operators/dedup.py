@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from mapreducemovieanalysis_cloud_spark.functions.text import (
     fingerprint,
@@ -362,16 +361,12 @@ def minhash_lsh_dedup(
     with exact Jaccard (join back to shingle sets). Only candidate pairs pay
     the verification cost — the LSH recall/precision tradeoff is in
     (num_hashes, bands)."""
-    # Re-read twice (signatures + verification join). MEMORY_AND_DISK, not
-    # MEMORY_ONLY: the exploded shingle set is the largest intermediate in
-    # the pipeline, and under Spark's unified memory manager storage blocks
-    # are evictable when execution needs the space — so at corpus scale the
-    # overflow spills to local disk instead of either strangling the
-    # shuffle working set or (MEMORY_ONLY) silently dropping partitions and
-    # recomputing the explode per re-read.
-    sh = shingle_sets(docs, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Re-read twice (signatures + verification join): lazy localCheckpoint
+    # — the repo-wide pattern for multi-consumer intermediates since the
+    # round-4 leak audit (persist() without a matching unpersist pins
+    # storage for the app lifetime; checkpoint blocks are released when
+    # the RDD is GC'd).
+    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     sigs = minhash_signatures(
         docs, n, num_hashes, id_col, text_col, shingles=sh
@@ -498,8 +493,8 @@ def simhash_pairs(
         raise ValueError(
             "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
         )
-    sigs = simhash64_blocks(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = simhash64_blocks(docs, id_col, text_col).localCheckpoint(
+        eager=False
     )
     blocked = sigs.select(
         F.col(id_col),
