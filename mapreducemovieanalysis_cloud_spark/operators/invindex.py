@@ -44,11 +44,16 @@ from mapreducemovieanalysis_cloud_spark.operators.ranking import (
     bm25_from_tables,
 )
 
-N_BUCKETS = 64
+N_BUCKETS = 64  # default for new builds; the layout's actual count is
+# stored in <path>/meta and probes always read it from there, so an
+# index built with any bucket count (scaled to corpus vocabulary:
+# ~vocab_rows / target_bucket_rows) probes correctly — the bucket
+# count is a property of the LAYOUT, not a constant the reader must
+# guess (the round-1 fixed-bucket lesson, applied to storage).
 
 
-def _bucket(col: str) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_BUCKETS))
+def _bucket(col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
 
 
 def _postings(
@@ -76,13 +81,15 @@ def _postings(
     return tf, dl
 
 
-def _write_postings(tf: DataFrame, path: str, mode: str) -> None:
+def _write_postings(
+    tf: DataFrame, path: str, mode: str, n_buckets: int
+) -> None:
     """Postings repartition to one file per term-hash bucket and sort by
     term within the file, so every parquet row group carries a tight
     term min/max for skipping."""
     (
-        tf.withColumn("bucket", _bucket("term"))
-        .repartition(N_BUCKETS, "bucket")
+        tf.withColumn("bucket", _bucket("term", n_buckets))
+        .repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode(mode)
         .partitionBy("bucket")
@@ -95,15 +102,24 @@ def build_inverted_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
 ) -> None:
-    """Materialize the three-part index layout at ``path``."""
+    """Materialize the three-part index layout at ``path``.
+
+    ``n_buckets`` is recorded in ``<path>/meta``; every probe and
+    maintenance op reads it from there, so build-time and probe-time can
+    never disagree on the partitioning function."""
     tf, dl = _postings(docs, id_col, text_col)
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets), 2)], "n_buckets int, format_version int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
     dl.agg(
         F.count(F.lit(1)).alias("n_docs_total"),
         F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
-    _write_postings(tf, path, "overwrite")
+    _write_postings(tf, path, "overwrite", n_buckets)
 
 
 def append_to_inverted_index(
@@ -127,12 +143,13 @@ def append_to_inverted_index(
     linkage blocking index.
     """
     tf, dl = _postings(docs, id_col, text_col)
+    nb = layout_buckets(spark, path)
     old = spark.read.parquet(f"{path}/stats").collect()[0]
     dl.write.mode("append").parquet(f"{path}/doclen")
     delta = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
-    _write_postings(tf, path, "append")
+    _write_postings(tf, path, "append", nb)
     spark.createDataFrame(
         [
             (
@@ -157,9 +174,10 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
     import tempfile as _tf
 
     cur = spark.read.parquet(f"{path}/postings")
+    nb = layout_buckets(spark, path)
     tmp = _tf.mkdtemp(dir=path, prefix="__compact_")
     (
-        cur.repartition(N_BUCKETS, "bucket")
+        cur.repartition(nb, "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -170,14 +188,24 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def query_term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
+def layout_buckets(spark: SparkSession, path: str) -> int:
+    """The layout's bucket count, from ``<path>/meta`` (one row)."""
+    return spark.read.parquet(f"{path}/meta").collect()[0].n_buckets
+
+
+def query_term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int = N_BUCKETS
+) -> list[int]:
     """Bucket ids for the query terms — a |Q|-row jobs whose collect is
     bounded by the query size (the same defensible driver-side set as
     the IVF probe-cell collect, similarity.py), buying STATIC partition
     pruning on the postings read."""
     tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
     return sorted(
-        r.b for r in tdf.select(_bucket("term").alias("b")).distinct().collect()
+        r.b
+        for r in tdf.select(
+            _bucket("term", n_buckets).alias("b")
+        ).distinct().collect()
     )
 
 
@@ -188,8 +216,8 @@ def read_postings(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The pruned postings scan: bucket partition-pruning + pushed term
-    filter."""
-    buckets = query_term_buckets(spark, terms)
+    filter (bucket count read from the layout's meta)."""
+    buckets = query_term_buckets(spark, terms, layout_buckets(spark, path))
     return (
         spark.read.parquet(f"{path}/postings")
         .where(F.col("bucket").isin(buckets))
@@ -224,7 +252,11 @@ def phrase_query_index(
     terms = sorted(set(phrase))
     post = (
         spark.read.parquet(f"{path}/postings")
-        .where(F.col("bucket").isin(query_term_buckets(spark, terms)))
+        .where(
+            F.col("bucket").isin(
+                query_term_buckets(spark, terms, layout_buckets(spark, path))
+            )
+        )
         .where(F.col("term").isin(terms))
         .select(F.col(id_col), "term", "positions")
     )

@@ -30,8 +30,8 @@ _IDX_TERMS = ["hash", "scan", "merge"]
 
 # Layout format version: bump when the stored schema changes so a stale
 # materialization from an earlier build is never probed (v2 = positional
-# postings).
-_FMT = "v2"
+# postings; v3 = bucket count recorded in <path>/meta).
+_FMT = "v3"
 
 
 def inverted_index_path(sf_dir: str) -> str:

@@ -400,3 +400,41 @@ def test_index_df_matches_brute_count(spark, sf_dir):
         if n:
             want.add((t, n))
     assert got == want
+
+
+def test_layout_bucket_count_travels_with_the_index(spark):
+    """An index built with a non-default bucket count probes correctly:
+    the probe reads n_buckets from <path>/meta, never from the module
+    constant — build-time and probe-time cannot disagree."""
+    import tempfile as _tf
+
+    docs = spark.createDataFrame(
+        [(1, "hash scan merge"), (2, "hash join scan"), (3, "merge only")],
+        "doc_id long, text string",
+    )
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs, d, n_buckets=7)
+        assert invindex.layout_buckets(spark, d) == 7
+        got = {
+            r.doc_id
+            for r in invindex.bm25_query_index(
+                spark, d, ["hash", "scan"], topk=10
+            ).collect()
+        }
+        assert got == {1, 2}
+        # append + compact keep honoring the stored count
+        invindex.append_to_inverted_index(
+            spark.createDataFrame(
+                [(4, "hash scan hash")], "doc_id long, text string"
+            ),
+            spark,
+            d,
+        )
+        invindex.compact_inverted_index(spark, d)
+        got2 = {
+            r.doc_id
+            for r in invindex.bm25_query_index(
+                spark, d, ["hash", "scan"], topk=10
+            ).collect()
+        }
+        assert got2 == {1, 2, 4}
