@@ -237,12 +237,14 @@ def phrase_query_index(
     count — computed entirely from posting lists (the corpus is never
     read).
 
-    The first term's positions explode to anchor candidates; each later
-    term joins its posting row per doc and keeps anchors whose shifted
-    position it contains (``array_contains(pos_i, p + i)``).  Work is
-    bounded by the FIRST term's tf within docs that contain all terms —
-    pass the rarest term first when the phrase allows reordering at the
-    call site.
+    The RAREST phrase term (min document frequency over the pruned
+    postings — a |phrase|-row bounded collect, like the bucket lookup)
+    anchors: its positions explode to anchor candidates, and every other
+    term i keeps anchors whose relative offset it contains
+    (``array_contains(pos_i, q + (i - k))``).  Anchor fan-out is the
+    MINIMUM tf across the phrase's terms, not the first term's — the
+    classic rarest-first posting-intersection order, chosen from the
+    index's own statistics rather than by the caller.
 
     Scale: |phrase| pruned posting scans + |phrase| - 1 doc-keyed joins
     whose left side shrinks monotonically; no corpus scan, no window.
@@ -259,18 +261,37 @@ def phrase_query_index(
         )
         .where(F.col("term").isin(terms))
         .select(F.col(id_col), "term", "positions")
+        .localCheckpoint(eager=False)
     )
-    cur = post.where(F.col("term") == phrase[0]).select(
-        F.col(id_col), F.explode("positions").alias("p")
+    df_by_term = {
+        r.term: r.df
+        for r in post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    if len(df_by_term) < len(terms):
+        # a phrase term absent from the corpus: no doc can match
+        return post.select(F.col(id_col)).limit(0).select(
+            F.col(id_col), F.lit(0).cast("long").alias("n_occurrences")
+        )
+    k = min(range(len(phrase)), key=lambda i: df_by_term[phrase[i]])
+    # anchor position q = absolute position of phrase[k]; term i must
+    # appear at q + (i - k)
+    cur = post.where(F.col("term") == phrase[k]).select(
+        F.col(id_col), F.explode("positions").alias("q")
     )
-    for i, t in enumerate(phrase[1:], start=1):
+    for i, t in enumerate(phrase):
+        if i == k:
+            continue
         nxt = post.where(F.col("term") == t).select(
             F.col(id_col), F.col("positions").alias(f"__pos{i}")
         )
         cur = (
             cur.join(nxt, id_col)
-            .where(F.array_contains(F.col(f"__pos{i}"), F.col("p") + i))
-            .select(id_col, "p")
+            .where(
+                F.array_contains(F.col(f"__pos{i}"), F.col("q") + (i - k))
+            )
+            .select(id_col, "q")
         )
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")

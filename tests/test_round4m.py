@@ -125,6 +125,19 @@ def test_phrase_probe_counts_adjacent_occurrences(spark):
     assert got == {(1, 2), (4, 1)}
 
 
+def test_phrase_probe_absent_term_is_empty(spark):
+    import tempfile as _tf
+
+    docs = spark.createDataFrame(
+        [(1, "hash join")], "doc_id long, text string"
+    )
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs, d)
+        out = invindex.phrase_query_index(spark, d, ["hash", "zzzmissing"])
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "n_occurrences"]
+
+
 def test_incremental_append_equals_full_rebuild(spark, sf_dir):
     """Index half the corpus, append the other half: every probe mode
     must return exactly what a from-scratch build over the full corpus
