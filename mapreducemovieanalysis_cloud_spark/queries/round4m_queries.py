@@ -296,6 +296,84 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_affinity_cf",
+    oracle="""
+    WITH basket AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY 1),
+    co AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  CAST(COUNT(*) AS BIGINT) AS co
+           FROM basket a JOIN basket b
+             ON a.okey = b.okey AND a.brand < b.brand
+           GROUP BY 1, 2)
+    SELECT co.brand_a, co.brand_b, co.co AS co_orders,
+           (co.co / sqrt(CAST(na.n * nb.n AS DOUBLE))) AS cosine
+    FROM co JOIN n na ON na.brand = co.brand_a
+            JOIN n nb ON nb.brand = co.brand_b
+    ORDER BY cosine DESC, brand_a, brand_b LIMIT 50
+    """,
+)
+def brand_affinity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering affinity: cosine-normalized
+    basket co-occurrence, ``co(a,b) / sqrt(n_a · n_b)`` — the recsys
+    similarity kernel that raw co-purchase counts
+    (`copurchase_brand_pairs`) are NOT: dividing by both items'
+    popularity surfaces genuine affinity instead of "everything
+    co-occurs with the most popular brand".  The score is one IEEE
+    divide over a sqrt of an exact int64 product — identical expression
+    tree on both engines, so the double hashes bit-exactly (the
+    ann-cosine precedent).
+
+    Scale: basket distinct + two grouped counts + the basket-bounded
+    self-join (the same candidate generation as co-purchase, capped per
+    order); top-50 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = basket.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        basket.alias("a")
+        .join(basket.alias("b"), "okey")
+        .where(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    return (
+        co.join(
+            n.select(F.col("brand").alias("brand_a"), F.col("n").alias("na")),
+            "brand_a",
+        )
+        .join(
+            n.select(F.col("brand").alias("brand_b"), F.col("n").alias("nb")),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("co").alias("co_orders"),
+            (
+                F.col("co")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(
+            F.col("cosine").desc(),
+            F.col("brand_a").asc(),
+            F.col("brand_b").asc(),
+        )
+        .limit(50)
+    )
+
+
+@query(
     "skew_report_lineitem",
     oracle="""
     WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

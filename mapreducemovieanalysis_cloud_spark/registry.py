@@ -71,6 +71,7 @@ _PRIORITY = [
     "snapshot_diff_orders",
     "join_asof_tolerance",
     "join_point_in_time",
+    "brand_affinity_cf",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

@@ -26,6 +26,7 @@ ROUND4M = (
     "snapshot_diff_orders",
     "join_asof_tolerance",
     "join_point_in_time",
+    "brand_affinity_cf",
 )
 
 
