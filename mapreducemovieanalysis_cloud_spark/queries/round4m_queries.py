@@ -374,6 +374,71 @@ def brand_affinity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rfm_segments",
+    oracle="""
+    WITH m AS (SELECT o_custkey,
+                      MAX(o_orderdate) AS last_order,
+                      CAST(COUNT(*) AS BIGINT) AS freq,
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS monetary_cents
+               FROM orders GROUP BY 1),
+    q AS (SELECT o_custkey,
+                 NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+                 NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                 NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_q
+          FROM m)
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the customer-analytics staple: one aggregate collapses orders to one
+    row per customer, three NTILE(5) rankings (each deterministic via
+    the custkey tie-break) assign quintiles with 1 = best, and the
+    output is the segment-cell census.  Exact: monetary in integer
+    cents; recency ranks on the raw order date (no 'days since' clock
+    dependence, so the query is reproducible at any run time).
+
+    Scale: the windows rank the CUSTOMER table (one row per customer,
+    orders-of-magnitude smaller than the fact); at extreme customer
+    counts NTILE's single-partition sort is replaced by the md5-bucket
+    equidepth pattern (`histogram_equidepth`) — documented tier, same
+    output contract."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("monetary_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("o_custkey")
+    )
+    return (
+        m.select(
+            F.ntile(5).over(r_w).cast("int").alias("r_q"),
+            F.ntile(5).over(f_w).cast("int").alias("f_q"),
+            F.ntile(5).over(m_w).cast("int").alias("m_q"),
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
     "skew_report_lineitem",
     oracle="""
     WITH c AS (SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -72,6 +72,7 @@ _PRIORITY = [
     "join_asof_tolerance",
     "join_point_in_time",
     "brand_affinity_cf",
+    "rfm_segments",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

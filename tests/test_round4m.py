@@ -27,6 +27,7 @@ ROUND4M = (
     "join_asof_tolerance",
     "join_point_in_time",
     "brand_affinity_cf",
+    "rfm_segments",
 )
 
 
