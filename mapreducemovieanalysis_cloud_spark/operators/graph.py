@@ -313,3 +313,78 @@ def two_hop_reach(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("n_reachable"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank: identical to :func:`pagerank` except the
+    restart mass lands ONLY on the ``seeds(node)`` set — ranks then
+    measure proximity TO the seeds rather than global centrality (the
+    related-entities / recommendation read of the same kernel).
+
+    rank_0 = [v ∈ S] · SCALE div |S|
+    rank_{i+1} = [v ∈ S] · ((100-d)·SCALE div (100·|S|))
+                 + (d · Σ_{src→v} rank_i div outdeg(src)) div 100
+
+    Same exact-integer discipline as the global kernel (floor division
+    on non-negative values agrees across engines); |S| is a broadcast
+    scalar aggregate. Simplified model: no dangling-mass
+    redistribution, matching :func:`pagerank`.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_set = seeds.select("node").distinct()
+    n_seed = seed_set.agg(F.count(F.lit(1)).alias("n_seed"))
+    nodes_s = (
+        nodes.join(
+            seed_set.withColumn("__is_seed", F.lit(1)), "node", "left"
+        )
+        .withColumn("__is_seed", F.coalesce("__is_seed", F.lit(0)))
+        .crossJoin(F.broadcast(n_seed))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    base_num = (100 - damping_pct) * SCALE
+    ranks = nodes_s.select(
+        "node",
+        F.expr(
+            f"CASE WHEN __is_seed = 1 THEN {SCALE} div n_seed"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes_s.join(
+            contrib, nodes_s["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.expr(
+                    f"CASE WHEN __is_seed = 1 THEN"
+                    f" {base_num} div (100 * n_seed)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+                + F.expr(
+                    f"({damping_pct} * coalesce(contrib, 0)) div 100"
+                )
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").cast("long").alias("rank"))

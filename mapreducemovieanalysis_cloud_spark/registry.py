@@ -73,6 +73,7 @@ _PRIORITY = [
     "join_point_in_time",
     "brand_affinity_cf",
     "rfm_segments",
+    "ppr_nation_customers",
     "zorder_pruned_scan",
     "source_quality_filter",
     "chunk_documents",

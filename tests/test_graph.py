@@ -184,3 +184,37 @@ def test_two_hop_reach_registry_oracle(spark, sf_dir, oracle_sf_dir):
     q = registry.queries()["two_hop_reach_suppliers"]
     assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
     assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_ppr_matches_oracle_small(spark, sf_dir):
+    q = registry.queries()["ppr_nation_customers"]
+    sql = registry.oracle_sql()["ppr_nation_customers"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+
+
+def test_ppr_matches_oracle_sf001(spark, oracle_sf_dir):
+    q = registry.queries()["ppr_nation_customers"]
+    sql = registry.oracle_sql()["ppr_nation_customers"]
+    assert_matches_oracle(q(spark, oracle_sf_dir), sql, oracle_sf_dir)
+
+
+def test_ppr_restart_mass_stays_near_seeds(spark):
+    """Two disconnected components; seeds in one. All rank lives in the
+    seeded component; non-seed nodes there earn rank only through edges
+    (propagated), and the other component is all-zero."""
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    ranks = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, iters=3).collect()
+    }
+    assert ranks["x"] == 0 and ranks["y"] == 0
+    assert ranks["a"] > 0 and ranks["b"] > 0
+    # the restart share re-lands on the seed every iteration
+    assert ranks["a"] >= (100 - 85) * SCALE // 100
