@@ -1,14 +1,25 @@
-"""Round-4m: the persistent inverted-index retrieval family — build-once
-term-bucketed postings probed without rescanning the corpus
-(operators/invindex.py), in ranked-OR and conjunctive-AND modes.
+"""Round-4m: the persistent inverted-index retrieval family plus late
+round-4 widening — ops tooling, temporal joins, recsys, and SQL-surface
+conformance.
 
-Both queries follow the build-if-absent + probe lifecycle of
-``zorder_pruned_scan`` and the stored-IVF query: the index materializes
-once per sf_dir under the temp root, and the registered query is the
-READ path the layout exists for. Oracles are the same BM25 SQL the
-scan-time ``bm25_rank`` is checked against (ranking.bm25_oracle_sql) —
-the index is layout, not semantics, so the stored-index probe must
-hash-match the from-scratch computation exactly.
+Retrieval: build-once term-bucketed POSITIONAL postings probed without
+rescanning the corpus (operators/invindex.py) in ranked-OR,
+conjunctive-AND, and exact-phrase modes.  The index queries follow the
+build-if-absent + probe lifecycle of ``zorder_pruned_scan`` and the
+stored-IVF query: the layout materializes once per sf_dir under the
+temp root, and the registered query is the READ path the layout exists
+for.  BM25 oracles are the same SQL the scan-time ``bm25_rank`` is
+checked against (ranking.bm25_oracle_sql) — the index is layout, not
+semantics, so the stored-index probe must hash-match the from-scratch
+computation exactly.
+
+Also here: ``multimodal_blockhash`` (perceptual block-mean hash),
+``ann_sq8`` (scalar-8-bit ANN tier), ``sql_group_by_all`` (GROUP BY
+ALL / ORDER BY ALL through one shared SQL text), ``join_asof_tolerance``
+and ``join_point_in_time`` (temporal-join widening over the as-of
+kernel), ``skew_report_lineitem`` / ``snapshot_diff_orders`` (ops
+tooling), ``brand_affinity_cf`` (item-item CF), and ``rfm_segments``
+(RFM quintile census).
 """
 
 from __future__ import annotations
