@@ -37,15 +37,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run covers a bounded prefix of the registry
 # (~50 entries), so registration order is a coverage decision, not a style
-# one.  Policy (round 4): never-checked first, then rotation.  The head is
-# the two queries whose semantics (and oracles) changed this round plus
-# every round-4 addition — none has any driver row yet.  With the late
-# waves the head itself now exceeds the ~50-slot window; the OVERFLOW
-# (the newest entries at the head's tail) plus the whole rotation section
-# rolls to the round-5 window.  Every registered query — in-window or
-# not — passes the fresh-process local driver-sim (tools/driver_sim.py)
-# and the pytest oracle suite at sf0.001 AND sf0.01 each round, so the
-# driver row is confirmation, not the only evidence.
+# one.  Policy (round 4): semantics-changed and plan-changed queries
+# first, then every round-4 addition (none has any driver row yet), then
+# rotation.  With the late waves the head itself exceeds the ~50-slot
+# window; the OVERFLOW (the newest entries at the head's tail) plus the
+# whole rotation section rolls to the round-5 window.  Every registered
+# query — in-window or not — passes the fresh-process local driver-sim
+# (tools/driver_sim.py, 213/213 at round-4 close) and the pytest oracle
+# suite at sf0.001 AND sf0.01 each round, so the driver row is
+# confirmation, not the only evidence.
 _PRIORITY = [
     # --- re-check first: semantics changed this round (semantic_dedup's k
     # now derived from corpus count + salted cluster join;
