@@ -229,6 +229,11 @@ def test_results_are_partition_count_invariant(spark, sf_dir):
         "pca_gram",              # quantized int sums
         "event_transition_matrix",
         "classifier_auc",        # bucket rank-sum
+        # round-4m kernels whose naive formulations are order-sensitive
+        "containment_pairs",     # array-intersect exact-set verify
+        "ann_sq8",               # per-dim min/max coding + int L2 rank
+        "multimodal_blockhash",  # block-mean bits from a map-side pass
+        "rfm_segments",          # three global NTILE quintiles
     ]
     from mapreducemovieanalysis_cloud_spark import registry
 
