@@ -37,155 +37,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The driver's correctness run covers a bounded prefix of the registry
 # (~50 entries), so registration order is a coverage decision, not a style
-# one.  Policy (round 4): semantics-changed and plan-changed queries
-# first, then every round-4 addition (none has any driver row yet), then
-# rotation.  With the late waves the head itself exceeds the ~50-slot
-# window; the OVERFLOW (the newest entries at the head's tail) plus the
-# whole rotation section rolls to the round-5 window.  Every registered
-# query — in-window or not — passes the fresh-process local driver-sim
-# (tools/driver_sim.py, 213/213 at round-4 close) and the pytest oracle
-# suite at sf0.001 AND sf0.01 each round, so the driver row is
-# confirmation, not the only evidence.
-_PRIORITY = [
-    # --- re-check first: semantics changed this round (semantic_dedup's k
-    # now derived from corpus count + salted cluster join;
-    # merge_upsert_orders' insert-key offset now MAX(o_orderkey)+1) —
-    # oracles regenerated to match ---
-    "semantic_dedup",
-    "merge_upsert_orders",
-    # --- plan-changed this round (outputs and oracles unchanged): the
-    # exact-set array-intersect verify kernel now backs both shingle
-    # similarity joins, and interpolation's next-neighbor frame was
-    # rewritten as the reverse-sort running frame — re-check first ---
-    "containment_pairs",
-    "dedup_jaccard",
-    "resample_hourly_interp",
-    # --- round-4 additions: first driver rows ---
-    "search_bm25_stored_index",
-    "search_conjunctive_stored_index",
-    "search_phrase_stored_index",
-    "sql_group_by_all",
-    "multimodal_blockhash",
-    "ann_sq8",
-    "skew_report_lineitem",
-    "snapshot_diff_orders",
-    "join_asof_tolerance",
-    "join_point_in_time",
-    "brand_affinity_cf",
-    "rfm_segments",
-    "ppr_nation_customers",
-    "zorder_pruned_scan",
-    "source_quality_filter",
-    "chunk_documents",
-    "shuffle_for_training",
-    "bpe_pair_counts",
-    "pca_gram",
-    "fuzzy_name_pairs",
-    "copurchase_brand_pairs",
-    "ewma_user_value",
-    "weighted_sample_docs",
-    "dq_orders_gate",
-    "classifier_auc",
-    "langid_kappa",
-    "classifier_calibration",
-    "lang_temperature_mix",
-    "ann_recall_ivf",
-    "event_transition_matrix",
-    "histogram2d_price_qty",
-    "drop_repeated_segments",
-    "target_encode_segment",
-    "ann_lsh_multiband",
-    "corr_matrix_lineitem",
-    "mv_incremental_sales",
-    "weighted_sample_per_lang",
-    "two_hop_reach_suppliers",
-    "classifier_auc_by_source",
-    "quality_psi_by_source",
-    "regr_price_on_qty_by_brand",
-    "peak_concurrent_by_type",
-    "interval_coverage_user",
-    "bfs_hops_suppliers",
-    "tfidf_top_terms",
-    "anomaly_hour_of_day",
-    "skyline_qty_price",
-    "gini_revenue_by_nation",
-    "benford_totalprice",
-    "acf1_user_value",
-    "entropy_lang_by_source",
-    "chi2_cells_type_hod",
-    "cusum_user_value",
-    "twap_user_value",
-    "rolling_median_value",
-    "ohlc_hourly_by_type",
-    "sliding_reach_by_type",
-    "streaks_user_days",
-    "mad_outliers_by_type",
-    "keyness_llr_by_lang",
-    "boilerplate_by_source",
-    "ks_drift_by_type",
-    "winsorized_orders_by_priority",
-    "percentile_bands_type_hod",
-    "feature_hash_docs",
-    "time_intelligence_nation",
-    "k_anonymity_customers",
-    "hard_negatives_brute",
-    "sliding_reach_windows",
-    # --- rotation, highest priority: r02 entries over the `events` table,
-    # whose physical timestamp type the driver regenerated after their
-    # last green row ---
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "sessionize_events",
-    "join_interval_events",
-    "join_range_binned",
-    "variant_extract",
-    # --- rotation: green only in CORRECTNESS_r01, code unchanged since;
-    # oldest coverage first so drift anywhere surfaces within two rounds
-    # (entries past the ~50-slot window roll to the round-5 rotation) ---
-    "movie_rank_desc",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "distinct_pairs",
-    "rollup_orders",
-    "cube_qty",
-    "grouping_sets",
-    "approx_distinct",
-    "percentile_approx_disc",
-    "percentile_quantity",
-    "topk_global",
-    "window_analytics",
-    "window_lag_lead",
-    "window_moving_avg",
-    "pivot_returnflag",
-    "unpivot_part",
-    "json_struct",
-    "subquery_correlated",
-    "subquery_in",
-    "scalar_functions",
-    "string_functions",
-    "date_functions",
-    "map_functions",
-    "array_functions",
-    "setops_union_all",
-    "setops_intersect",
-    "setops_except",
-    "sample_deterministic",
-    "salted_hot_key_agg",
-    "pandas_udf_normalize",
-    "pandas_udaf_median",
-    "udtf_char_bigrams",
-    "grouped_map_top2",
-    "dedup_exact",
-    "fingerprint_docs",
-    "quality_score",
-    "lang_id",
-    "text_stats",
-    "explode_tokens",
-]
+# one.  Policy (round 5, per the round-4 verdict items 1 and 3): the order
+# is DERIVED MECHANICALLY from the recorded CORRECTNESS_r*.json driver
+# artifacts by tools/rotation.py — never-driver-checked queries first, then
+# entries whose source table was physically regenerated after their last
+# green row, then latest-green round ascending (oldest coverage first),
+# alphabetical tiebreak.  The generated list lives in _priority.py;
+# tests/test_rotation.py pins that the live registry order matches the
+# recomputed policy, so a stale or hand-edited list fails CI.  The registry
+# is FROZEN this round (no new entries) so the ~50-slot driver window pays
+# down rotation debt exclusively.
+from mapreducemovieanalysis_cloud_spark._priority import PRIORITY as _PRIORITY
 
 
 def _ordered(d: dict) -> dict:

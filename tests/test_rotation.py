@@ -1,0 +1,47 @@
+"""Pins that the live registry order matches the rotation policy computed
+from the recorded CORRECTNESS_r*.json artifacts (round-4 verdict item 3:
+the coverage-critical _PRIORITY list must be generated-or-verified, never
+hand-trusted)."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import rotation  # noqa: E402
+
+from mapreducemovieanalysis_cloud_spark import registry  # noqa: E402
+
+
+def test_registry_order_matches_policy():
+    names = list(registry.queries().keys())
+    assert names == rotation.policy_order(names)
+
+
+def test_oracles_follow_same_order():
+    qs = list(registry.queries().keys())
+    oracles = list(registry.oracle_sql().keys())
+    # oracle dict is the same ordering restricted to oracle-backed queries
+    assert oracles == [n for n in qs if n in set(oracles)]
+
+
+def test_driver_window_head_is_stalest_coverage():
+    """The first ~50 slots (the driver's window) must consist of the
+    never-checked queries, then data-regenerated entries, then the oldest
+    driver-green rounds — i.e. staleness is non-decreasing down the list."""
+    latest = rotation.history()
+    names = list(registry.queries().keys())
+
+    def rank(n):
+        g = latest.get(n, 0)
+        if n in rotation._DATA_REGENERATED and g <= rotation._DATA_REGENERATED[n]:
+            return 0.5
+        return g
+
+    ranks = [rank(n) for n in names]
+    assert ranks == sorted(ranks)
+    # never-checked queries (if any) are all at the very head
+    n_never = sum(1 for r in ranks if r == 0)
+    assert all(r == 0 for r in ranks[:n_never])
