@@ -21,6 +21,11 @@ module materializes the classic search-engine layout once:
   (BM25) never read the column — parquet column pruning skips it.
 - ``<path>/doclen``    — (doc_id, dl): the per-doc length normalizer.
 - ``<path>/stats``     — one row (n_docs_total, sum_dl).
+- ``<path>/batches/<id>/{postings,doclen,stats}`` — incrementally
+  appended batches, each a complete subtree finished by a
+  ``_COMMITTED`` marker; readers union only marked batches, so an
+  append is atomic-at-commit and retryable by batch id (offline
+  compaction folds them back into the base layout).
 
 Probe cost at 100 TB: the corpus is never touched — the scan reads
 ~|Q| / N_BUCKETS of the postings table, df for the query terms is a
@@ -122,69 +127,172 @@ def build_inverted_index(
     _write_postings(tf, path, "overwrite", n_buckets)
 
 
+def _batches_root(path: str) -> str:
+    return f"{path}/batches"
+
+
+def _committed_batches(path: str) -> list[str]:
+    """Batch subtree paths whose ``_COMMITTED`` marker exists, sorted by
+    batch id.  A batch missing its marker is a failed/in-flight append
+    and is invisible to every reader.  (Local-fs listing, like the rest
+    of this layout's maintenance ops; on cluster storage this is one
+    ``FileSystem.listStatus`` against the index root — or the whole
+    layout moves into a transactional table format.)"""
+    import os
+
+    root = _batches_root(path)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, b)
+        for b in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, b, "_COMMITTED"))
+    ]
+
+
+def _union_with_batches(
+    spark: SparkSession, path: str, sub: str
+) -> DataFrame:
+    """Base ``<path>/<sub>`` unioned with every COMMITTED batch's
+    ``<sub>``.  Each root is read separately (identical schemas) so the
+    bucket partition discovery stays per-root; a pushed bucket/term
+    filter prunes each scan independently."""
+    df = spark.read.parquet(f"{path}/{sub}")
+    for bdir in _committed_batches(path):
+        df = df.unionByName(spark.read.parquet(f"{bdir}/{sub}"))
+    return df
+
+
+def read_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One-row (n_docs_total, sum_dl): the base stats plus every
+    committed batch's delta — the batch deltas are one row each, so this
+    is a driver-size aggregate regardless of corpus size."""
+    return _union_with_batches(spark, path, "stats").agg(
+        F.sum("n_docs_total").alias("n_docs_total"),
+        F.sum("sum_dl").alias("sum_dl"),
+    )
+
+
 def append_to_inverted_index(
     docs: DataFrame,
     spark: SparkSession,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance: index a NEW batch of docs into the
-    existing layout without touching the already-indexed corpus — the
-    postings and doclen batches APPEND as new files inside the same
-    bucket directories (probes see the union automatically; df/tf are
-    per-(doc, term) rows, so counts simply accumulate), and the one-row
-    stats table is the only rewrite, updated from its previous value
-    plus the batch delta (never recomputed from the corpus).
+    existing layout without touching the already-indexed corpus.
+
+    The batch is a self-contained subtree
+    ``<path>/batches/<batch_id>/{postings,doclen,stats}`` finished by an
+    empty ``_COMMITTED`` marker written LAST: readers union only marked
+    batches with the base layout, so a failure at any point leaves the
+    batch invisible (never a half-applied doclen/postings/stats mix),
+    and a retry with the same ``batch_id`` either no-ops (marker
+    present) or discards the partial subtree and rewrites it — appends
+    are atomic-at-commit and idempotent under retry.  The batch ``stats``
+    row stores the DELTA (batch doc count / length sum); corpus totals
+    are the sum over base + committed batches (``read_index_stats``),
+    so the base stats row is never rewritten on append.
+
+    Pass a stable ``batch_id`` (e.g. the upstream epoch/offset id, as
+    the streaming foreachBatch ingest does with its batch id) to get
+    exactly-once semantics across retries; ``None`` generates a fresh
+    unique id (safe, but a retried caller would double-ingest under a
+    new id).
 
     Contract: batch doc ids must be new (route re-ingests through the
     incremental exact-dedup store first, operators/dedup.py) — the same
     append-only discipline as the persistent fingerprint store and the
     linkage blocking index.
     """
+    import os
+    import shutil
+    import uuid
+
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    bdir = os.path.join(_batches_root(path), str(batch_id))
+    if os.path.exists(os.path.join(bdir, "_COMMITTED")):
+        return  # already applied: idempotent retry
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)  # failed prior attempt: discard and redo
     tf, dl = _postings(docs, id_col, text_col)
     nb = layout_buckets(spark, path)
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
-    dl.write.mode("append").parquet(f"{path}/doclen")
-    delta = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    _write_postings(tf, path, "append", nb)
-    spark.createDataFrame(
-        [
-            (
-                old.n_docs_total + delta.n,
-                old.sum_dl + (delta.s or 0),
-            )
-        ],
-        "n_docs_total bigint, sum_dl bigint",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    dl.write.mode("overwrite").parquet(f"{bdir}/doclen")
+    spark.read.parquet(f"{bdir}/doclen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{bdir}/stats")
+    _write_postings(tf, bdir, "overwrite", nb)
+    with open(os.path.join(bdir, "_COMMITTED"), "w"):
+        pass  # marker: commit point
+
+
+def _swap_dir(path: str, live_sub: str, staged: str) -> None:
+    """Replace ``<path>/<live_sub>`` with ``staged`` via rename-aside:
+    old dir moves to ``<live_sub>__old`` BEFORE the staged dir moves
+    into place, then ``__old`` is deleted — a crash at any step leaves a
+    complete copy of the data on disk (either still live or parked
+    aside), never a deleted-but-not-replaced window."""
+    import os
+    import shutil
+
+    live = os.path.join(path, live_sub)
+    old = live + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # leftover from a crashed prior swap
+    shutil.move(live, old)
+    shutil.move(staged, live)
+    shutil.rmtree(old)
 
 
 def compact_inverted_index(spark: SparkSession, path: str) -> None:
-    """Offline compaction after a run of appends: rewrite the postings
-    back to one term-sorted file per bucket (appends accumulate one file
-    per batch per bucket, which erodes the row-group min/max skipping
-    the probe relies on).  Same offline-compaction lifecycle as the
-    incremental-MV delta directories (streaming/mv.py).  Read-modify-
-    write through a temp subtree then swap, so a concurrent probe never
-    sees a half-written layout; doclen/stats are untouched.
-    """
+    """Offline compaction after a run of appends: fold every committed
+    batch subtree back into the base layout — postings rewritten to one
+    term-sorted file per bucket (per-batch files erode the row-group
+    min/max skipping the probe relies on), doclen coalesced, stats
+    collapsed to one absolute row — then drop the folded batches.  Same
+    offline-compaction lifecycle as the incremental-MV delta directories
+    (streaming/mv.py): run it without concurrent appends/probes.  Each
+    directory swap is rename-aside (``_swap_dir``) so a crash never
+    leaves a deleted-but-not-replaced dir; a crash between swaps leaves
+    a recoverable state (every dir complete, folded batches still on
+    disk) and RERUNNING CONVERGES: the fold deduplicates on the
+    (doc, term) / doc key — unique across base+batches by the append
+    contract — and recomputes stats from the folded doclen, so
+    re-folding an already-folded batch is a no-op."""
     import shutil
     import tempfile as _tf
 
-    cur = spark.read.parquet(f"{path}/postings")
     nb = layout_buckets(spark, path)
+    batches = _committed_batches(path)
     tmp = _tf.mkdtemp(dir=path, prefix="__compact_")
+    post = _union_with_batches(spark, path, "postings")
+    id_col = next(
+        c for c in post.columns
+        if c not in ("term", "tf", "positions", "bucket")
+    )
     (
-        cur.repartition(nb, "bucket")
+        post.dropDuplicates([id_col, "term"])
+        .repartition(nb, "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{tmp}/postings")
     )
-    shutil.rmtree(f"{path}/postings")
-    shutil.move(f"{tmp}/postings", f"{path}/postings")
+    dl = _union_with_batches(spark, path, "doclen").dropDuplicates([id_col])
+    dl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/doclen")
+    spark.read.parquet(f"{tmp}/doclen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{tmp}/stats")
+    _swap_dir(path, "postings", f"{tmp}/postings")
+    _swap_dir(path, "doclen", f"{tmp}/doclen")
+    _swap_dir(path, "stats", f"{tmp}/stats")
+    for bdir in batches:
+        shutil.rmtree(bdir)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -216,10 +324,11 @@ def read_postings(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The pruned postings scan: bucket partition-pruning + pushed term
-    filter (bucket count read from the layout's meta)."""
+    filter (bucket count read from the layout's meta); committed append
+    batches are unioned in, each pruned the same way."""
     buckets = query_term_buckets(spark, terms, layout_buckets(spark, path))
     return (
-        spark.read.parquet(f"{path}/postings")
+        _union_with_batches(spark, path, "postings")
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
         .select(F.col(id_col), "term", "tf")
@@ -253,7 +362,7 @@ def phrase_query_index(
         raise ValueError("a phrase needs at least two terms")
     terms = sorted(set(phrase))
     post = (
-        spark.read.parquet(f"{path}/postings")
+        _union_with_batches(spark, path, "postings")
         .where(
             F.col("bucket").isin(
                 query_term_buckets(spark, terms, layout_buckets(spark, path))
@@ -311,8 +420,8 @@ def bm25_query_index(
     touching the corpus. ``require_all=True`` is the conjunctive-AND
     retrieval mode (docs must contain every query term)."""
     tf = read_postings(spark, path, terms, id_col)
-    dl = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats")
+    dl = _union_with_batches(spark, path, "doclen")
+    stats = read_index_stats(spark, path)
     return bm25_from_tables(
         tf,
         dl,

@@ -40,10 +40,18 @@ _ZBOX_PRICE = 50000.0
 
 
 def zordered_orders_path(sf_dir: str) -> str:
-    """Deterministic per-SF location of the z-ordered orders layout."""
+    """Deterministic per-SF location of the z-ordered orders layout;
+    the leaf carries a content fingerprint of the source table so a
+    regenerated orders.parquet forces a re-layout instead of a stale
+    scan (same guard as the stored inverted index and the MV base)."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
     leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "orders")
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_zorder", leaf, "orders"
+        tempfile.gettempdir(), "spark_graft_zorder", leaf, f"orders-{fp}"
     )
 
 

@@ -473,12 +473,21 @@ _MV_KEYS = ["priority", "month"]
 
 
 def _mv_path(sf_dir: str) -> str:
+    # leaf carries the source-table content fingerprint: a regenerated
+    # orders.parquet relocates (and thus rebuilds) the MV base instead
+    # of serving a stale aggregate (same guard as the stored inverted
+    # index and the z-order layout)
     import os
     import tempfile
 
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
     leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "orders")
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_mv", leaf, "sales_mv"
+        tempfile.gettempdir(), "spark_graft_mv", leaf, f"sales_mv-{fp}"
     )
 
 

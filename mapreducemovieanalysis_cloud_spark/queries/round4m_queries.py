@@ -46,16 +46,31 @@ _FMT = "v3"
 
 
 def inverted_index_path(sf_dir: str) -> str:
-    """Deterministic per-SF location of the stored inverted index."""
+    """Deterministic per-SF location of the stored inverted index.  The
+    leaf carries the layout format version AND a content fingerprint of
+    the source table, so a driver-side regeneration of documents.parquet
+    (same path, new bytes — as happened to events between rounds 2 and
+    3) relocates the layout and forces a rebuild instead of silently
+    probing a stale index."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
     leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "documents")
     return os.path.join(
-        tempfile.gettempdir(), "spark_graft_invindex", leaf, "documents", _FMT
+        tempfile.gettempdir(),
+        "spark_graft_invindex",
+        leaf,
+        "documents",
+        f"{_FMT}-{fp}",
     )
 
 
 def ensure_inverted_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build the index once per sf_dir (write-once/probe-many); rebuild
-    only when absent."""
+    """Build the index once per source-table content version
+    (write-once/probe-many); rebuild only when absent or when the
+    source fingerprint changed (which changes the path)."""
     path = inverted_index_path(sf_dir)
     if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
         invindex.build_inverted_index(

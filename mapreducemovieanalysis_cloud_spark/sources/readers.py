@@ -99,6 +99,36 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Short content fingerprint (relpath/size/mtime of every part file)
+    of ``{sf_dir}/{name}.parquet``.
+
+    Derived layouts (stored inverted index, z-order, MV base) bake this
+    into their materialization path, so a driver-side regeneration of
+    the source table — which happened to ``events`` between rounds 2 and
+    3 with an unchanged path — automatically invalidates every layout
+    built from the old bytes instead of silently probing stale data."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(root):
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                rel = os.path.relpath(p, root)
+                h.update(
+                    f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode()
+                )
+    else:
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for ``spark.sql`` queries."""
     for name, df in load_tables(spark, sf_dir).items():

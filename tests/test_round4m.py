@@ -156,8 +156,8 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir):
         invindex.build_inverted_index(docs, da)
         invindex.build_inverted_index(half_a, db)
         invindex.append_to_inverted_index(half_b, spark, db)
-        full_stats = spark.read.parquet(f"{da}/stats").collect()
-        incr_stats = spark.read.parquet(f"{db}/stats").collect()
+        full_stats = invindex.read_index_stats(spark, da).collect()
+        incr_stats = invindex.read_index_stats(spark, db).collect()
         assert full_stats == incr_stats
         for kwargs in ({}, {"require_all": True}):
             full = invindex.bm25_query_index(
@@ -197,7 +197,9 @@ def test_compaction_preserves_results_and_merges_files(spark, sf_dir):
 
         def files_per_bucket():
             per = {}
-            for f in glob.glob(f"{d}/postings/bucket=*/*.parquet"):
+            for f in glob.glob(
+                f"{d}/postings/bucket=*/*.parquet"
+            ) + glob.glob(f"{d}/batches/*/postings/bucket=*/*.parquet"):
                 b = f.split("bucket=")[1].split("/")[0]
                 per[b] = per.get(b, 0) + 1
             return per
@@ -213,6 +215,83 @@ def test_compaction_preserves_results_and_merges_files(spark, sf_dir):
             spark, d, ["hash", "join"]
         ).count()
         assert phrase > 0
+
+
+def test_append_idempotent_and_atomic(spark, sf_dir):
+    """The append contract (r04 advice): a retried batch id no-ops; an
+    uncommitted (marker-less) batch subtree is invisible to every probe
+    and is discarded+rewritten by the retry."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs.where("doc_id % 2 = 0"), d)
+        batch = docs.where("doc_id % 2 = 1")
+        invindex.append_to_inverted_index(batch, spark, d, batch_id="b1")
+        once = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+        stats_once = invindex.read_index_stats(spark, d).collect()
+        # retry with the same id: must not double-ingest
+        invindex.append_to_inverted_index(batch, spark, d, batch_id="b1")
+        assert (
+            invindex.bm25_query_index(spark, d, _IDX_TERMS, topk=50).collect()
+            == once
+        )
+        assert invindex.read_index_stats(spark, d).collect() == stats_once
+        # simulate a crashed append: complete subtree, marker removed
+        invindex.append_to_inverted_index(batch, spark, d, batch_id="b2")
+        os.remove(os.path.join(d, "batches", "b2", "_COMMITTED"))
+        assert (
+            invindex.bm25_query_index(spark, d, _IDX_TERMS, topk=50).collect()
+            == once
+        )  # uncommitted batch invisible
+        assert invindex._committed_batches(d) == [
+            os.path.join(d, "batches", "b1")
+        ]
+        shutil.rmtree(os.path.join(d, "batches", "b2"))
+
+
+def test_compaction_rerun_converges(spark, sf_dir):
+    """A compaction crash between directory swaps leaves folded data in
+    the base AND the batch still on disk; rerunning must converge (the
+    fold dedups on the doc/term key) — probes identical to a clean
+    single compaction."""
+    import tempfile as _tf
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs.where("doc_id % 2 = 0"), d)
+        invindex.append_to_inverted_index(
+            docs.where("doc_id % 2 = 1"), spark, d, batch_id="b1"
+        )
+        want = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+        # crash simulation: postings/doclen/stats already folded but the
+        # batch deletion never ran -> batch content present TWICE
+        import shutil
+
+        batch_dir = f"{d}/batches/b1"
+        saved = f"{d}/__saved_b1"
+        shutil.copytree(batch_dir, saved)
+        invindex.compact_inverted_index(spark, d)  # clean fold
+        shutil.copytree(saved, batch_dir)  # resurrect: double-count state
+        invindex.compact_inverted_index(spark, d)  # rerun must converge
+        got = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+        assert got == want
+        assert (
+            invindex.read_index_stats(spark, d).collect()[0].n_docs_total
+            == docs.count()
+        )
 
 
 def _media(spark, rows):
@@ -294,7 +373,11 @@ def test_streaming_index_ingest_foreach_batch(spark, sf_dir, tmp_path):
 
     def sink(batch_df, batch_id):
         if os.path.exists(os.path.join(idx, "postings", "_SUCCESS")):
-            invindex.append_to_inverted_index(batch_df, spark, idx)
+            # epoch id as the batch id: a foreachBatch retry of the same
+            # epoch no-ops instead of double-ingesting (exactly-once)
+            invindex.append_to_inverted_index(
+                batch_df, spark, idx, batch_id=str(batch_id)
+            )
         else:
             invindex.build_inverted_index(batch_df, idx)
 
