@@ -704,6 +704,11 @@ def ks_by_group(
             (F.col("__n_all") - F.col("n_in")).alias("n_rest"),
             (num * 1_000_000).alias("__num"),
         )
+        # a group that IS the whole table has no "rest" sample: KS vs an
+        # empty distribution is undefined, and Spark's integer div would
+        # otherwise degrade to a silent NULL (DuckDB's // raises on the
+        # same input) — drop such groups explicitly instead
+        .where(F.col("n_rest") > 0)
         .groupBy(group_col, "n_in", "n_rest")
         .agg(
             F.expr("CAST(MAX(__num) div (n_in * n_rest) AS BIGINT)").alias(

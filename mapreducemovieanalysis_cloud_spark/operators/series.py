@@ -302,19 +302,24 @@ def sliding_distinct(
         F.min("sec").alias("__start"),
         (F.max("sec") + F.lit(w)).alias("__stop"),  # one past last covered
     )
+    # delta rows carry no event id; the null literal takes the CALLER's
+    # tiebreak dtype (not a hardcoded long) so a string/uuid id column
+    # unions cleanly
+    tiebreak_type = df.schema[tiebreak_col].dataType
+    null_tiebreak = F.lit(None).cast(tiebreak_type).alias(tiebreak_col)
     deltas = intervals.select(
         F.col(key_col),
         F.col("__start").alias("sec"),
         F.lit(1).alias("__d"),
         F.lit(0).alias("__q"),
-        F.lit(None).cast("long").alias(tiebreak_col),
+        null_tiebreak,
     ).unionByName(
         intervals.select(
             F.col(key_col),
             F.col("__stop").alias("sec"),
             F.lit(-1).alias("__d"),
             F.lit(0).alias("__q"),
-            F.lit(None).cast("long").alias(tiebreak_col),
+            null_tiebreak,
         )
     )
     queries_rows = ev.select(

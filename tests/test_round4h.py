@@ -131,6 +131,23 @@ def test_sliding_reach_window_expiry(spark):
     assert out == {1: 1, 2: 2, 3: 2}
 
 
+def test_sliding_reach_string_tiebreak_column(spark):
+    """The operator is generic over the tiebreak column's dtype: the
+    delta rows' null literal must take the caller's type (r04 advice —
+    it was hardcoded long, breaking string id columns)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, 1.0),
+        (2, "2024-01-01 12:00:00", 11, 1.0),
+    ]
+    df = (
+        _events(spark, rows)
+        .withColumn("event_type", F.lit("x"))
+        .withColumn("event_id", F.concat(F.lit("ev-"), F.col("event_id")))
+    )
+    out = {r.event_id: r.reach for r in series.sliding_distinct(df).collect()}
+    assert out == {"ev-1": 1, "ev-2": 2}
+
+
 def test_streaks_islands(spark):
     """Two islands (3-day and 1-day), plus repeated events in one day."""
     rows = [

@@ -67,6 +67,18 @@ def test_ks_identical_distributions_is_zero(spark):
     assert out == {"a": 0, "b": 0}
 
 
+def test_ks_single_group_drops_instead_of_null(spark):
+    """A group that is the whole table has no rest sample (n_rest = 0):
+    it must be dropped, not returned with a silently-NULL ks_micro
+    (r04 advice — Spark's integer div yields NULL on /0 where DuckDB
+    raises)."""
+    rows = [("a", 1), ("a", 2), ("a", 3)]
+    assert (
+        aggregates.ks_by_group(_vals(spark, rows), "g", F.col("x")).count()
+        == 0
+    )
+
+
 def test_ks_hand_case(spark):
     """a={1,3}, rest={2,4}: D = 1/2 at v=1 (and v=3)."""
     rows = [("a", 1), ("a", 3), ("b", 2), ("b", 4)]
