@@ -706,6 +706,88 @@ def duplicate_passages(
     )
 
 
+def _containment_candidates(
+    sh: DataFrame,
+    sizes: DataFrame,
+    t_num: int,
+    t_den: int,
+    id_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """Directional candidate pairs for the containment detector.
+
+    Canonical PPJoin ordering: ascending document frequency with an md5
+    tiebreak.  The prefix then holds each doc's RAREST shingles, so the
+    candidate join fans out on low-df postings — on skewed vocabularies
+    this collapses candidate volume by orders of magnitude vs a random
+    (md5-only) order, with identical output (any consistent total order
+    is lossless; this one is just the cheapest to probe).  ``max_df``
+    additionally drops prefix postings denser than the cap (recall-
+    trading density guard — see ``containment_pairs``)."""
+    df_rank = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rank_w = Window.partitionBy(id_col).orderBy(
+        "__df", F.md5(F.col("shingle"))
+    )
+    prefix = (
+        sh.join(df_rank, "shingle")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .join(sizes, id_col)
+        .where(
+            F.col("rk")
+            <= F.col("s")
+            - F.expr(f"CAST((s * {t_num} + {t_den - 1}) div {t_den} AS BIGINT)")
+            + 1
+        )
+    )
+    if max_df is not None:
+        prefix = prefix.where(F.col("__df") <= max_df)
+    prefix = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    return (
+        prefix.join(
+            sh.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def containment_candidate_stats(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-row candidate-density report for the containment detector:
+    (n_docs, n_candidates, candidates_per_doc_micro) under the same
+    prefix scheme (and optional ``max_df`` guard) ``containment_pairs``
+    would use.
+
+    This is the no-silent-caps measurement surface: run it BEFORE the
+    detector on an unfamiliar corpus — candidates_per_doc growing with
+    corpus size (rather than staying ~flat) is the dense-vocabulary
+    signature, and the signal to set ``max_df`` or route to
+    ``minhash_lsh_pairs`` instead of letting an exact n²-ish candidate
+    join run at 100 TB."""
+    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
+    cands = _containment_candidates(sh, sizes, t_num, t_den, id_col, max_df)
+    return cands.agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    ).crossJoin(
+        F.broadcast(sizes.agg(F.count(F.lit(1)).alias("n_docs")))
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.expr(
+            "CAST(n_candidates * 1000000 div n_docs AS BIGINT)"
+        ).alias("candidates_per_doc_micro"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -713,6 +795,7 @@ def containment_pairs(
     t_den: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: directional (doc_a, doc_b)
     with |A∩B|/|A| >= t_num/t_den — the doc-in-doc detector Jaccard
@@ -739,39 +822,24 @@ def containment_pairs(
     no pair-keyed re-aggregation (the previous postings-rejoin verify
     shuffled candidates × |A| rows; measured 8.5 s → ~1 s at sf0.1).
     Output carries |A|, the overlap, and floor-permille containment.
+
+    DENSITY GUARD (``max_df``): candidate volume is Σ over prefix
+    shingles of df(shingle) — output-complexity-bound for an exact
+    operator, but on a dense-vocabulary corpus (every doc's rarest
+    shingles still common) it approaches n² before verify ever runs.
+    ``max_df=K`` drops prefix postings whose document frequency exceeds
+    K, capping candidates at ~prefix_len·K per doc.  This TRADES RECALL:
+    a true pair is missed only when every prefix shingle A shares with B
+    has df > K — exactly the dense regime; leave ``max_df=None``
+    (default, exact) on normal corpora.  Measure density first with
+    ``containment_candidate_stats`` (the no-silent-caps report), and
+    when the corpus is genuinely dense route to the banded
+    MinHash-LSH detector (``minhash_lsh_pairs``), whose cost is bounded
+    by bands·rows rather than by document frequency.
     """
     sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
-    # Canonical PPJoin ordering: ascending document frequency with an md5
-    # tiebreak.  The prefix then holds each doc's RAREST shingles, so the
-    # candidate join fans out on low-df postings — on skewed vocabularies
-    # this collapses candidate volume by orders of magnitude vs a random
-    # (md5-only) order, with identical output (any consistent total order
-    # is lossless; this one is just the cheapest to probe).
-    df_rank = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    rank_w = Window.partitionBy(id_col).orderBy(
-        "__df", F.md5(F.col("shingle"))
-    )
-    prefix = (
-        sh.join(df_rank, "shingle")
-        .withColumn("rk", F.row_number().over(rank_w))
-        .join(sizes, id_col)
-        .where(
-            F.col("rk")
-            <= F.col("s")
-            - F.expr(f"CAST((s * {t_num} + {t_den - 1}) div {t_den} AS BIGINT)")
-            + 1
-        )
-        .select(F.col(id_col).alias("doc_a"), "shingle")
-    )
-    cands = (
-        prefix.join(
-            sh.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
-        )
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _containment_candidates(sh, sizes, t_num, t_den, id_col, max_df)
     # Exact-set verify: one sorted md5-fingerprint array per doc (md5 is
     # the repo-wide shingle fingerprint; 128 bits makes a collision that
     # changes an overlap count astronomically unlikely), candidate pairs

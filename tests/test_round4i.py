@@ -73,6 +73,32 @@ def test_containment_is_directional(spark):
     assert pairs[(1, 2)].containment_permille == 1000
 
 
+def test_containment_density_guard(spark, sf_dir):
+    """The max_df guard (r04 verdict item 4): candidate volume is
+    monotonically bounded by the cap; a cap at-or-above the corpus max
+    df changes nothing (exact); on the fixture the guard keeps the true
+    pairs (they share RARE shingles by construction)."""
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    exact = dedup.containment_candidate_stats(docs).collect()[0]
+    capped = dedup.containment_candidate_stats(docs, max_df=8).collect()[0]
+    uncapped = dedup.containment_candidate_stats(
+        docs, max_df=10**9
+    ).collect()[0]
+    assert exact.n_docs == capped.n_docs == n_docs
+    assert capped.n_candidates <= exact.n_candidates
+    assert uncapped.n_candidates == exact.n_candidates
+    # guard-on detector output on this fixture: same pairs (true dups
+    # share rare shingles; only dense-candidate fan-out is cut)
+    on = sorted(
+        map(tuple, dedup.containment_pairs(docs, max_df=8).collect())
+    )
+    off = sorted(map(tuple, dedup.containment_pairs(docs).collect()))
+    assert on == off
+
+
 def test_containment_prefix_filter_is_lossless(spark, sf_dir):
     """Engine output equals the brute-force postings join on real data."""
     from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
