@@ -52,19 +52,29 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
-REAL_CODECS_AVAILABLE = False  # PIL/ffmpeg absent in this environment
+def _probe_real_codecs() -> bool:
+    """Dynamic try-import probe: True when a real image codec (PIL) is
+    importable in THIS interpreter.  Runs independently on the driver
+    and on each executor at module import, so a mixed cluster degrades
+    per-worker rather than lying globally."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+REAL_CODECS_AVAILABLE = _probe_real_codecs()
 
 
 def _decode_stub(media_type: str, data: bytes) -> dict[str, Any]:
     """Deterministic fake decoder: derives "dimensions" from the byte stream.
 
-    A real deployment replaces this body with PIL.Image.open /
-    soundfile.read / av.open — the surrounding Spark plumbing (Arrow batches,
-    schema, partitioning) is unchanged. The fake is pure arithmetic on the
-    bytes so correctness is oracle-checkable.
+    The fake is pure arithmetic on the bytes so correctness is
+    oracle-checkable; it is ALWAYS used for the ``*/fake`` media types
+    the synthetic corpus ships, even when real codecs are installed.
     """
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real codecs not wired in this container")
     n = len(data)
     first = data[0] if n else 0
     return {
@@ -73,6 +83,38 @@ def _decode_stub(media_type: str, data: bytes) -> dict[str, Any]:
         "width": (n % 640) + 1,
         "height": ((n * 7 + first) % 480) + 1,
     }
+
+
+def _decode_real_image(media_type: str, data: bytes) -> dict[str, Any]:
+    """PIL-backed image decode (only reachable when the import probe
+    succeeded); same output contract as the stub."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as img:
+        return {
+            "n_bytes": len(data),
+            "first_byte": data[0] if data else 0,
+            "width": int(img.width),
+            "height": int(img.height),
+        }
+
+
+def default_decoder(media_type: str, data: bytes) -> dict[str, Any]:
+    """Codec dispatch (r04 verdict item 7): real decoder when the
+    environment has one AND the media type is a real format; the
+    deterministic stub otherwise.  Installing PIL changes behavior for
+    real image types without any code edit, while the ``*/fake`` types
+    (and codec-less environments) keep the oracle-checked stub path."""
+    mt = media_type or ""
+    if (
+        REAL_CODECS_AVAILABLE
+        and mt.startswith("image/")
+        and not mt.endswith("/fake")
+    ):
+        return _decode_real_image(mt, data)
+    return _decode_stub(mt, data)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -97,11 +139,13 @@ def decode_media(
 
     ``decoder`` is the codec swap-in point: any picklable
     ``(media_type, payload_bytes) -> {n_bytes, first_byte, width, height}``
-    callable (e.g. a PIL/ffmpeg wrapper) replaces the deterministic stub
+    callable (e.g. a PIL/ffmpeg wrapper) replaces the default dispatch
     without touching the Spark plumbing — schema, Arrow batching, and
     partition-preservation are identical either way (contract pinned by
-    ``tests/test_pipeline.py`` fake-codec test)."""
-    decode = decoder or _decode_stub
+    ``tests/test_pipeline.py`` fake-codec test).  With no override the
+    ``default_decoder`` dispatch applies: real codec for real media
+    types when importable, deterministic stub otherwise."""
+    decode = decoder or default_decoder
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],

@@ -167,6 +167,48 @@ def test_decode_media_codec_injection(spark):
     assert rows[2].first_byte == ord("R") and rows[2].width == 0
 
 
+def test_default_decoder_dispatch(monkeypatch):
+    """r04 verdict item 7: the codec probe is dynamic and dispatching —
+    with codecs present, real media types route to the real decoder
+    (no code edit needed); */fake types and codec-less environments
+    keep the deterministic oracle-checked stub."""
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal as mm
+
+    payload = b"\x89PNG1234"
+    stub = mm._decode_stub("image/png", payload)
+
+    # codec-less environment: real types fall back to the stub
+    monkeypatch.setattr(mm, "REAL_CODECS_AVAILABLE", False)
+    assert mm.default_decoder("image/png", payload) == stub
+
+    # codecs present: real image types dispatch to the real decoder...
+    monkeypatch.setattr(mm, "REAL_CODECS_AVAILABLE", True)
+    monkeypatch.setattr(
+        mm,
+        "_decode_real_image",
+        lambda mt, d: {
+            "n_bytes": len(d),
+            "first_byte": d[0],
+            "width": 111,
+            "height": 222,
+        },
+    )
+    real = mm.default_decoder("image/png", payload)
+    assert (real["width"], real["height"]) == (111, 222)
+    # ...but the synthetic */fake type stays on the stub even then
+    assert mm.default_decoder("image/fake", payload) == mm._decode_stub(
+        "image/fake", payload
+    )
+    # the probe reflects this environment's actual importability
+    try:
+        import PIL.Image  # noqa: F401
+
+        expected = True
+    except ImportError:
+        expected = False
+    assert mm._probe_real_codecs() is expected
+
+
 def test_decode_media_realistic_binary_codec_end_to_end(spark):
     """A REALISTIC binary decoder through the codec contract: payloads are
     structurally valid BMP files (binary header + non-UTF-8 pixel bytes),
