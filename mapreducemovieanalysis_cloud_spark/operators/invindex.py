@@ -150,6 +150,19 @@ def _committed_batches(path: str) -> list[str]:
     ]
 
 
+def _recover_swap(path: str, sub: str) -> None:
+    """If a ``_swap_dir`` crashed between its two renames, the complete
+    data sits parked at ``<sub>__old`` with no live dir — restore it
+    so readers keep working without manual intervention."""
+    import os
+    import shutil
+
+    live = os.path.join(path, sub)
+    old = live + "__old"
+    if not os.path.isdir(live) and os.path.isdir(old):
+        shutil.move(old, live)
+
+
 def _union_with_batches(
     spark: SparkSession, path: str, sub: str
 ) -> DataFrame:
@@ -157,6 +170,7 @@ def _union_with_batches(
     ``<sub>``.  Each root is read separately (identical schemas) so the
     bucket partition discovery stays per-root; a pushed bucket/term
     filter prunes each scan independently."""
+    _recover_swap(path, sub)
     df = spark.read.parquet(f"{path}/{sub}")
     for bdir in _committed_batches(path):
         df = df.unionByName(spark.read.parquet(f"{bdir}/{sub}"))

@@ -294,6 +294,29 @@ def test_compaction_rerun_converges(spark, sf_dir):
         )
 
 
+def test_swap_crash_between_renames_auto_recovers(spark, sf_dir):
+    """A _swap_dir crash after parking the live dir as __old but before
+    moving the staged dir in leaves no live postings; the next reader
+    restores the parked copy automatically."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with _tf.TemporaryDirectory() as d:
+        invindex.build_inverted_index(docs, d)
+        want = invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+        shutil.move(os.path.join(d, "postings"), os.path.join(d, "postings__old"))
+        got = invindex.bm25_query_index(spark, d, _IDX_TERMS, topk=50).collect()
+        assert got == want
+        assert os.path.isdir(os.path.join(d, "postings"))
+        assert not os.path.isdir(os.path.join(d, "postings__old"))
+
+
 def _media(spark, rows):
     """rows: (media_id, payload_text) — byte payloads via the adapter."""
     from pyspark.sql import functions as F
