@@ -741,13 +741,16 @@ def _containment_candidates(
     )
     if max_df is not None:
         prefix = prefix.where(F.col("__df") <= max_df)
-    prefix = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    # |A| rides along for free (prefix already joined sizes); it is
+    # functionally determined by doc_a so the distinct count is unchanged,
+    # and the verify step can size-gate BEFORE its heavy array shuffle.
+    prefix = prefix.select(F.col(id_col).alias("doc_a"), "shingle", "s")
     return (
         prefix.join(
             sh.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
         )
         .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "s")
         .distinct()
     )
 
@@ -847,7 +850,12 @@ def containment_pairs(
     doc_sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.md5("shingle"))).alias("__fps"),
         F.count(F.lit(1)).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
+    # Candidates carry |A| from generation (free — the prefix filter
+    # already joined sizes), so the b-side join attaches B's array AND
+    # size in one pass and the overlap<=|B| gate (any B smaller than
+    # ceil(t·|A|) cannot pass) fires BEFORE the second join — pruned
+    # pairs never drag B's fingerprint array through the doc_a shuffle.
     out = (
         cands.join(
             doc_sets.select(
@@ -857,17 +865,13 @@ def containment_pairs(
             ),
             "doc_b",
         )
+        .where(F.col("__sb") * t_den >= F.lit(t_num) * F.col("s"))
         .join(
             doc_sets.select(
-                F.col(id_col).alias("doc_a"),
-                F.col("__fps").alias("__fa"),
-                F.col("s").alias("s"),
+                F.col(id_col).alias("doc_a"), F.col("__fps").alias("__fa")
             ),
             "doc_a",
         )
-        # overlap <= |B|, so any B smaller than ceil(t·|A|) cannot reach
-        # the threshold — integer prune before the intersect
-        .where(F.col("__sb") * t_den >= F.lit(t_num) * F.col("s"))
         .withColumn(
             "overlap", F.size(F.array_intersect("__fa", "__fb"))
         )
