@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.hashing import md5_bucket
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qdot_arrow,
     qnorm2,
@@ -96,6 +97,7 @@ def pq_codes(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks and encode the corpus.
 
@@ -104,10 +106,32 @@ def pq_codes(
     to (the ones used by the FINAL assignment, mirroring
     ``kmeans_assignments``' assign/update schedule). Seeds are the first-k
     vectors' subvectors, like the k-means seeds.
+
+    ``train_sample=S`` is the 100 TB training tier: the Lloyd
+    assign/update iterations run over the deterministic md5 1/S sample of
+    VECTORS (whole vectors, not rows — the hash keys on the vector id, so
+    every subspace of a sampled vector trains together), and only the
+    FINAL assignment — the one that actually encodes the corpus and is
+    unavoidably corpus-linear — sees every vector.  Codebooks are
+    k·m centroids estimated from means; a bounded sample estimates them
+    as well as the corpus does (standard Faiss practice: codebooks train
+    on ~100k vectors regardless of index size), while per-iteration cost
+    drops from corpus-bound to sample-bound — the difference between
+    affording 2 and 20 Lloyd rounds at 100 TB.  The sample is a pure
+    function of ids (``md5_bucket``: stable across engines, partitionings
+    and retries), so the sampled path stays oracle-checkable; seeds stay
+    the first-k corpus vectors either way.  Default ``None`` trains on
+    the full corpus (the exact contract tier).
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = _subspace_points(emb, m, dim // m, id_col, vec_col)
+    if train_sample is not None:
+        train = sub.where(
+            md5_bucket("vec_id", train_sample, salt="pqtrain:") == 0
+        )
+    else:
+        train = sub
     cents = sub.where(F.col("vec_id") < k).select(
         "j",
         F.col("vec_id").alias("cell"),
@@ -116,8 +140,9 @@ def pq_codes(
     )
     assigned = None
     for it in range(iters):
-        assigned = _assign_sub(sub, cents)
-        if it < iters - 1:
+        last = it == iters - 1
+        assigned = _assign_sub(sub if last else train, cents)
+        if not last:
             cents = _update_sub(assigned)
     codes = assigned.select("vec_id", "j", F.col("cell").alias("code"))
     return codes, cents
@@ -134,11 +159,15 @@ def ann_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: (query_id, neighbor_id,
     adc_d2 BIGINT, rank INT), rank 1..topk per query by (adc_d2 asc,
-    neighbor_id asc)."""
-    codes, cents = pq_codes(corpus, m, k, iters, dim, id_col, vec_col)
+    neighbor_id asc).  ``train_sample`` = the codebook-training sample
+    divisor (see ``pq_codes``)."""
+    codes, cents = pq_codes(
+        corpus, m, k, iters, dim, id_col, vec_col, train_sample
+    )
     qsub = _subspace_points(
         queries, m, dim // m, query_id_col, vec_col
     ).withColumnRenamed("vec_id", "query_id")
@@ -181,6 +210,7 @@ def ann_ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production composed index — IVF coarse cells bound WHICH
     vectors a query scores (nprobe/n_centroids of the corpus), PQ codes
@@ -221,7 +251,9 @@ def ann_ivf_pq_topk(
         "query_id", F.col("neighbor_id").alias("vec_id")
     )
 
-    codes, pcents = pq_codes(corpus, m, k, iters, dim, id_col, vec_col)
+    codes, pcents = pq_codes(
+        corpus, m, k, iters, dim, id_col, vec_col, train_sample
+    )
     qsub = _subspace_points(
         queries, m, dim // m, query_id_col, vec_col
     ).withColumnRenamed("vec_id", "query_id")

@@ -171,6 +171,7 @@ def _pq_oracle(
     n_queries: int = 5,
     topk: int = 10,
     tail_sql: str | None = None,
+    train_where: str | None = None,
 ) -> str:
     """Unrolled-CTE mirror of operators.pq (same schedule as the
     kmeans_embeddings oracle: assign/update per iteration, codes from the
@@ -179,17 +180,22 @@ def _pq_oracle(
     ``tail_sql`` replaces the default full-corpus ADC + top-k tail; it sees
     the CTEs ``base`` (vec_id, qv), ``codes`` (vec_id, j, code), ``qsub``
     (query_id, j, sv, sn2) and ``dtab`` (query_id, j, code, d2q) — the
-    IVF-PQ oracle composes its cell-candidate CTEs on top of these."""
+    IVF-PQ oracle composes its cell-candidate CTEs on top of these.
+
+    ``train_where`` mirrors ``pq_codes(train_sample=...)``: a SQL predicate
+    over ``vec_id`` restricting the INTERMEDIATE Lloyd assigns (codebook
+    training) to the sampled vectors; the final encoding assign always
+    scans every vector."""
     subdim = dim // m
 
-    def assign(cents: str, out: str) -> str:
+    def assign(cents: str, out: str, src: str = "pn") -> str:
         return f"""
     {out} AS (SELECT vec_id, j, sv, sn2, cell FROM (
         SELECT p.vec_id, p.j, p.sv, p.sn2, c.cell,
                ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.j
                  ORDER BY p.sn2 - 2 * {_dot('p.sv', 'c.cv')} + c.cn2 ASC,
                           c.cell ASC) AS rn
-        FROM pn p JOIN {cents} c ON p.j = c.j) WHERE rn = 1)"""
+        FROM {src} p JOIN {cents} c ON p.j = c.j) WHERE rn = 1)"""
 
     def update(src: str, out: str) -> str:
         return f"""
@@ -212,10 +218,15 @@ def _pq_oracle(
     c0 AS (SELECT j, vec_id AS cell, sv AS cv, sn2 AS cn2 FROM pn
            WHERE vec_id < {k})"""
     ]
+    if train_where is not None:
+        parts.append(f"""
+    pt AS (SELECT * FROM pn WHERE {train_where})""")
+    train_src = "pn" if train_where is None else "pt"
     cents = "c0"
     for it in range(1, iters + 1):
-        parts.append(assign(cents, f"a{it}"))
-        if it < iters:
+        last = it == iters
+        parts.append(assign(cents, f"a{it}", "pn" if last else train_src))
+        if not last:
             parts.append(update(f"a{it}", f"c{it}"))
             cents = f"c{it}"
     parts.append(

@@ -273,6 +273,72 @@ def test_pq_ann_recovers_cluster_structure(spark):
             assert r.neighbor_id >= 20, r
 
 
+def test_pq_train_sample_matches_oracle(spark, sf_dir, oracle_sf_dir):
+    """The sampled-codebook-training tier (pq_codes train_sample) stays
+    oracle-exact: intermediate Lloyd assigns over the md5 1/2 vector
+    sample, final encoding assign over every vector, mirrored CTE-for-CTE
+    in DuckDB via _pq_oracle(train_where=...)."""
+    from mapreducemovieanalysis_cloud_spark.operators import pq as pqm
+    from mapreducemovieanalysis_cloud_spark.queries.scale_queries import (
+        _pq_oracle,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from tests.oracle import assert_matches_oracle
+
+    train_where = (
+        "CAST(('0x' || substr(md5('pqtrain:' || CAST(vec_id AS VARCHAR)),"
+        " 1, 4)) AS INTEGER) % 2 = 0"
+    )
+    sql = _pq_oracle(train_where=train_where)
+    for d in (sf_dir, oracle_sf_dir):
+        emb = load_table(spark, d, "embeddings")
+        queries = emb.where(F.col("vec_id") < 5).selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        out = pqm.ann_pq_topk(
+            emb, queries, topk=10, m=4, k=16, iters=2, dim=64,
+            train_sample=2,
+        )
+        assert_matches_oracle(out, sql, d)
+
+
+def test_pq_train_sample_none_unchanged(spark, sf_dir):
+    """train_sample=None is bit-identical to the pre-knob kernel (the
+    registered ann_pq contract surface must not move)."""
+    from mapreducemovieanalysis_cloud_spark import registry
+    from tests.oracle import assert_matches_oracle
+
+    q = registry.queries()["ann_pq"]
+    sql = registry.oracle_sql()["ann_pq"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
+
+
+def test_pq_train_sample_recovers_cluster_structure(spark):
+    """Sampled training must not break neighbor quality on separable
+    data: with half the vectors training the codebooks, cluster-A
+    queries still draw all top-5 neighbors from cluster A."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.operators import pq as pqm
+
+    rng = random.Random(11)
+    a = [[1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    b = [[-1.0 + rng.uniform(-0.05, 0.05) for _ in range(8)] for _ in range(20)]
+    emb = _mk_emb(spark, a + b)
+    queries = emb.where("vec_id IN (2, 25)").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = pqm.ann_pq_topk(
+        emb, queries, topk=5, m=2, k=4, iters=2, dim=8, train_sample=2
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        if r.query_id == 2:
+            assert r.neighbor_id < 20, r
+        else:
+            assert r.neighbor_id >= 20, r
+
+
 # ---------------------------------------------------------------------------
 # z-ordered write
 # ---------------------------------------------------------------------------
