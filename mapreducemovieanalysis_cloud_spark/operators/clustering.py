@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mapreducemovieanalysis_cloud_spark.functions.hashing import md5_bucket
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qdot_arrow,
     qnorm2,
@@ -76,6 +77,7 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     keep_vec: bool = False,
     target_cluster_size: int | None = None,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster) after ``iters`` Lloyd iterations from the first-k
     seed centroids. ``keep_vec=True`` additionally returns the quantized
@@ -89,7 +91,20 @@ def kmeans_assignments(
     cluster size — and with it the cost of any per-cluster quadratic
     consumer — stays constant as the corpus grows instead of clusters
     growing as n/k. Exact integer arithmetic ((n + t − 1) div t) keeps the
-    derived k reproducible in any engine."""
+    derived k reproducible in any engine.
+
+    ``train_sample=S`` is the 100 TB training tier (same contract as
+    ``pq.pq_codes``): intermediate Lloyd assign/update rounds run over
+    the deterministic md5 1/S sample of vectors, and only the FINAL
+    assignment — the corpus-linear step that actually labels every
+    vector — sees the full input.  Centroids are means; a bounded sample
+    estimates them as well as the corpus does, so per-iteration training
+    cost drops from corpus-bound to sample-bound.  Deterministic
+    (``md5_bucket`` is a pure function of ids) and oracle-mirrorable
+    (``_kmeans_oracle(train_where=...)``); seeds and the
+    ``target_cluster_size`` k-derivation stay full-corpus either way.
+    Pick S so the absolute sample stays large (≥ ~100·k vectors) — see
+    SCALE.md round-5 notes."""
     pts = emb.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     ).withColumn("pn2", qnorm2(F.col("qv")))
@@ -112,10 +127,18 @@ def kmeans_assignments(
         F.col("qv").alias("cv"),
         F.col("pn2").alias("cn2"),
     )
+    if train_sample is not None:
+        train = pts.where(
+            md5_bucket("vec_id", train_sample, salt="kmtrain:") == 0
+        )
+    else:
+        train = pts
     assigned = None
-    for _ in range(iters):
-        assigned = _assign(pts, cents)
-        cents = _update(assigned)
+    for it in range(iters):
+        last = it == iters - 1
+        assigned = _assign(pts if last else train, cents)
+        if not last:
+            cents = _update(assigned)
     if keep_vec:
         return assigned.select(
             "vec_id", "qv", "pn2", F.col("cell").alias("cluster")

@@ -485,13 +485,17 @@ def _kmeans_oracle(
     dim: int = 64,
     final_select: str | None = None,
     k_expr: str | None = None,
+    train_where: str | None = None,
 ) -> str:
     """DuckDB CTE chain replicating ``operators.clustering.
     kmeans_assignments`` bit-for-bit. ``final_select`` (over the last
     assignment CTE ``a{iters}``: vec_id, qv, pn2, cell) lets other oracles
     (SemDeDup) compose on the clustered corpus. ``k_expr`` — a SQL scalar
     expression over the ``pn`` CTE — replaces the literal ``k`` for the
-    corpus-derived-k path (``target_cluster_size``)."""
+    corpus-derived-k path (``target_cluster_size``).  ``train_where``
+    mirrors ``train_sample``: a predicate over ``vec_id`` restricting the
+    INTERMEDIATE Lloyd assigns to the training sample (the final
+    labeling assign always scans every vector)."""
     def dist2(p: str, c: str, pn2: str, cn2: str) -> str:
         return f"{pn2} - 2 * {_dot(p, c)} + {cn2}"
 
@@ -520,10 +524,15 @@ def _kmeans_oracle(
     c0 AS (SELECT vec_id AS cell, qv AS cv, pn2 AS cn2 FROM pn
            WHERE vec_id < {k_expr or k})"""
     ]
+    if train_where is not None:
+        parts.append(f"""
+    pt AS (SELECT * FROM pn WHERE {train_where})""")
+    train_src = "pn" if train_where is None else "pt"
     cents = "c0"
     for it in range(1, iters + 1):
-        parts.append(assign("pn", cents, f"a{it}"))
-        if it < iters:
+        last = it == iters
+        parts.append(assign("pn" if last else train_src, cents, f"a{it}"))
+        if not last:
             parts.append(update(f"a{it}", f"c{it}"))
             cents = f"c{it}"
     tail = final_select or f"SELECT vec_id, cell AS cluster FROM a{iters}"

@@ -396,3 +396,39 @@ def test_train_mix_narrows_spread(spark, oracle_sf_dir):
         assert r.rate_bp <= 10000
         if r.rate_bp == 10000:  # under-target source keeps everything
             assert r.tokens_kept == r.source_tokens
+
+
+def test_kmeans_train_sample_matches_oracle(spark, sf_dir, oracle_sf_dir):
+    """The sampled-training tier of the k-means kernel stays oracle-exact:
+    intermediate Lloyd rounds over the md5 1/2 vector sample, final
+    labeling assign over every vector, mirrored CTE-for-CTE in DuckDB
+    via _kmeans_oracle(train_where=...)."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _kmeans_oracle,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from tests.oracle import assert_matches_oracle
+
+    train_where = (
+        "CAST(('0x' || substr(md5('kmtrain:' || CAST(vec_id AS VARCHAR)),"
+        " 1, 4)) AS INTEGER) % 2 = 0"
+    )
+    sql = _kmeans_oracle(train_where=train_where)
+    for d in (sf_dir, oracle_sf_dir):
+        out = kmeans_assignments(
+            load_table(spark, d, "embeddings"), k=8, iters=2, train_sample=2
+        )
+        assert_matches_oracle(out, sql, d)
+
+
+def test_kmeans_train_sample_none_unchanged(spark, sf_dir):
+    """train_sample=None is bit-identical to the pre-knob kernel (the
+    registered kmeans_embeddings contract surface must not move)."""
+    from tests.oracle import assert_matches_oracle
+
+    q = registry.queries()["kmeans_embeddings"]
+    sql = registry.oracle_sql()["kmeans_embeddings"]
+    assert_matches_oracle(q(spark, sf_dir), sql, sf_dir)
