@@ -593,6 +593,7 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     survivors_path: str | None = None,
+    batch_id: int | str | None = None,
 ):
     """Incremental exact dedup against a persistent fingerprint store.
 
@@ -613,9 +614,16 @@ def incremental_exact_dedup(
     returned ``novel`` DataFrame directly instead of passing
     ``survivors_path`` must durably persist it BEFORE calling this
     function again for the same data (e.g. not from a retried
-    foreachBatch). Exactly-once requires a batch-id-transactional sink —
-    see the ``upsert_partitions`` foreachBatch pattern in
-    sources/writers.py.
+    foreachBatch).
+
+    ``batch_id`` upgrades at-least-once to EXACTLY-ONCE under retry:
+    both writes land in per-epoch directories ``<path>/batch=<id>``
+    via overwrite (the streaming/mv.py idempotent-delta layout), and the
+    novelty anti-join reads the store EXCLUDING the current batch's
+    partition — so a crashed prior attempt of the same batch (possibly a
+    partial directory) can neither duplicate survivors nor mark its own
+    documents as already-seen.  Streaming callers pass the foreachBatch
+    epoch id.  The two layouts must not be mixed on one store path.
 
     For repeated high-rate ingest, write the store with
     ``writers.write_bucketed`` on fp so step (b) becomes a shuffle-free
@@ -638,6 +646,12 @@ def incremental_exact_dedup(
         # would silently re-admit the whole history's duplicates.
         store = None
         have_store = False
+    if have_store and batch_id is not None and "batch" in store.columns:
+        # a crashed prior attempt of THIS batch must be invisible to the
+        # novelty check (it would silently drop the batch's docs forever)
+        store = store.where(
+            F.col("batch").cast("string") != str(batch_id)
+        )
     novel = (
         batch.join(store.select("fp"), "fp", "left_anti")
         if have_store
@@ -646,10 +660,19 @@ def incremental_exact_dedup(
     # materialize before appending: the append must not re-run a plan that
     # reads the store it is writing to
     novel = novel.localCheckpoint(eager=True)
-    if survivors_path is not None:
-        # survivors FIRST, store second (see failure semantics above)
-        novel.write.mode("append").parquet(survivors_path)
-    novel.write.mode("append").parquet(store_path)
+    if batch_id is not None:
+        if survivors_path is not None:
+            novel.write.mode("overwrite").parquet(
+                f"{survivors_path}/batch={batch_id}"
+            )
+        novel.write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+    else:
+        if survivors_path is not None:
+            # survivors FIRST, store second (see failure semantics above)
+            novel.write.mode("append").parquet(survivors_path)
+        novel.write.mode("append").parquet(store_path)
     return novel, spark.read.parquet(store_path)
 
 

@@ -9,10 +9,11 @@ and never pollutes downstream tables.
 
 Implementation is one ``foreachBatch`` pass: a single projection computes
 the violation list per row (an array of failed constraint names — pure
-map-side expressions), then two filtered appends.  No shuffle at all;
-exactly-once per sink comes from the streaming checkpoint + parquet
-append idempotence at the batch level (same recipe as the ingest-dedup
-foreachBatch sink).
+map-side expressions), then two filtered writes.  No shuffle at all;
+exactly-once per sink comes from the streaming checkpoint plus
+idempotent per-epoch directories (``<sink>/batch=<id>`` overwritten on
+retry — the streaming/mv.py delta layout; a plain parquet append would
+duplicate rows whenever foreachBatch re-runs a failed batch).
 
 At 100 TB/day the gate adds one codegen'd projection to the ingest path;
 quarantine volume is violation-driven.  Constraint evaluation is the
@@ -47,18 +48,40 @@ def route_batch(
     predicates: list[tuple[str, str]],
     good_path: str,
     quarantine_path: str,
+    batch_id: int | None = None,
 ) -> None:
-    """Split one (micro-)batch on the row-level contract and append each
-    side to its sink; quarantined rows carry the violation names."""
+    """Split one (micro-)batch on the row-level contract and write each
+    side to its sink; quarantined rows carry the violation names.
+
+    With ``batch_id`` each side lands in its own epoch directory
+    ``<sink>/batch=<id>`` via overwrite — the idempotent-delta layout
+    shared with ``streaming/mv.py``: a RETRIED micro-batch (foreachBatch
+    re-runs its batch function on failure) rewrites the same directories
+    instead of appending duplicates, which is what makes the streaming
+    sink's exactly-once claim true rather than aspirational.  Readers of
+    the sink root see ``batch`` as a hive partition column.  Without
+    ``batch_id`` (ad-hoc one-shot use) both sides plain-append —
+    at-least-once under caller retry, and the two layouts must not be
+    mixed on one sink path."""
     tagged = batch.withColumn(
         "__violations", violations_column(predicates)
     )
-    tagged.where(F.size("__violations") == 0).drop(
-        "__violations"
-    ).write.mode("append").parquet(good_path)
-    tagged.where(F.size("__violations") > 0).withColumn(
-        "violations", F.array_join("__violations", ",")
-    ).drop("__violations").write.mode("append").parquet(quarantine_path)
+    good = tagged.where(F.size("__violations") == 0).drop("__violations")
+    quar = (
+        tagged.where(F.size("__violations") > 0)
+        .withColumn("violations", F.array_join("__violations", ","))
+        .drop("__violations")
+    )
+    if batch_id is not None:
+        good.write.mode("overwrite").parquet(
+            f"{good_path}/batch={batch_id}"
+        )
+        quar.write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
+    else:
+        good.write.mode("append").parquet(good_path)
+        quar.write.mode("append").parquet(quarantine_path)
 
 
 def dq_gate_sink(
@@ -69,11 +92,13 @@ def dq_gate_sink(
     checkpoint_path: str,
 ):
     """writeStream wrapper: every micro-batch routes through
-    ``route_batch``.  Returns the started StreamingQuery."""
+    ``route_batch`` with its epoch id, so a retried batch overwrites its
+    own ``batch=<id>`` directories instead of appending duplicates.
+    Returns the started StreamingQuery."""
     return (
         stream.writeStream.foreachBatch(
-            lambda batch, _id: route_batch(
-                batch, predicates, good_path, quarantine_path
+            lambda batch, bid: route_batch(
+                batch, predicates, good_path, quarantine_path, batch_id=bid
             )
         )
         .option("checkpointLocation", checkpoint_path)

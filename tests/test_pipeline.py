@@ -452,3 +452,37 @@ def test_incremental_exact_dedup_across_batches(spark, oracle_sf_dir, tmp_path):
     s3, store_df3 = incremental_exact_dedup(b2, store)
     assert s3.count() == 0
     assert store_df3.count() == store_df2.count()
+
+
+def test_incremental_exact_dedup_batch_id_exactly_once(spark, tmp_path):
+    """batch_id mode: a retried batch — including after a crashed partial
+    attempt left files in its own epoch directory — neither duplicates
+    survivors/store rows nor drops its documents as already-seen."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fp_store")
+    surv = str(tmp_path / "survivors")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = mk([(1, "alpha"), (2, "beta"), (3, "alpha")])
+    incremental_exact_dedup(b1, store, survivors_path=surv, batch_id=1)
+
+    # simulate a crashed prior attempt of batch 2: partial store epoch dir
+    # already contains batch 2's own fingerprints
+    b2 = mk([(10, "gamma"), (11, "beta")])
+    incremental_exact_dedup(b2, store, survivors_path=surv, batch_id=2)
+    # retry batch 2 twice more (foreachBatch re-run)
+    for _ in range(2):
+        incremental_exact_dedup(b2, store, survivors_path=surv, batch_id=2)
+
+    out = spark.read.parquet(surv)
+    # survivors: batch1 {alpha(min id 1), beta(2)}; batch2 {gamma} only
+    # (beta already seen; retries overwrote, never appended)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 10]
+    store_rows = spark.read.parquet(store)
+    assert store_rows.count() == 3  # alpha, beta, gamma — exactly once
+    assert store_rows.select("fp").distinct().count() == 3

@@ -439,11 +439,11 @@ def test_streaming_incremental_dedup_foreach_batch(spark, sf_dir, tmp_path):
     )
 
     def sink(batch_df, batch_id):
-        # survivors_path goes through the operator so survivors persist
-        # BEFORE the store append — a retried batch re-emits rather than
-        # silently dropping (at-least-once; see the operator docstring)
+        # epoch-id mode: a retried batch overwrites its own batch=<id>
+        # directories — exactly-once (see the operator docstring)
         incremental_exact_dedup(
-            batch_df, store, survivors_path=survivors_path
+            batch_df, store, survivors_path=survivors_path,
+            batch_id=batch_id,
         )
 
     q = (

@@ -277,3 +277,110 @@ def test_streaming_sliding_reach_converges_to_batch(spark, sf_dir, tmp_path):
         for r in SW.sliding_reach_windows(events).collect()
     }
     assert got == expected
+
+
+def test_dq_route_batch_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id) overwrites its own epoch
+    directories — re-running route_batch must not duplicate rows in
+    either sink (the foreachBatch retry case the plain-append layout
+    gets wrong)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A")],
+        "id LONG, price DOUBLE, status STRING",
+    )
+    preds = [("price_positive", "price > 0")]
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    for _ in range(3):  # original run + two retries
+        dq.route_batch(df, preds, good, quar, batch_id=7)
+    assert [r["id"] for r in spark.read.parquet(good).collect()] == [1]
+    assert [r["id"] for r in spark.read.parquet(quar).collect()] == [2]
+    # and a later epoch lands beside it, not over it
+    dq.route_batch(
+        spark.createDataFrame(
+            [(3, 1.0, "A")], "id LONG, price DOUBLE, status STRING"
+        ),
+        preds, good, quar, batch_id=8,
+    )
+    assert {r["id"] for r in spark.read.parquet(good).collect()} == {1, 3}
+
+
+def test_mv_compaction_crash_recovery_converges(spark, tmp_path):
+    """Every crash point of the rename-aside compaction protocol leaves a
+    state from which the next read (or compact rerun) restores exactly
+    the pre-compaction view — in particular the old delete-deltas-first
+    data-loss window (old base live, deltas gone forever) cannot occur:
+    the delta log only moves ASIDE until the folded base is live."""
+    import os
+    import shutil
+
+    from mapreducemovieanalysis_cloud_spark.operators import matview
+    from mapreducemovieanalysis_cloud_spark.streaming import mv as smv
+
+    keys = ["g"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "g string, cents long")
+
+    def canon(df):
+        return sorted(
+            (r["g"], r["revenue_cents"], r["n_rows"]) for r in df.collect()
+        )
+
+    def fresh(path):
+        smv.write_base(
+            matview.aggregate_mv(mk([("a", 10), ("b", 5)]), keys,
+                                 F.col("cents")), path)
+        matview.aggregate_mv(mk([("a", 7), ("c", 1)]), keys, F.col("cents")
+                             ).write.mode("overwrite").parquet(
+            f"{path}/deltas/batch=0")
+
+    expected = canon(matview.aggregate_mv(
+        mk([("a", 10), ("b", 5), ("a", 7), ("c", 1)]), keys, F.col("cents")))
+
+    # crash point A: base_next written, nothing moved yet
+    pa = str(tmp_path / "mv_a")
+    fresh(pa)
+    smv.read_current_mv(spark, pa, keys).write.mode("overwrite").parquet(
+        f"{pa}/base_next")
+    assert canon(smv.read_current_mv(spark, pa, keys)) == expected
+
+    # crash point B: deltas moved aside, swap not started
+    pb = str(tmp_path / "mv_b")
+    fresh(pb)
+    smv.read_current_mv(spark, pb, keys).write.mode("overwrite").parquet(
+        f"{pb}/base_next")
+    shutil.move(f"{pb}/deltas", f"{pb}/deltas__folding")
+    assert canon(smv.read_current_mv(spark, pb, keys)) == expected
+
+    # crash point C: old base moved aside, new base not yet live
+    pc = str(tmp_path / "mv_c")
+    fresh(pc)
+    smv.read_current_mv(spark, pc, keys).write.mode("overwrite").parquet(
+        f"{pc}/base_next")
+    shutil.move(f"{pc}/deltas", f"{pc}/deltas__folding")
+    shutil.move(f"{pc}/base", f"{pc}/base__old")
+    assert canon(smv.read_current_mv(spark, pc, keys)) == expected
+
+    # crash point D: new base live, aside copies not yet deleted
+    pd = str(tmp_path / "mv_d")
+    fresh(pd)
+    smv.read_current_mv(spark, pd, keys).write.mode("overwrite").parquet(
+        f"{pd}/base_next")
+    shutil.move(f"{pd}/deltas", f"{pd}/deltas__folding")
+    shutil.move(f"{pd}/base", f"{pd}/base__old")
+    shutil.move(f"{pd}/base_next", f"{pd}/base")
+    assert canon(smv.read_current_mv(spark, pd, keys)) == expected
+    # the aside delta copy must NOT be restored (it is already folded in)
+    assert not os.path.isdir(f"{pd}/deltas")
+
+    # interrupted fold (no _SUCCESS): roll back, then a compact converges
+    pe = str(tmp_path / "mv_e")
+    fresh(pe)
+    os.makedirs(f"{pe}/base_next")  # partial write, no _SUCCESS
+    shutil.move(f"{pe}/deltas", f"{pe}/deltas__folding")
+    assert canon(smv.read_current_mv(spark, pe, keys)) == expected
+    smv.compact(spark, pe, keys)
+    assert canon(smv.read_current_mv(spark, pe, keys)) == expected
+    assert not os.path.isdir(f"{pe}/deltas__folding")
+    assert not os.path.isdir(f"{pe}/base__old")
