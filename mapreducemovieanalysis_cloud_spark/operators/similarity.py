@@ -348,7 +348,6 @@ def ivf_write_index(
     cents = corpus.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     qcents = cents.select(
         "cent_id", quantize("cent_vec").alias("qv_cent")
     )
@@ -356,13 +355,21 @@ def ivf_write_index(
         _with_qv(corpus, id_col, vec_col, "nid"), qcents, "nid", 1
     ).select(
         F.col("nid").alias(id_col),
-        F.col(f"qv_nid").alias("qv"),
-        F.col(f"nrm_nid").alias("nrm"),
+        F.col("qv_nid").alias("qv"),
+        F.col("nrm_nid").alias("nrm"),
         "cell",
     )
+    # cells first, centroids LAST: every probe starts by reading the
+    # centroids table, so its _SUCCESS doubles as the layout's
+    # completeness marker — a crashed partial build fails LOUDLY at
+    # probe time (no centroids) instead of silently probing cells that
+    # were assigned under different centroids.  (Rebuilds land in a new
+    # fingerprint-keyed path — see sources/readers.table_fingerprint —
+    # so same-path rewrite only ever rewrites identical content.)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_probe_index(
