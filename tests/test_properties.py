@@ -302,3 +302,126 @@ def test_containment_pairs_equals_bruteforce(spark, texts, t_num, seed):
             if ov * t_den >= t_num * len(sa):
                 want[(a, b)] = (len(sa), ov)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "a", "a", "b", "c"]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_ks_by_group_matches_bruteforce(spark, rows):
+    """The domain-collapsed, cross-multiplied KS kernel equals the
+    textbook two-sample D = max|CDF_in - CDF_rest| (floor-micro) on any
+    grouping/value mix; single-group inputs yield no rows (rest sample
+    empty) instead of a NULL statistic."""
+    import math
+
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        ks_by_group,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n_in, r.n_rest, r.ks_micro)
+        for r in ks_by_group(df, "g", F.col("v")).collect()
+    }
+
+    vals = sorted({v for _, v in rows})
+    groups = sorted({g for g, _ in rows})
+    want = {}
+    for g in groups:
+        inside = sorted(v for gg, v in rows if gg == g)
+        rest = sorted(v for gg, v in rows if gg != g)
+        if not rest:
+            continue
+        # D at every pooled step value, exact integer cross-multiply
+        num = max(
+            abs(
+                sum(v <= x for v in inside) * len(rest)
+                - sum(v <= x for v in rest) * len(inside)
+            )
+            for x in vals
+        )
+        want[g] = (
+            len(inside),
+            len(rest),
+            (num * 1_000_000) // (len(inside) * len(rest)),
+        )
+    assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 5 * 3600),  # offset seconds within a 5h span
+            st.integers(-3_000_000, 3_000_000),  # value in micro units
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_resample_interp_matches_bruteforce(spark, obs):
+    """The two-running-frame interpolation kernel equals a brute-force
+    prev/next scan at every interior hour boundary, for any observation
+    placement and sign mix (the truncating-division arithmetic is the
+    part a fixture can't sweep)."""
+    import datetime as dt
+
+    from mapreducemovieanalysis_cloud_spark.operators.timeseries import (
+        US_PER_HOUR,
+        resample_hourly_interp,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 30, 0)
+    rows = [
+        (
+            7,
+            base + dt.timedelta(seconds=off),
+            i,
+            vm / 1_000_000.0,
+        )
+        for i, (off, vm) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.hour: r.interp_micro
+        for r in resample_hourly_interp(df).collect()
+    }
+
+    # python reference: dedupe by ts keeping max event_id, then for each
+    # interior hour boundary find prev (<=) and next (>) observation
+    by_t = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for i, (off, vm) in enumerate(obs):
+        t_us = int((base + dt.timedelta(seconds=off) - epoch)
+                   .total_seconds() * 1_000_000)
+        if t_us not in by_t or by_t[t_us][0] < i:
+            by_t[t_us] = (i, round((vm / 1_000_000.0) * 1_000_000))
+    pts = sorted((t, v) for t, (_, v) in by_t.items())
+    lo, hi = pts[0][0], pts[-1][0]
+    want = {}
+    g = (lo // US_PER_HOUR + 1) * US_PER_HOUR
+    while g <= ((hi - 1) // US_PER_HOUR) * US_PER_HOUR:
+        prev = max((p for p in pts if p[0] <= g), key=lambda p: p[0])
+        nxts = [p for p in pts if p[0] > g]
+        if nxts:
+            nxt = min(nxts, key=lambda p: p[0])
+            pt, pv = prev
+            nt, nv = nxt
+            q = (abs(nv - pv) * (g - pt)) // (nt - pt)
+            val = pv + (-q if nv - pv < 0 else q)
+            hour = (epoch + dt.timedelta(microseconds=g)).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            want[hour] = val
+        g += US_PER_HOUR
+    assert out == want
