@@ -131,6 +131,15 @@ def kmeans_assignments(
         train = pts.where(
             md5_bucket("vec_id", train_sample, salt="kmtrain:") == 0
         )
+        if iters > 1 and train.isEmpty():
+            # an empty sample would silently cascade to an empty result
+            # (empty update -> empty centroids -> final assign joins
+            # nothing); fail loudly like the engine's other degenerate
+            # cases instead
+            raise ValueError(
+                f"train_sample={train_sample} selected zero vectors; "
+                "decrease it (the md5 sample keeps ~1/S of the corpus)"
+            )
     else:
         train = pts
     assigned = None

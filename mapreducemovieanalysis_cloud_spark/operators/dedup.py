@@ -629,6 +629,11 @@ def incremental_exact_dedup(
     ``writers.write_bucketed`` on fp so step (b) becomes a shuffle-free
     co-located join; a bloom filter over store fps cuts the probe further.
     """
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+        write_epoch,
+    )
+
     spark = new_docs.sparkSession
     batch = (
         new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
@@ -638,7 +643,16 @@ def incremental_exact_dedup(
     from pyspark.errors import AnalysisException
 
     try:
-        store = spark.read.parquet(store_path)
+        if batch_id is not None:
+            # a crashed prior attempt of THIS batch must be invisible to
+            # the novelty check (it would silently drop the batch's docs
+            # forever); read_epochs compares the RAW partition string, so
+            # ids like "007" round-trip instead of inferring to int 7
+            store = read_epochs(
+                spark, store_path, exclude_batch=batch_id
+            )
+        else:
+            store = spark.read.parquet(store_path)
         have_store = True
     except AnalysisException:
         # first batch: no store yet. Other failures (corrupt files,
@@ -646,12 +660,6 @@ def incremental_exact_dedup(
         # would silently re-admit the whole history's duplicates.
         store = None
         have_store = False
-    if have_store and batch_id is not None and "batch" in store.columns:
-        # a crashed prior attempt of THIS batch must be invisible to the
-        # novelty check (it would silently drop the batch's docs forever)
-        store = store.where(
-            F.col("batch").cast("string") != str(batch_id)
-        )
     novel = (
         batch.join(store.select("fp"), "fp", "left_anti")
         if have_store
@@ -662,12 +670,8 @@ def incremental_exact_dedup(
     novel = novel.localCheckpoint(eager=True)
     if batch_id is not None:
         if survivors_path is not None:
-            novel.write.mode("overwrite").parquet(
-                f"{survivors_path}/batch={batch_id}"
-            )
-        novel.write.mode("overwrite").parquet(
-            f"{store_path}/batch={batch_id}"
-        )
+            write_epoch(novel, survivors_path, batch_id)
+        write_epoch(novel, store_path, batch_id)
     else:
         if survivors_path is not None:
             # survivors FIRST, store second (see failure semantics above)

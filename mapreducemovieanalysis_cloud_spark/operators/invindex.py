@@ -163,6 +163,43 @@ def _recover_swap(path: str, sub: str) -> None:
         shutil.move(old, live)
 
 
+_SUBS = ("postings", "doclen", "stats")
+
+
+def _recover_fold(path: str) -> None:
+    """Heal a crashed ``compact_inverted_index`` (run by every reader and
+    by compact itself, mirroring streaming/mv.py's reader recovery).
+
+    Protocol invariant the roll-forward relies on: the batch root only
+    moves aside to ``batches__folded`` AFTER all three ``__compact``
+    subtrees are completely written, so ``batches__folded`` present
+    proves the folded layout exists (possibly partially swapped in) and
+    the aside batches are REDUNDANT — without this recovery, a crash
+    between the postings swap and the batch deletion would leave probes
+    silently double-counting every batch posting."""
+    import os
+    import shutil
+
+    folded = os.path.join(path, "batches__folded")
+    tmp = os.path.join(path, "__compact")
+    if os.path.isdir(folded):
+        for sub in _SUBS:
+            _recover_swap(path, sub)  # half-swapped sub: restore first
+            staged = os.path.join(tmp, sub)
+            if os.path.isdir(staged):
+                _swap_dir(path, sub, staged)
+        shutil.rmtree(folded)
+        shutil.rmtree(tmp, ignore_errors=True)
+    elif os.path.isdir(tmp):
+        # crash before the aside step: the fold never became visible —
+        # batches are still live, so the partial fold is just discarded
+        shutil.rmtree(tmp)
+    for sub in _SUBS:
+        old = os.path.join(path, sub + "__old")
+        if os.path.isdir(old) and os.path.isdir(os.path.join(path, sub)):
+            shutil.rmtree(old)
+
+
 def _union_with_batches(
     spark: SparkSession, path: str, sub: str
 ) -> DataFrame:
@@ -170,6 +207,7 @@ def _union_with_batches(
     ``<sub>``.  Each root is read separately (identical schemas) so the
     bucket partition discovery stays per-root; a pushed bucket/term
     filter prunes each scan independently."""
+    _recover_fold(path)
     _recover_swap(path, sub)
     df = spark.read.parquet(f"{path}/{sub}")
     for bdir in _committed_batches(path):
@@ -269,25 +307,36 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
     min/max skipping the probe relies on), doclen coalesced, stats
     collapsed to one absolute row — then drop the folded batches.  Same
     offline-compaction lifecycle as the incremental-MV delta directories
-    (streaming/mv.py): run it without concurrent appends/probes.  Each
-    directory swap is rename-aside (``_swap_dir``) so a crash never
-    leaves a deleted-but-not-replaced dir; a crash between swaps leaves
-    a recoverable state (every dir complete, folded batches still on
-    disk) and RERUNNING CONVERGES: the fold deduplicates on the
-    (doc, term) / doc key — unique across base+batches by the append
-    contract — and recomputes stats from the folded doclen, so
-    re-folding an already-folded batch is a no-op."""
-    import shutil
-    import tempfile as _tf
+    (streaming/mv.py): run it without concurrent appends/probes.
 
+    Crash protocol (see ``_recover_fold``, which every reader runs): the
+    three folded subtrees are fully written under the deterministic
+    ``__compact`` staging dir FIRST; only then does the batch root move
+    aside to ``batches__folded`` (making the batches invisible to
+    ``_committed_batches`` — this closes the window where a crash
+    between the postings swap and a batch delete left probes silently
+    DOUBLE-COUNTING every batch posting); then each subtree swaps in
+    rename-aside; deletes come last.  Every crash point leaves a
+    complete index on disk and readers roll the state forward (or
+    discard a partial fold) deterministically — rerunning compact
+    converges, and the fold itself deduplicates on the (doc, term) /
+    doc key so re-folding is a no-op regardless."""
+    import os
+    import shutil
+
+    _recover_fold(path)
     nb = layout_buckets(spark, path)
-    batches = _committed_batches(path)
-    tmp = _tf.mkdtemp(dir=path, prefix="__compact_")
+    tmp = os.path.join(path, "__compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # construct BOTH unions before the first write: _union_with_batches
+    # runs _recover_fold eagerly at construction, which must not see (and
+    # discard) this run's own __compact staging dir
     post = _union_with_batches(spark, path, "postings")
     id_col = next(
         c for c in post.columns
         if c not in ("term", "tf", "positions", "bucket")
     )
+    dl = _union_with_batches(spark, path, "doclen").dropDuplicates([id_col])
     (
         post.dropDuplicates([id_col, "term"])
         .repartition(nb, "bucket")
@@ -296,17 +345,20 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
         .partitionBy("bucket")
         .parquet(f"{tmp}/postings")
     )
-    dl = _union_with_batches(spark, path, "doclen").dropDuplicates([id_col])
     dl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/doclen")
     spark.read.parquet(f"{tmp}/doclen").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{tmp}/stats")
+    # all three folded subtrees are complete: batches go aside NOW, so
+    # from this point the folded data exists exactly once either way
+    broot = _batches_root(path)
+    if os.path.isdir(broot):
+        shutil.move(broot, os.path.join(path, "batches__folded"))
     _swap_dir(path, "postings", f"{tmp}/postings")
     _swap_dir(path, "doclen", f"{tmp}/doclen")
     _swap_dir(path, "stats", f"{tmp}/stats")
-    for bdir in batches:
-        shutil.rmtree(bdir)
+    shutil.rmtree(os.path.join(path, "batches__folded"), ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

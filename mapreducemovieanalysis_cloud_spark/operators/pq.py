@@ -130,6 +130,14 @@ def pq_codes(
         train = sub.where(
             md5_bucket("vec_id", train_sample, salt="pqtrain:") == 0
         )
+        if iters > 1 and train.isEmpty():
+            # empty sample -> empty update -> empty codebooks -> the
+            # final assign joins nothing and the corpus silently encodes
+            # to zero rows; fail loudly instead
+            raise ValueError(
+                f"train_sample={train_sample} selected zero vectors; "
+                "decrease it (the md5 sample keeps ~1/S of the corpus)"
+            )
     else:
         train = sub
     cents = sub.where(F.col("vec_id") < k).select(

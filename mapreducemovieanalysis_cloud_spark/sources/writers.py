@@ -128,6 +128,62 @@ def upsert_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_epoch(
+    df: DataFrame, root: str, batch_id: int | str, fmt: str = "parquet"
+) -> None:
+    """THE idempotent epoch write: ``<root>/batch=<id>`` with overwrite.
+
+    One definition of the retry-safe delta layout shared by the streaming
+    MV delta log (streaming/mv.py), the DQ quarantine sink
+    (streaming/dq.py) and the incremental dedup store (operators/dedup.py)
+    — a retried foreachBatch epoch rewrites its own directory instead of
+    appending duplicates, which is what makes those sinks exactly-once at
+    the batch level."""
+    df.write.format(fmt).mode("overwrite").save(f"{root}/batch={batch_id}")
+
+
+def read_epochs(
+    spark,
+    root: str,
+    fmt: str = "parquet",
+    exclude_batch: int | str | None = None,
+) -> DataFrame:
+    """Read an epoch-directory layout with hive partition TYPE INFERENCE
+    disabled, so the ``batch`` column is the literal directory string and
+    ``exclude_batch`` comparison round-trips exactly.
+
+    Why inference must be off here: a numeric-looking string id like
+    ``"007"`` writes ``batch=007`` but infers as integer 7, so a
+    ``str(batch) != "007"`` exclusion filter silently matches nothing —
+    for the dedup store that inverts the exactly-once guarantee into
+    permanent data loss (a crashed attempt's fingerprints stay visible
+    and mark the batch's own docs already-seen).  The conf is scoped to
+    this one read and the schema is forced while it holds."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.format(fmt).load(root)
+        df.schema  # force partition discovery under the scoped conf
+    finally:
+        spark.conf.set(key, prev)
+    if exclude_batch is not None:
+        from pyspark.sql import functions as F
+
+        if "batch" not in df.columns:
+            # a flat (non-epoch) layout at this root: failing loudly here
+            # matters because callers wrap this read in
+            # except-AnalysisException "no store yet" handling — letting
+            # an unresolved-column error escape as AnalysisException
+            # would silently treat a POPULATED store as empty
+            raise ValueError(
+                f"{root} is not an epoch layout (no batch= partitions); "
+                "epoch and flat layouts must not be mixed on one root"
+            )
+        df = df.where(F.col("batch") != str(exclude_batch))
+    return df
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

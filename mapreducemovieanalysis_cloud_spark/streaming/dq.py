@@ -73,15 +73,38 @@ def route_batch(
         .drop("__violations")
     )
     if batch_id is not None:
-        good.write.mode("overwrite").parquet(
-            f"{good_path}/batch={batch_id}"
+        from mapreducemovieanalysis_cloud_spark.sources.writers import (
+            write_epoch,
         )
-        quar.write.mode("overwrite").parquet(
-            f"{quarantine_path}/batch={batch_id}"
-        )
+
+        for sink in (good_path, quarantine_path):
+            _reject_flat_layout(sink)
+        write_epoch(good, good_path, batch_id)
+        write_epoch(quar, quarantine_path, batch_id)
     else:
         good.write.mode("append").parquet(good_path)
         quar.write.mode("append").parquet(quarantine_path)
+
+
+def _reject_flat_layout(root: str) -> None:
+    """Refuse to write epoch directories into a sink already holding
+    flat-appended files: Spark's partition discovery cannot read a root
+    mixing data files and ``batch=`` directories, so the mix would brick
+    the sink for every reader.  Failing the stream start with a clear
+    migration message beats producing an unreadable sink."""
+    import os
+
+    if not os.path.isdir(root):
+        return
+    for entry in os.listdir(root):
+        if entry.startswith(("batch=", "_", ".")):
+            continue
+        raise ValueError(
+            f"{root} holds flat-appended files ({entry}); the epoch "
+            "layout cannot be mixed into it — migrate the old files "
+            "into a batch=<id> directory (or point the stream at a "
+            "fresh sink) first"
+        )
 
 
 def dq_gate_sink(

@@ -44,10 +44,12 @@ def apply_stream_deltas(
     from mapreducemovieanalysis_cloud_spark.operators import matview
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        agg = matview.aggregate_mv(batch, keys, F.col(cents_col))
-        agg.write.mode("overwrite").parquet(
-            f"{path}/deltas/batch={epoch_id}"
+        from mapreducemovieanalysis_cloud_spark.sources.writers import (
+            write_epoch,
         )
+
+        agg = matview.aggregate_mv(batch, keys, F.col(cents_col))
+        write_epoch(agg, f"{path}/deltas", epoch_id)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -62,10 +62,18 @@ def test_driver_table_physical_schemas_unchanged():
     with open(PIN_FILE) as fh:
         pinned = json.load(fh)
     got = current_fingerprints()
+    present_sfs = {os.path.basename(d) for d in SF_DIRS}
     changed = sorted(
         k for k in pinned if k in got and got[k] != pinned[k]
     )
-    vanished = sorted(k for k in pinned if k not in got)
+    # a table is "vanished" only when its sf dir is mounted but the
+    # table file is gone — a machine with a subset of the pinned sf
+    # dirs (e.g. only sf0.01) has no drift, just less data
+    vanished = sorted(
+        k
+        for k in pinned
+        if k not in got and k.split("/", 1)[0] in present_sfs
+    )
     new = sorted(k for k in got if k not in pinned)
     assert not changed and not vanished, (
         "driver data drifted since the pin: "

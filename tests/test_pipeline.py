@@ -486,3 +486,31 @@ def test_incremental_exact_dedup_batch_id_exactly_once(spark, tmp_path):
     store_rows = spark.read.parquet(store)
     assert store_rows.count() == 3  # alpha, beta, gamma — exactly once
     assert store_rows.select("fp").distinct().count() == 3
+
+
+def test_incremental_dedup_numeric_string_batch_id_roundtrips(
+    spark, tmp_path
+):
+    """A zero-padded numeric string id ("007") must round-trip through
+    the hive partition layout: partition TYPE INFERENCE would read
+    batch=007 back as integer 7, the exclusion filter would match
+    nothing, and a crashed attempt's own fingerprints would mark the
+    batch already-seen — silently dropping it forever. read_epochs
+    disables inference so the retry is exactly-once."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fp_store")
+    surv = str(tmp_path / "survivors")
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    # crashed attempt: the batch's own epoch dir already holds its fps
+    incremental_exact_dedup(b, store, survivors_path=surv, batch_id="007")
+    # retry must re-emit BOTH survivors (not treat them as already-seen)
+    novel, _ = incremental_exact_dedup(
+        b, store, survivors_path=surv, batch_id="007"
+    )
+    assert sorted(r.doc_id for r in novel.collect()) == [1, 2]
+    assert spark.read.parquet(store).count() == 2

@@ -559,3 +559,106 @@ def test_layout_bucket_count_travels_with_the_index(spark):
             ).collect()
         }
         assert got2 == {1, 2, 4}
+
+
+def test_fold_crash_states_probe_self_heals(spark, sf_dir):
+    """Every crash point of the fold protocol (stage -> batches aside ->
+    per-sub swaps -> deletes) must leave PROBES correct without running
+    compact: the old protocol's window where folded postings coexisted
+    with live batch dirs made every probe silently double-count batch
+    tf; now the batch root is aside before any swap and readers roll the
+    fold forward (or discard a partial stage) via _recover_fold."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(d):
+        invindex.build_inverted_index(docs.where("doc_id % 2 = 0"), d)
+        invindex.append_to_inverted_index(
+            docs.where("doc_id % 2 = 1"), spark, d, batch_id="b1"
+        )
+
+    def probe(d):
+        return invindex.bm25_query_index(
+            spark, d, _IDX_TERMS, topk=50
+        ).collect()
+
+    with _tf.TemporaryDirectory() as base:
+        ref = f"{base}/ref"
+        build(ref)
+        want = probe(ref)
+
+        def staged_copy(tag):
+            """A fresh index with the fold staged but nothing moved."""
+            d = f"{base}/{tag}"
+            shutil.copytree(ref, d)
+            # reproduce compact's staging deterministically: fold into
+            # __compact without touching the live layout
+            nb = invindex.layout_buckets(spark, d)
+            # both unions BEFORE the first write (construction runs
+            # _recover_fold, which discards a visible __compact stage —
+            # the same ordering compact itself must respect)
+            post = invindex._union_with_batches(spark, d, "postings")
+            dl = invindex._union_with_batches(
+                spark, d, "doclen"
+            ).dropDuplicates(["doc_id"])
+            (
+                post.dropDuplicates(["doc_id", "term"])
+                .repartition(nb, "bucket")
+                .sortWithinPartitions("bucket", "term")
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(f"{d}/__compact/postings")
+            )
+            dl.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/__compact/doclen"
+            )
+            spark.read.parquet(f"{d}/__compact/doclen").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
+                    "sum_dl"
+                ),
+            ).write.mode("overwrite").parquet(f"{d}/__compact/stats")
+            return d
+
+        # crash A: staged only — probe discards the stage, pre-fold view
+        d = staged_copy("crash_a")
+        assert probe(d) == want
+        assert not os.path.isdir(f"{d}/__compact")
+        assert os.path.isdir(f"{d}/batches/b1")
+
+        # crash B: batches aside, no swap yet — probe rolls forward
+        d = staged_copy("crash_b")
+        shutil.move(f"{d}/batches", f"{d}/batches__folded")
+        assert probe(d) == want
+        assert not os.path.isdir(f"{d}/batches")  # folded in, not restored
+
+        # crash C (the old double-count window): postings swapped, batch
+        # content still on disk in the aside dir — probe must NOT count
+        # it twice
+        d = staged_copy("crash_c")
+        shutil.move(f"{d}/batches", f"{d}/batches__folded")
+        shutil.move(f"{d}/postings", f"{d}/postings__old")
+        shutil.move(f"{d}/__compact/postings", f"{d}/postings")
+        shutil.rmtree(f"{d}/postings__old")
+        assert probe(d) == want
+        assert (
+            invindex.read_index_stats(spark, d).collect()[0].n_docs_total
+            == docs.count()
+        )
+
+        # crash D: everything swapped, aside copies not yet deleted
+        d = staged_copy("crash_d")
+        shutil.move(f"{d}/batches", f"{d}/batches__folded")
+        for sub in ("postings", "doclen", "stats"):
+            shutil.move(f"{d}/{sub}", f"{d}/{sub}__old")
+            shutil.move(f"{d}/__compact/{sub}", f"{d}/{sub}")
+            shutil.rmtree(f"{d}/{sub}__old")
+        shutil.rmtree(f"{d}/__compact")
+        assert probe(d) == want
+        assert not os.path.isdir(f"{d}/batches__folded")
