@@ -273,6 +273,10 @@ def append_to_inverted_index(
     tf, dl = _postings(docs, id_col, text_col)
     nb = layout_buckets(spark, path)
     dl.write.mode("overwrite").parquet(f"{bdir}/doclen")
+    # stats delta from the WRITTEN doclen parquet (a tiny 2-column read)
+    # rather than dl.agg(...): re-aggregating dl would re-run the whole
+    # tokenize+groupBy lineage a second time, which costs more than the
+    # read-back and could in principle diverge from the bytes on disk
     spark.read.parquet(f"{bdir}/doclen").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),

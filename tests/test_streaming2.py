@@ -384,3 +384,21 @@ def test_mv_compaction_crash_recovery_converges(spark, tmp_path):
     assert canon(smv.read_current_mv(spark, pe, keys)) == expected
     assert not os.path.isdir(f"{pe}/deltas__folding")
     assert not os.path.isdir(f"{pe}/base__old")
+
+
+def test_dq_epoch_mode_refuses_flat_sink(spark, tmp_path):
+    """Writing epoch directories into a sink already holding flat
+    appended files would brick partition discovery for every reader —
+    route_batch must fail the batch with a migration message instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A")], "id LONG, price DOUBLE, status STRING"
+    )
+    preds = [("price_positive", "price > 0")]
+    good = str(tmp_path / "good")
+    quar = str(tmp_path / "quarantine")
+    # old layout: flat append
+    dq.route_batch(df, preds, good, quar)
+    with pytest.raises(ValueError, match="flat-appended"):
+        dq.route_batch(df, preds, good, quar, batch_id=0)
