@@ -750,35 +750,69 @@ def _containment_candidates(
     (md5-only) order, with identical output (any consistent total order
     is lossless; this one is just the cheapest to probe).  ``max_df``
     additionally drops prefix postings denser than the cap (recall-
-    trading density guard — see ``containment_pairs``)."""
+    trading density guard — see ``containment_pairs``).
+
+    PPJoin+ positional filter, adapted to asymmetric containment: both
+    sides carry their shingle's rank under the SAME (df, md5) total
+    order, and per surviving pair the first-match ranks (i, j) bound the
+    overlap by min(|A| − i + 1, |B| − j + 1) — LOSSLESS in exact mode
+    because per-doc rank order is the global order restricted to the
+    doc, so any common shingle earlier in B is also earlier in A, hence
+    an earlier prefix match (i is minimal — contradiction); no common
+    shingle precedes either first-match position.  (Under ``max_df`` a
+    pruned-from-prefix common shingle can precede j in B, so the bound
+    can over-prune — consistent with the knob's documented
+    recall-trading contract.)  Output carries |A| and the pair grain is
+    the groupBy itself, replacing the old distinct at the same shuffle
+    cost."""
     df_rank = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     rank_w = Window.partitionBy(id_col).orderBy(
         "__df", F.md5(F.col("shingle"))
     )
-    prefix = (
+    ranked = (
         sh.join(df_rank, "shingle")
         .withColumn("rk", F.row_number().over(rank_w))
         .join(sizes, id_col)
-        .where(
-            F.col("rk")
-            <= F.col("s")
-            - F.expr(f"CAST((s * {t_num} + {t_den - 1}) div {t_den} AS BIGINT)")
-            + 1
-        )
+    ).localCheckpoint(eager=False)
+    prefix = ranked.where(
+        F.col("rk")
+        <= F.col("s")
+        - F.expr(f"CAST((s * {t_num} + {t_den - 1}) div {t_den} AS BIGINT)")
+        + 1
     )
     if max_df is not None:
         prefix = prefix.where(F.col("__df") <= max_df)
-    # |A| rides along for free (prefix already joined sizes); it is
-    # functionally determined by doc_a so the distinct count is unchanged,
-    # and the verify step can size-gate BEFORE its heavy array shuffle.
-    prefix = prefix.select(F.col(id_col).alias("doc_a"), "shingle", "s")
+    prefix = prefix.select(
+        F.col(id_col).alias("doc_a"),
+        "shingle",
+        F.col("rk").alias("__ra"),
+        "s",
+    )
+    bside = ranked.select(
+        F.col(id_col).alias("doc_b"),
+        "shingle",
+        F.col("rk").alias("__rb"),
+        F.col("s").alias("__sb"),
+    )
     return (
-        prefix.join(
-            sh.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle"
-        )
+        prefix.join(bside, "shingle")
         .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("s").alias("s"),
+            F.min("__ra").alias("__ra"),
+            F.min("__rb").alias("__rb"),
+            F.min("__sb").alias("__sb"),
+        )
+        .where(
+            F.least(
+                F.col("s") - F.col("__ra") + 1,
+                F.col("__sb") - F.col("__rb") + 1,
+            )
+            * t_den
+            >= F.lit(t_num) * F.col("s")
+        )
         .select("doc_a", "doc_b", "s")
-        .distinct()
     )
 
 
