@@ -152,33 +152,45 @@ def _committed_batches(path: str) -> list[str]:
 
 def _recover_swap(path: str, sub: str) -> None:
     """If a ``_swap_dir`` crashed between its two renames, the complete
-    data sits parked at ``<sub>__old`` with no live dir — restore it
-    so readers keep working without manual intervention."""
+    data sits parked at ``<sub>__old`` with no live dir — restore it.
+    Destructive: runs only under the maintenance lock (from compact /
+    ``repair_index``), never from probes."""
     import os
-    import shutil
+
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        guarded_move,
+    )
 
     live = os.path.join(path, sub)
     old = live + "__old"
     if not os.path.isdir(live) and os.path.isdir(old):
-        shutil.move(old, live)
+        guarded_move(old, live)
 
 
 _SUBS = ("postings", "doclen", "stats")
 
 
 def _recover_fold(path: str) -> None:
-    """Heal a crashed ``compact_inverted_index`` (run by every reader and
-    by compact itself, mirroring streaming/mv.py's reader recovery).
+    """Heal a crashed ``compact_inverted_index`` ON DISK — destructive
+    (renames/deletes), so it runs ONLY under the layout's
+    ``maintenance_lock``: from compact itself and from the explicit
+    ``repair_index`` entry point.  Probes resolve crash states READ-ONLY
+    via ``_resolve_sub`` (r05 advisor: probe-side healing let two
+    concurrent probes race the same renames, and a probe overlapping a
+    live compact could hijack the fold and crash it).
 
     Protocol invariant the roll-forward relies on: the batch root only
     moves aside to ``batches__folded`` AFTER all three ``__compact``
     subtrees are completely written, so ``batches__folded`` present
     proves the folded layout exists (possibly partially swapped in) and
-    the aside batches are REDUNDANT — without this recovery, a crash
+    the aside batches are REDUNDANT — without this resolution, a crash
     between the postings swap and the batch deletion would leave probes
     silently double-counting every batch posting."""
     import os
-    import shutil
+
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        guarded_rmtree,
+    )
 
     folded = os.path.join(path, "batches__folded")
     tmp = os.path.join(path, "__compact")
@@ -188,16 +200,66 @@ def _recover_fold(path: str) -> None:
             staged = os.path.join(tmp, sub)
             if os.path.isdir(staged):
                 _swap_dir(path, sub, staged)
-        shutil.rmtree(folded)
-        shutil.rmtree(tmp, ignore_errors=True)
+        guarded_rmtree(folded)
+        guarded_rmtree(tmp)
     elif os.path.isdir(tmp):
         # crash before the aside step: the fold never became visible —
         # batches are still live, so the partial fold is just discarded
-        shutil.rmtree(tmp)
+        guarded_rmtree(tmp)
     for sub in _SUBS:
         old = os.path.join(path, sub + "__old")
         if os.path.isdir(old) and os.path.isdir(os.path.join(path, sub)):
-            shutil.rmtree(old)
+            guarded_rmtree(old)
+
+
+def repair_index(path: str) -> None:
+    """Explicit on-disk repair of a crashed compaction/swap, under the
+    exclusive maintenance lock.  Probes never need this for correctness
+    (they resolve crash states read-only); run it — or simply rerun
+    ``compact_inverted_index`` — to clean the debris up."""
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        maintenance_lock,
+    )
+
+    with maintenance_lock(path):
+        _recover_fold(path)
+        for sub in _SUBS:
+            _recover_swap(path, sub)
+
+
+def _resolve_sub(path: str, sub: str) -> tuple[str, bool]:
+    """READ-ONLY crash-state resolution for one index subtree: the
+    directory currently holding ``sub``'s authoritative data, plus
+    whether the append batches are still live (not yet folded in).
+    Every crash point of the fold protocol leaves a complete copy of
+    each subtree somewhere — this maps the debris to it without a
+    single rename:
+
+    * ``batches__folded`` present ⇒ the fold's staged subtrees were all
+      complete before anything moved, and the aside batches are folded
+      in (never unioned).  Per sub: the staged copy under ``__compact``
+      if its swap hasn't happened, else the live dir, else (mid-swap,
+      live parked aside and staged already consumed — unreachable in
+      the protocol, kept defensive) the ``__old`` park.
+    * no ``batches__folded`` ⇒ pre-fold view: live dir (or its ``__old``
+      park if a bare swap crashed between renames) + committed batches;
+      a visible ``__compact`` stage is simply ignored."""
+    import os
+
+    live = os.path.join(path, sub)
+    if os.path.isdir(os.path.join(path, "batches__folded")):
+        staged = os.path.join(path, "__compact", sub)
+        if os.path.isdir(staged):
+            return staged, False
+        if os.path.isdir(live):
+            return live, False
+        return live + "__old", False
+    if os.path.isdir(live):
+        return live, True
+    old = live + "__old"
+    if os.path.isdir(old):
+        return old, True
+    return live, True  # nothing to resolve: read fails loudly
 
 
 def _union_with_batches(
@@ -206,12 +268,15 @@ def _union_with_batches(
     """Base ``<path>/<sub>`` unioned with every COMMITTED batch's
     ``<sub>``.  Each root is read separately (identical schemas) so the
     bucket partition discovery stays per-root; a pushed bucket/term
-    filter prunes each scan independently."""
-    _recover_fold(path)
-    _recover_swap(path, sub)
-    df = spark.read.parquet(f"{path}/{sub}")
-    for bdir in _committed_batches(path):
-        df = df.unionByName(spark.read.parquet(f"{bdir}/{sub}"))
+    filter prunes each scan independently.  Crash states left by a died
+    compaction are resolved read-only (``_resolve_sub``) — probes never
+    mutate the layout, so concurrent probes cannot race a heal and
+    cannot hijack a live compact's fold."""
+    data_dir, batches_live = _resolve_sub(path, sub)
+    df = spark.read.parquet(data_dir)
+    if batches_live:
+        for bdir in _committed_batches(path):
+            df = df.unionByName(spark.read.parquet(f"{bdir}/{sub}"))
     return df
 
 
@@ -291,17 +356,22 @@ def _swap_dir(path: str, live_sub: str, staged: str) -> None:
     old dir moves to ``<live_sub>__old`` BEFORE the staged dir moves
     into place, then ``__old`` is deleted — a crash at any step leaves a
     complete copy of the data on disk (either still live or parked
-    aside), never a deleted-but-not-replaced window."""
+    aside), never a deleted-but-not-replaced window.  Mutating — only
+    ever called with the maintenance lock held."""
     import os
-    import shutil
+
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        guarded_move,
+        guarded_rmtree,
+    )
 
     live = os.path.join(path, live_sub)
     old = live + "__old"
     if os.path.isdir(old):
-        shutil.rmtree(old)  # leftover from a crashed prior swap
-    shutil.move(live, old)
-    shutil.move(staged, live)
-    shutil.rmtree(old)
+        guarded_rmtree(old)  # leftover from a crashed prior swap
+    guarded_move(live, old)
+    guarded_move(staged, live)
+    guarded_rmtree(old)
 
 
 def compact_inverted_index(spark: SparkSession, path: str) -> None:
@@ -311,59 +381,72 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
     min/max skipping the probe relies on), doclen coalesced, stats
     collapsed to one absolute row — then drop the folded batches.  Same
     offline-compaction lifecycle as the incremental-MV delta directories
-    (streaming/mv.py): run it without concurrent appends/probes.
+    (streaming/mv.py): run it without concurrent appends/probes.  The
+    whole mutation window holds the layout's exclusive
+    ``maintenance_lock`` — concurrent compact/repair on one index either
+    waits or fails fast, never interleaves; probes stay lock-free (they
+    resolve crash states read-only and can no longer hijack a fold), but
+    a probe racing compact's own renames mid-flight can still fail —
+    and merely fails, without corrupting anything.
 
-    Crash protocol (see ``_recover_fold``, which every reader runs): the
-    three folded subtrees are fully written under the deterministic
-    ``__compact`` staging dir FIRST; only then does the batch root move
-    aside to ``batches__folded`` (making the batches invisible to
-    ``_committed_batches`` — this closes the window where a crash
-    between the postings swap and a batch delete left probes silently
-    DOUBLE-COUNTING every batch posting); then each subtree swaps in
-    rename-aside; deletes come last.  Every crash point leaves a
-    complete index on disk and readers roll the state forward (or
-    discard a partial fold) deterministically — rerunning compact
-    converges, and the fold itself deduplicates on the (doc, term) /
-    doc key so re-folding is a no-op regardless."""
+    Crash protocol (``_recover_fold`` for on-disk repair, ``_resolve_sub``
+    for lock-free reads): the three folded subtrees are fully written
+    under the deterministic ``__compact`` staging dir FIRST; only then
+    does the batch root move aside to ``batches__folded`` (making the
+    batches invisible to ``_committed_batches`` — this closes the window
+    where a crash between the postings swap and a batch delete left
+    probes silently DOUBLE-COUNTING every batch posting); then each
+    subtree swaps in rename-aside; deletes come last.  Every crash point
+    leaves a complete index on disk; probes read it as-is and rerunning
+    compact (or ``repair_index``) rolls the on-disk state forward
+    deterministically — and the fold itself deduplicates on the
+    (doc, term) / doc key so re-folding is a no-op regardless."""
     import os
-    import shutil
 
-    _recover_fold(path)
-    nb = layout_buckets(spark, path)
-    tmp = os.path.join(path, "__compact")
-    shutil.rmtree(tmp, ignore_errors=True)
-    # construct BOTH unions before the first write: _union_with_batches
-    # runs _recover_fold eagerly at construction, which must not see (and
-    # discard) this run's own __compact staging dir
-    post = _union_with_batches(spark, path, "postings")
-    id_col = next(
-        c for c in post.columns
-        if c not in ("term", "tf", "positions", "bucket")
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        guarded_move,
+        guarded_rmtree,
+        maintenance_lock,
     )
-    dl = _union_with_batches(spark, path, "doclen").dropDuplicates([id_col])
-    (
-        post.dropDuplicates([id_col, "term"])
-        .repartition(nb, "bucket")
-        .sortWithinPartitions("bucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{tmp}/postings")
-    )
-    dl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/doclen")
-    spark.read.parquet(f"{tmp}/doclen").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-    ).write.mode("overwrite").parquet(f"{tmp}/stats")
-    # all three folded subtrees are complete: batches go aside NOW, so
-    # from this point the folded data exists exactly once either way
-    broot = _batches_root(path)
-    if os.path.isdir(broot):
-        shutil.move(broot, os.path.join(path, "batches__folded"))
-    _swap_dir(path, "postings", f"{tmp}/postings")
-    _swap_dir(path, "doclen", f"{tmp}/doclen")
-    _swap_dir(path, "stats", f"{tmp}/stats")
-    shutil.rmtree(os.path.join(path, "batches__folded"), ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+
+    with maintenance_lock(path):
+        _recover_fold(path)
+        nb = layout_buckets(spark, path)
+        tmp = os.path.join(path, "__compact")
+        guarded_rmtree(tmp)
+        post = _union_with_batches(spark, path, "postings")
+        id_col = next(
+            c for c in post.columns
+            if c not in ("term", "tf", "positions", "bucket")
+        )
+        dl = _union_with_batches(spark, path, "doclen").dropDuplicates(
+            [id_col]
+        )
+        (
+            post.dropDuplicates([id_col, "term"])
+            .repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{tmp}/postings")
+        )
+        dl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/doclen")
+        spark.read.parquet(f"{tmp}/doclen").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
+                "sum_dl"
+            ),
+        ).write.mode("overwrite").parquet(f"{tmp}/stats")
+        # all three folded subtrees are complete: batches go aside NOW, so
+        # from this point the folded data exists exactly once either way
+        broot = _batches_root(path)
+        if os.path.isdir(broot):
+            guarded_move(broot, os.path.join(path, "batches__folded"))
+        _swap_dir(path, "postings", f"{tmp}/postings")
+        _swap_dir(path, "doclen", f"{tmp}/doclen")
+        _swap_dir(path, "stats", f"{tmp}/stats")
+        guarded_rmtree(os.path.join(path, "batches__folded"))
+        guarded_rmtree(tmp)
 
 
 def layout_buckets(spark: SparkSession, path: str) -> int:

@@ -313,8 +313,17 @@ def test_swap_crash_between_renames_auto_recovers(spark, sf_dir):
         shutil.move(os.path.join(d, "postings"), os.path.join(d, "postings__old"))
         got = invindex.bm25_query_index(spark, d, _IDX_TERMS, topk=50).collect()
         assert got == want
+        # probes are READ-ONLY over crash states (r06): the parked copy
+        # was read in place, not healed — explicit repair cleans it up
+        assert not os.path.isdir(os.path.join(d, "postings"))
+        assert os.path.isdir(os.path.join(d, "postings__old"))
+        invindex.repair_index(d)
         assert os.path.isdir(os.path.join(d, "postings"))
         assert not os.path.isdir(os.path.join(d, "postings__old"))
+        assert (
+            invindex.bm25_query_index(spark, d, _IDX_TERMS, topk=50).collect()
+            == want
+        )
 
 
 def _media(spark, rows):
@@ -567,7 +576,11 @@ def test_fold_crash_states_probe_self_heals(spark, sf_dir):
     compact: the old protocol's window where folded postings coexisted
     with live batch dirs made every probe silently double-count batch
     tf; now the batch root is aside before any swap and readers roll the
-    fold forward (or discard a partial stage) via _recover_fold."""
+    fold forward (or discard a partial stage) — since r06 by READ-ONLY
+    resolution (_resolve_sub): the probe reads the surviving copy in
+    place and mutates nothing (two probes can race safely, and a probe
+    can no longer hijack a live compact's fold); on-disk cleanup is
+    repair_index/compact's job, under the maintenance lock."""
     import os
     import shutil
     import tempfile as _tf
@@ -601,9 +614,9 @@ def test_fold_crash_states_probe_self_heals(spark, sf_dir):
             # reproduce compact's staging deterministically: fold into
             # __compact without touching the live layout
             nb = invindex.layout_buckets(spark, d)
-            # both unions BEFORE the first write (construction runs
-            # _recover_fold, which discards a visible __compact stage —
-            # the same ordering compact itself must respect)
+            # unions constructed before the staging writes, mirroring
+            # compact's own ordering (resolution is read-only now, but
+            # the stage must not be visible to the frames being folded)
             post = invindex._union_with_batches(spark, d, "postings")
             dl = invindex._union_with_batches(
                 spark, d, "doclen"
@@ -626,11 +639,15 @@ def test_fold_crash_states_probe_self_heals(spark, sf_dir):
             ).write.mode("overwrite").parquet(f"{d}/__compact/stats")
             return d
 
-        # crash A: staged only — probe discards the stage, pre-fold view
+        # crash A: staged only — probe IGNORES the stage (read-only),
+        # pre-fold view; explicit repair then discards it
         d = staged_copy("crash_a")
         assert probe(d) == want
+        assert os.path.isdir(f"{d}/__compact")  # untouched by the probe
+        invindex.repair_index(d)
         assert not os.path.isdir(f"{d}/__compact")
         assert os.path.isdir(f"{d}/batches/b1")
+        assert probe(d) == want
 
         # crash B: batches aside, no swap yet — probe rolls forward
         d = staged_copy("crash_b")
@@ -661,4 +678,7 @@ def test_fold_crash_states_probe_self_heals(spark, sf_dir):
             shutil.rmtree(f"{d}/{sub}__old")
         shutil.rmtree(f"{d}/__compact")
         assert probe(d) == want
+        assert os.path.isdir(f"{d}/batches__folded")  # probe is read-only
+        invindex.repair_index(d)
         assert not os.path.isdir(f"{d}/batches__folded")
+        assert probe(d) == want
