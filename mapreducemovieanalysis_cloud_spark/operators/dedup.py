@@ -634,6 +634,24 @@ def incremental_exact_dedup(
         write_epoch,
     )
 
+    if batch_id is None:
+        # the docstring's layouts-must-not-mix contract, enforced (the
+        # mirror of dq._reject_flat_layout): a flat append into a store
+        # previously written in epoch mode would drop part files beside
+        # the batch= directories and break partition discovery for every
+        # later read of the store
+        import os
+
+        for root in (store_path, survivors_path):
+            if root and os.path.isdir(root) and any(
+                e.startswith("batch=") for e in os.listdir(root)
+            ):
+                raise ValueError(
+                    f"{root} holds an epoch (batch=) layout; a flat "
+                    "append (batch_id=None) would mix layouts and break "
+                    "partition discovery — pass a batch_id (or use a "
+                    "fresh store path)"
+                )
     spark = new_docs.sparkSession
     batch = (
         new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))

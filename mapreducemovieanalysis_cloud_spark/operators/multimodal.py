@@ -101,20 +101,43 @@ def _decode_real_image(media_type: str, data: bytes) -> dict[str, Any]:
         }
 
 
+def make_dispatch_decoder(
+    use_real_codecs: bool,
+) -> Callable[[str, bytes], dict[str, Any]]:
+    """Codec dispatch with the real-vs-stub decision FROZEN into the
+    returned closure: real decoder for real image types when
+    ``use_real_codecs``, the deterministic stub otherwise (``*/fake``
+    types always take the stub).
+
+    Why a closure over a bool rather than a module-level probe: a
+    module-level decoder pickles BY REFERENCE and re-imports on each
+    executor, so on a cluster where only some workers have PIL the same
+    row would decode via PIL or the stub depending on task placement —
+    row-level nondeterminism dressed up as graceful degradation (r05
+    advisor).  The closure pickles the driver's decision BY VALUE; every
+    executor follows it, and an executor missing the driver-selected
+    codec fails loudly with ImportError instead of silently diverging."""
+
+    def decode(media_type: str, data: bytes) -> dict[str, Any]:
+        mt = media_type or ""
+        if (
+            use_real_codecs
+            and mt.startswith("image/")
+            and not mt.endswith("/fake")
+        ):
+            return _decode_real_image(mt, data)
+        return _decode_stub(mt, data)
+
+    return decode
+
+
 def default_decoder(media_type: str, data: bytes) -> dict[str, Any]:
-    """Codec dispatch (r04 verdict item 7): real decoder when the
-    environment has one AND the media type is a real format; the
-    deterministic stub otherwise.  Installing PIL changes behavior for
-    real image types without any code edit, while the ``*/fake`` types
-    (and codec-less environments) keep the oracle-checked stub path."""
-    mt = media_type or ""
-    if (
-        REAL_CODECS_AVAILABLE
-        and mt.startswith("image/")
-        and not mt.endswith("/fake")
-    ):
-        return _decode_real_image(mt, data)
-    return _decode_stub(mt, data)
+    """Per-interpreter dispatch (kept for direct/driver-side callers and
+    tests): consults THIS interpreter's probe.  Do not pass this function
+    itself into a distributed decode — ``decode_media`` resolves the
+    decision on the driver via ``make_dispatch_decoder`` precisely so
+    executors cannot each answer the probe differently."""
+    return make_dispatch_decoder(REAL_CODECS_AVAILABLE)(media_type, data)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -143,9 +166,12 @@ def decode_media(
     without touching the Spark plumbing — schema, Arrow batching, and
     partition-preservation are identical either way (contract pinned by
     ``tests/test_pipeline.py`` fake-codec test).  With no override the
-    ``default_decoder`` dispatch applies: real codec for real media
-    types when importable, deterministic stub otherwise."""
-    decode = decoder or default_decoder
+    dispatch decision (real codec vs deterministic stub) is resolved
+    ONCE, here on the driver, and shipped to every executor by value —
+    all workers decode the same row the same way, and a worker missing
+    the driver-selected codec raises instead of silently falling back
+    (see ``make_dispatch_decoder``)."""
+    decode = decoder or make_dispatch_decoder(REAL_CODECS_AVAILABLE)
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],

@@ -148,38 +148,59 @@ def read_epochs(
     fmt: str = "parquet",
     exclude_batch: int | str | None = None,
 ) -> DataFrame:
-    """Read an epoch-directory layout with hive partition TYPE INFERENCE
-    disabled, so the ``batch`` column is the literal directory string and
-    ``exclude_batch`` comparison round-trips exactly.
+    """Read an epoch-directory layout with the ``batch`` partition column
+    FORCED to string via an explicit user schema, so it is the literal
+    directory string and ``exclude_batch`` comparison round-trips exactly.
 
-    Why inference must be off here: a numeric-looking string id like
-    ``"007"`` writes ``batch=007`` but infers as integer 7, so a
+    Why the type must be pinned: a numeric-looking string id like
+    ``"007"`` writes ``batch=007`` but INFERS as integer 7, so a
     ``str(batch) != "007"`` exclusion filter silently matches nothing —
     for the dedup store that inverts the exactly-once guarantee into
     permanent data loss (a crashed attempt's fingerprints stay visible
-    and mark the batch's own docs already-seen).  The conf is scoped to
-    this one read and the schema is forced while it holds."""
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        df = spark.read.format(fmt).load(root)
-        df.schema  # force partition discovery under the scoped conf
-    finally:
-        spark.conf.set(key, prev)
+    and mark the batch's own docs already-seen).  The pin used to flip
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` around
+    the read, but that conf is SESSION-GLOBAL: any concurrent query on
+    the same session during the window silently got string partition
+    columns (r05 advisor) — and this read runs on every dedup
+    micro-batch.  An explicit schema (data fields from one epoch's
+    footers + ``batch string``) pins the type for this read alone,
+    thread-safe by construction."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not os.path.isdir(root):
+        # preserve the "no store yet" contract: surface the same
+        # AnalysisException a direct read of the missing path raises
+        # (callers distinguish it from data errors)
+        return spark.read.format(fmt).load(root)
+    epoch_dirs = sorted(
+        e for e in os.listdir(root)
+        if e.startswith("batch=")
+        and os.path.isdir(os.path.join(root, e))
+    )
+    if not epoch_dirs:
+        # a flat (non-epoch) layout at this root: failing loudly here
+        # matters because callers wrap this read in
+        # except-AnalysisException "no store yet" handling — letting
+        # the mix produce a partition-discovery error (or a missing
+        # batch column) would silently treat a POPULATED store as empty
+        raise ValueError(
+            f"{root} is not an epoch layout (no batch= partitions); "
+            "epoch and flat layouts must not be mixed on one root"
+        )
+    data_schema = spark.read.format(fmt).load(
+        os.path.join(root, epoch_dirs[0])
+    ).schema
+    df = spark.read.format(fmt).schema(
+        StructType(
+            list(data_schema.fields)
+            + [StructField("batch", StringType(), True)]
+        )
+    ).load(root)
     if exclude_batch is not None:
         from pyspark.sql import functions as F
 
-        if "batch" not in df.columns:
-            # a flat (non-epoch) layout at this root: failing loudly here
-            # matters because callers wrap this read in
-            # except-AnalysisException "no store yet" handling — letting
-            # an unresolved-column error escape as AnalysisException
-            # would silently treat a POPULATED store as empty
-            raise ValueError(
-                f"{root} is not an epoch layout (no batch= partitions); "
-                "epoch and flat layouts must not be mixed on one root"
-            )
         df = df.where(F.col("batch") != str(exclude_batch))
     return df
 

@@ -209,6 +209,68 @@ def test_default_decoder_dispatch(monkeypatch):
     assert mm._probe_real_codecs() is expected
 
 
+def test_dispatch_decision_is_frozen_by_value(monkeypatch):
+    """r05 advisor: the real-vs-stub decision must be resolved once (on
+    the driver) and shipped by value, not re-answered per interpreter —
+    a closure built under one probe answer keeps that answer even when
+    the module flag (an executor's local probe) says otherwise, so a
+    mixed cluster can't decode the same row two different ways."""
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal as mm
+
+    payload = b"\x89PNG1234"
+    monkeypatch.setattr(
+        mm,
+        "_decode_real_image",
+        lambda mt, d: {
+            "n_bytes": len(d), "first_byte": d[0],
+            "width": 111, "height": 222,
+        },
+    )
+    frozen_real = mm.make_dispatch_decoder(True)
+    frozen_stub = mm.make_dispatch_decoder(False)
+    # flip the module flag (what a differently-provisioned executor's
+    # import probe would report): the frozen closures must not care
+    for flag in (False, True):
+        monkeypatch.setattr(mm, "REAL_CODECS_AVAILABLE", flag)
+        assert frozen_real("image/png", payload)["width"] == 111
+        assert frozen_stub("image/png", payload) == mm._decode_stub(
+            "image/png", payload
+        )
+
+
+def test_incremental_dedup_rejects_flat_append_on_epoch_store(
+    spark, tmp_path
+):
+    """r05 advisor: batch_id=None on a store previously written in epoch
+    mode would flat-append part files beside the batch= directories,
+    breaking partition discovery for every later read — the call must
+    fail with the migration ValueError (mirror of dq's flat-sink guard)
+    instead of honoring the docstring contract on trust."""
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fp_store")
+    b = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    incremental_exact_dedup(b, store, batch_id=1)  # epoch layout
+    with pytest.raises(ValueError, match="epoch"):
+        incremental_exact_dedup(
+            spark.createDataFrame(
+                [(2, "beta")], "doc_id long, text string"
+            ),
+            store,
+        )
+    # and the epoch path keeps working
+    novel, _ = incremental_exact_dedup(
+        spark.createDataFrame([(2, "beta")], "doc_id long, text string"),
+        store,
+        batch_id=2,
+    )
+    assert [r.doc_id for r in novel.collect()] == [2]
+
+
 def test_decode_media_realistic_binary_codec_end_to_end(spark):
     """A REALISTIC binary decoder through the codec contract: payloads are
     structurally valid BMP files (binary header + non-UTF-8 pixel bytes),
@@ -496,7 +558,8 @@ def test_incremental_dedup_numeric_string_batch_id_roundtrips(
     batch=007 back as integer 7, the exclusion filter would match
     nothing, and a crashed attempt's own fingerprints would mark the
     batch already-seen — silently dropping it forever. read_epochs
-    disables inference so the retry is exactly-once."""
+    pins ``batch`` to string (explicit schema — no session-global conf
+    flip) so the retry is exactly-once."""
     from mapreducemovieanalysis_cloud_spark.operators.dedup import (
         incremental_exact_dedup,
     )
