@@ -271,6 +271,43 @@ def test_incremental_dedup_rejects_flat_append_on_epoch_store(
     assert [r.doc_id for r in novel.collect()] == [2]
 
 
+def test_real_pil_decode_when_available(spark):
+    """Exercises the REAL codec branch (_decode_real_image) end-to-end
+    whenever PIL is importable: a genuine in-memory PNG flows through
+    decode_media with the real dispatch and must yield its true pixel
+    dimensions.  This container ships no PIL and no offline wheel cache
+    (verified r06; installs are out of scope per the environment
+    contract), so here the test documents itself as skipped — on any
+    PIL-provisioned deployment it runs and pins the real path."""
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal as mm
+
+    if not mm.REAL_CODECS_AVAILABLE:
+        pytest.skip(
+            "PIL not importable in this environment (no wheel cache); "
+            "real-codec branch exercised only where PIL exists — "
+            "see SCALE.md 'real codecs' note"
+        )
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    png = buf.getvalue()
+    direct = mm._decode_real_image("image/png", png)
+    assert (direct["width"], direct["height"]) == (17, 9)
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(png), "t")], mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(
+        media, decoder=mm.make_dispatch_decoder(True)
+    ).collect()[0]
+    assert (row.width, row.height) == (17, 9)
+    assert row.n_bytes == len(png)
+
+
 def test_decode_media_realistic_binary_codec_end_to_end(spark):
     """A REALISTIC binary decoder through the codec contract: payloads are
     structurally valid BMP files (binary header + non-UTF-8 pixel bytes),

@@ -425,3 +425,49 @@ def test_resample_interp_matches_bruteforce(spark, obs):
             want[hour] = val
         g += US_PER_HOUR
     assert out == want
+
+
+@given(
+    doc_sets=st.lists(
+        st.sets(st.sampled_from(_words("g", 10)), min_size=1, max_size=8),
+        min_size=2,
+        max_size=7,
+    ),
+    t_num=st.sampled_from([1, 2, 3]),
+)
+@settings(**_SETTINGS)
+def test_containment_positional_filter_is_lossless(spark, doc_sets, t_num):
+    """Direct machine check of the PPJoin+ positional filter's minimality
+    argument (operators/dedup.py `_containment_candidates` docstring):
+    in exact mode (max_df=None), the candidate set AFTER the positional
+    first-match-rank bound min(|A|-i+1, |B|-j+1) >= ceil(t|A|) must be a
+    SUPERSET of the true containment pairs — for ANY shingle-set shapes,
+    including the adversarial ones (shared shingles scattered across df
+    ranks, docs that are subsets of each other, singleton docs) that the
+    end-to-end text test can't target directly.  The filter may
+    over-admit (the verify step prunes); it must never drop a true pair."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        _containment_candidates,
+    )
+
+    t_den = 4
+    sh = spark.createDataFrame(
+        [(i, s) for i, ss in enumerate(doc_sets) for s in ss],
+        "doc_id long, shingle string",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _containment_candidates(
+            sh, sizes, t_num, t_den, "doc_id", max_df=None
+        ).collect()
+    }
+    true_pairs = {
+        (a, b)
+        for a, sa in enumerate(doc_sets)
+        for b, sb in enumerate(doc_sets)
+        if a != b and len(sa & sb) * t_den >= t_num * len(sa)
+    }
+    assert true_pairs <= got, (
+        f"positional filter dropped true pairs: {true_pairs - got}"
+    )
