@@ -471,3 +471,76 @@ def test_containment_positional_filter_is_lossless(spark, doc_sets, t_num):
     assert true_pairs <= got, (
         f"positional filter dropped true pairs: {true_pairs - got}"
     )
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(_words("w", 6)), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ngram_lm_matches_python_reference(spark, texts):
+    """First-principles check of the add-1 bigram scorer on arbitrary
+    corpora (empty docs, single-token docs, all-identical docs, unseen-
+    context shapes): per-doc n_terms and micro-rounded neg-logprob sums
+    must equal a direct python computation of the same integer-count
+    ratios."""
+    import math
+
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_terms, r.neg_logprob_micro, r.avg_neg_logprob_micro)
+        for r in ngram_lm.score_documents(
+            docs, ngram_lm.ngram_model(docs)
+        ).collect()
+    }
+
+    def toks(t):
+        # engine convention (Spark split == DuckDB string_split_regex):
+        # an all-whitespace text yields ONE empty token, not zero — the
+        # reference must count '' into the vocab the same way
+        ts = t.strip().split()
+        return ts if ts else [""]
+
+    grams = {
+        i: [
+            (f"{ts[j]} {ts[j+1]}", ts[j])
+            for j in range(len(ts) - 1)
+        ]
+        for i, t in enumerate(texts)
+        for ts in [toks(t)]
+    }
+    nc, cc, vocab = {}, {}, set()
+    for i, t in enumerate(texts):
+        vocab.update(toks(t))
+        for g, c in grams[i]:
+            nc[g] = nc.get(g, 0) + 1
+            cc[c] = cc.get(c, 0) + 1
+    want = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue  # unscorable: must be absent
+        s = sum(
+            -math.log((nc[g] + 1) / (cc[c] + len(vocab))) for g, c in gs
+        )
+        want[i] = (
+            len(gs),
+            round(s * 1_000_000),
+            round(s / len(gs) * 1_000_000),
+        )
+    # python round() is banker's; the engines round half away from zero.
+    # Exact .5 micro boundaries are measure-zero for logs — compare with
+    # 1-micro tolerance to keep the property deterministic regardless.
+    assert got.keys() == want.keys()
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1
+        assert abs(got[i][2] - want[i][2]) <= 1

@@ -1,0 +1,72 @@
+"""Parity for the round-7 registry candidates (queries/round7_staged.py):
+the exact Spark-vs-DuckDB comparison the driver will run once the
+registry unfreezes and these promote — so promotion is a mechanical
+registration flip, not new verification work."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_matches_oracle(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, oracle_sf_dir),
+        STAGED_ORACLES[name],
+        oracle_sf_dir,
+    )
+
+
+def test_staged_not_registered_while_frozen():
+    """The freeze contract: staged names must NOT appear in the live
+    registry (a new entry would hijack a rotation slot in the driver's
+    stalest-first window).  Round 7 flips this test to assert the
+    opposite when it promotes them."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
+
+
+def test_ngram_lm_gates_planted_gibberish(spark):
+    """Behavioral check of the quality signal itself: a corpus of
+    repetitive template sentences plus one token-salad outlier must
+    score the outlier's avg negative log-prob strictly highest — the
+    filter actually separates in-distribution text from noise."""
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+
+    normal = [
+        (i, "the quick brown fox jumps over the lazy dog every day")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        normal + [(99, "zxq plork vmnt qqj blarg wex")],
+        "doc_id long, text string",
+    )
+    scored = ngram_lm.score_documents(docs, ngram_lm.ngram_model(docs))
+    rows = {r.doc_id: r.avg_neg_logprob_micro for r in scored.collect()}
+    assert max(rows, key=rows.get) == 99
+    # and the buckets report puts the outlier alone in the top bucket
+    buckets = ngram_lm.ngram_perplexity_buckets(docs).collect()
+    assert buckets[-1].n_docs == 1
+
+
+def test_ngram_lm_short_docs_absent_not_zero(spark):
+    """Docs shorter than n tokens have no n-grams: they must be ABSENT
+    from the score output (unscorable), never present with score 0 —
+    a zero would rank them as perfectly in-distribution."""
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world again"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    scored = ngram_lm.score_documents(docs, ngram_lm.ngram_model(docs))
+    assert [r.doc_id for r in scored.collect()] == [1]
