@@ -126,3 +126,268 @@ def containment_candidate_stats_q(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.containment_candidate_stats(docs, n=3, t_num=1, t_den=2)
+
+
+@_staged(
+    "vocab_growth_stats",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+                 FROM documents),
+    types AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+               AS type_token_ratio_micro
+    FROM types
+    """,
+)
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report: token count, type (distinct-token)
+    count, hapax legomena count, and the type/token ratio — the
+    Heaps-law diagnostics a curation run reads to spot template-heavy
+    (ratio collapsing) or OCR-noise (hapax exploding) corpora.
+
+    Scale: one explode → token-keyed count (the same shuffle as any
+    tokenize pass, partial-agg collapsed map-side) → one-row rollup.
+    Exact integers end-to-end; the ratio is integer micro division."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    types = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return types.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST(count(1) * 1000000 div sum(c) AS BIGINT)").alias(
+            "type_token_ratio_micro"
+        ),
+    )
+
+
+@_staged(
+    "char_entropy_docs",
+    oracle=r"""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c,
+                       length(text) AS n
+                FROM documents WHERE length(text) > 0),
+    g AS (SELECT doc_id, n, c, COUNT(*) AS k FROM ch GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(ROUND(SUM(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS char_entropy_micro
+    FROM g GROUP BY doc_id
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-level Shannon entropy — the cheap gibberish /
+    encoding-artifact detector (base64 blobs and mojibake run hot,
+    single-char padding runs cold; natural language sits in a narrow
+    band).  Complements the token-level gates (curation.py) and the
+    corpus-level LM score (ngram_lm.py) at the character tier.
+
+    Scale posture: ZERO shuffle — the char histogram and the entropy
+    sum are pure array expressions evaluated per row (array_distinct +
+    transform + aggregate), so the cost is map-side O(len · distinct
+    chars) and the output is one row per doc.  The p·ln p terms run the
+    identical double expression on integer count ratios in both
+    engines, micro-rounded (entropy_lang_by_source pattern)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    chars = F.split(F.col("text"), "")
+    n = F.length("text").cast("double")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    p = lambda k: k.cast("double") / n  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chars))
+        .cast("long")
+        .alias("n_distinct_chars"),
+        F.round(
+            F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, k: acc - p(k) * F.log(p(k)),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("char_entropy_micro"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    """Near-dup components (the dedup_clusters recursive-closure oracle,
+    imported so the two stay in lockstep) + the md5_bucket split rule in
+    its documented DuckDB-twin form."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+    )
+
+    bucket = (
+        "CAST(('0x' || substr(md5('split:' || CAST({key} AS VARCHAR)), "
+        "1, 4)) AS BIGINT) % 10 = 0"
+    )
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    flags AS (SELECT doc_id, component,
+                     CASE WHEN {bucket.format(key='component')}
+                          THEN 1 ELSE 0 END AS vs,
+                     CASE WHEN {bucket.format(key='doc_id')}
+                          THEN 1 ELSE 0 END AS vn
+              FROM comp),
+    g AS (SELECT component, COUNT(*) AS sz, SUM(vs) AS ns, SUM(vn) AS nv
+          FROM flags GROUP BY 1)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_doc_components,
+           CAST(SUM(ns) AS BIGINT) AS val_docs_safe,
+           CAST(SUM(nv) AS BIGINT) AS val_docs_naive,
+           CAST(SUM(CASE WHEN ns > 0 AND ns < sz THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_components_safe,
+           CAST(SUM(CASE WHEN nv > 0 AND nv < sz THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_components_naive
+    FROM g
+    """
+
+
+@_staged("leakage_safe_split", oracle=_leakage_split_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split + leakage audit: assign each
+    near-dup COMPONENT (MinHash-LSH pairs closed by min-label
+    propagation, the dedup_clusters closure) wholly to train or val by
+    md5_bucket(component) — membership is a pure function of the
+    component key, so no near-duplicate of a training doc can sit in
+    the eval split.  The report quantifies what the naive per-doc hash
+    split would have leaked on the same corpus
+    (``leaked_components_naive``) and proves the safe rule leaks zero
+    by the same measurement (``leaked_components_safe``) — computed,
+    not assumed.
+
+    Scale: the component closure dominates (bounded-band LSH + O(edges)
+    per CC round, see dedup_clusters); the audit itself adds one
+    component-keyed partial agg and a one-row rollup.  The split rule
+    needs no new shuffle at apply time — it is a map-side expression any
+    downstream writer evaluates inline."""
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = label_propagation_components(docs, edges)
+    flags = comp.select(
+        "component",
+        (md5_bucket(F.col("component"), 10, salt="split:") == 0)
+        .cast("int")
+        .alias("vs"),
+        (md5_bucket(F.col("doc_id"), 10, salt="split:") == 0)
+        .cast("int")
+        .alias("vn"),
+    )
+    g = flags.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("vs").alias("ns"),
+        F.sum("vn").alias("nv"),
+    )
+    return g.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum((F.col("sz") > 1).cast("int"))
+        .cast("long")
+        .alias("n_multi_doc_components"),
+        F.sum("ns").cast("long").alias("val_docs_safe"),
+        F.sum("nv").cast("long").alias("val_docs_naive"),
+        F.sum(((F.col("ns") > 0) & (F.col("ns") < F.col("sz"))).cast("int"))
+        .cast("long")
+        .alias("leaked_components_safe"),
+        F.sum(((F.col("nv") > 0) & (F.col("nv") < F.col("sz"))).cast("int"))
+        .cast("long")
+        .alias("leaked_components_naive"),
+    )
+
+
+@_staged(
+    "dedup_impact_by_source",
+    oracle="""
+    WITH f AS (SELECT source, doc_id,
+                      CASE WHEN doc_id = MIN(doc_id)
+                               OVER (PARTITION BY md5(text))
+                           THEN 1 ELSE 0 END AS survivor
+               FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(survivor) AS BIGINT) AS n_survivors,
+           CAST(COUNT(*) - SUM(survivor) AS BIGINT) AS n_removed,
+           CAST((COUNT(*) - SUM(survivor)) * 1000000 // COUNT(*)
+                AS BIGINT) AS removal_rate_micro
+    FROM f GROUP BY source
+    """,
+)
+def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup's distributional impact: per-source removal rate under the
+    exact-dedup survivor rule (min doc_id per md5(text) group) — the
+    audit a curation run reads BEFORE committing a dedup pass, because
+    dedup is not distribution-neutral: a source full of mirrored /
+    templated content loses disproportionally, silently re-weighting the
+    training mixture.  Complements dedup_exact (which emits the
+    survivors) with the who-paid-for-it report.
+
+    Scale: one fp-keyed window min (the same single shuffle as any
+    exact-dedup pass — no join-back, the window computes the survivor
+    flag in place) then a low-cardinality source rollup with map-side
+    partials."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text")))
+            )
+        )
+        .cast("int")
+        .alias("survivor"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("survivor").cast("long").alias("n_survivors"),
+        (F.count(F.lit(1)) - F.sum("survivor"))
+        .cast("long")
+        .alias("n_removed"),
+        F.expr(
+            "CAST((count(1) - sum(survivor)) * 1000000 div count(1)"
+            " AS BIGINT)"
+        ).alias("removal_rate_micro"),
+    )
