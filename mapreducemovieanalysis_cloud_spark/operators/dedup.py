@@ -714,8 +714,14 @@ def duplicate_passages(
 
     One scan explodes each doc into its (len - n + 1) windows; the groupBy
     keys on the 32-byte md5 of the window — never on raw text — so the
-    shuffle is fingerprint-sized. Partial aggregation collapses same-doc
-    repeats map-side. Output: the passage text (min over an md5 group is
+    shuffle is fingerprint-sized. The distinct-doc count is hand-rolled as
+    two explicit aggregates ((fp, doc) partial-collapse, then fp rollup)
+    rather than a ``countDistinct`` beside the other aggregates: the
+    planner rewrites a mixed distinct/non-distinct aggregate through an
+    Expand node that DUPLICATES every exploded row before the first
+    shuffle (one stream per aggregate class), while the two-stage shape
+    shuffles each window once and the second exchange carries one row per
+    distinct (fp, doc). Output: the passage text (min over an md5 group is
     the passage itself), distinct-doc count, total occurrences, and the
     lowest containing doc id; ordered by occurrences desc with the passage
     string as the unique tie-break.
@@ -736,12 +742,18 @@ def duplicate_passages(
             )
         ).alias("passage"),
     )
+    per_doc = wins.groupBy(
+        F.md5("passage").alias("__fp"), F.col(id_col)
+    ).agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.min("passage").alias("passage"),
+    )
     return (
-        wins.groupBy(F.md5("passage").alias("__fp"))
+        per_doc.groupBy("__fp")
         .agg(
             F.min("passage").alias("passage"),
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__k").alias("n_occurrences"),
             F.min(id_col).alias("first_doc"),
         )
         .where(F.col("n_docs") >= min_docs)

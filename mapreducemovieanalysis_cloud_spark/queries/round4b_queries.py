@@ -144,13 +144,17 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets) — the frequent-itemset / recommender-affinity staple.
 
     Scale: lineitem->part is a key-partitioned equi-join (AQE broadcasts
-    the dimension when it fits); the basket self-join is keyed on the
-    order and therefore quadratic only in BASKET size, which TPC-H bounds
-    at 7 lines — unbounded baskets get capped upstream with
-    ``curation.cap_per_group``, the standard guard.  Pair counting
-    shuffles one row per in-order pair with map-side partials; the
-    deterministic top-k is a TakeOrderedAndProject."""
-    basket = (
+    the dimension when it fits); each order's distinct-brand set is then
+    ONE ``collect_set`` aggregate — a single okey-keyed shuffle that
+    also dedups, replacing the earlier distinct + self-join shape that
+    recomputed the whole basket subtree on both join sides and paid
+    three exchanges for what the set-fold pays once.  Pair emission is
+    map-side (i<j over the sorted set), quadratic only in BASKET size,
+    which TPC-H bounds at 7 lines — unbounded baskets get capped
+    upstream with ``curation.cap_per_group``, the standard guard.  Pair
+    counting shuffles one row per in-order pair with map-side partials;
+    the deterministic top-k is a TakeOrderedAndProject."""
+    basket_sets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(
@@ -159,22 +163,35 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    # bs is a materialized column (plain attribute ref), so referencing
+    # it inside the lambdas is free — cf. the HOF-CSE hazard note on
+    # char_entropy_docs.
+    pairs = basket_sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("bs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("bs"),
+                            i + F.lit(2),
+                            F.size(F.col("bs")),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("brand_a"), y.alias("brand_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     return (
-        basket.alias("a")
-        .join(
-            basket.alias("b"),
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+        pairs.groupBy(
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
