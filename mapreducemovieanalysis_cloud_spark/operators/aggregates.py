@@ -143,37 +143,58 @@ def cms_heavy_hitters(
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Data-quality profile: per-column null count, distinct count, and
-    min/max (stringified), all computed in ONE scan.
+    """Data-quality profile: per-column null count, EXACT distinct count,
+    and min/max (stringified) — one union branch per column, each branch
+    a column-pruned scan into a value-keyed partial aggregate.
 
-    The validation sweep that gates every ingest batch. All metrics for
-    all columns land in a single aggregate row (one pass, map-side
-    partials; the count_distincts expand inside the same stage group),
-    then unpivot driver-free via stack(). min/max stringify so the output
-    schema is column-type-agnostic; restrict to integer/string columns
-    when an engine-exact oracle matters (float formatting differs across
-    engines).
+    The validation sweep that gates every ingest batch. Why N pruned
+    scans instead of one wide scan: N exact COUNT(DISTINCT) in a single
+    aggregate is planner-rewritten through an Expand that replicates
+    EVERY input row once per profiled column and shuffles the amplified
+    stream full-width. The branch shape reads each column alone (parquet
+    column pruning makes the N scans cost about one full-width scan in
+    total I/O), collapses to its distinct-value table map-side, and
+    derives all five metrics from that table's one-row rollup — shuffle
+    volume is Σ per-column distinct values, independent of row count.
+    min/max stringify so the output schema is column-type-agnostic;
+    restrict to integer/string columns when an engine-exact oracle
+    matters (float formatting differs across engines).
+
+    ``profile_columns_approx`` remains the 100 TB measurement tier: ONE
+    scan, no per-value shuffle at all (fixed-size HLL sketches), ±rsd on
+    the distinct counts.
     """
-    aggs = []
+    out = None
     for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    one = df.agg(*aggs)
-    stack_expr = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in cols
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_expr}) AS "
-            "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        vt = (
+            df.select(F.col(c).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__k"))
         )
-    )
+        branch = vt.agg(
+            F.sum("__k").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("__v").isNull(), F.col("__k"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_nulls"),
+            # the value table has one row per distinct value (plus at
+            # most one null row); count(__v) skips the null row, exactly
+            # COUNT(DISTINCT c) semantics
+            F.count("__v").cast("long").alias("n_distinct"),
+            F.min("__v").cast("string").alias("min_value"),
+            F.max("__v").cast("string").alias("max_value"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_value",
+            "max_value",
+        )
+        out = branch if out is None else out.unionAll(branch)
+    return out
 
 
 def int_histogram(
@@ -368,16 +389,15 @@ def profile_columns_approx(
     but distinct counts come from HyperLogLog sketches
     (``approx_count_distinct``, relative error ``rsd``).
 
-    Why it exists: N exact COUNT(DISTINCT) in one aggregate plan through
-    an Expand that replicates EVERY input row once per distinct column —
-    an N-fold amplification of the scan followed by a full-width shuffle,
-    which is the difference between a profile that gates a 100 TB batch
-    and one that costs more than the batch. HLL sketches aggregate
-    map-side (one fixed-size sketch per column per partition, no Expand,
-    no row-key shuffle) and merge associatively. The exact variant stays
-    the CONTRACT surface (oracle-checked); this is the measurement
-    surface for data where ±rsd on distinct counts is immaterial —
-    pinned within tolerance of the exact profile in tests.
+    Why it exists: even the exact tier's union shape must shuffle one
+    row per distinct value per column — fine for enum-ish columns,
+    corpus-sized for near-unique keys. HLL sketches aggregate map-side
+    (one fixed-size sketch per column per partition in a SINGLE scan, no
+    per-value shuffle at all) and merge associatively, so profile cost
+    is independent of both row count and value cardinality. The exact
+    variant stays the CONTRACT surface (oracle-checked); this is the
+    measurement surface for data where ±rsd on distinct counts is
+    immaterial — pinned within tolerance of the exact profile in tests.
     """
     aggs = []
     for c in cols:

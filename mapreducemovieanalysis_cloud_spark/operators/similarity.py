@@ -328,6 +328,94 @@ def _ivf_cells(
     )
 
 
+def _ivf_assign(
+    vectors: DataFrame, qcents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cell-assign ``vectors`` against quantized centroids — the stored
+    row schema (id, qv, nrm, cell) shared by the base build and delta
+    appends (assignment is per-vector, so a delta assigned under the
+    same centroids is bit-identical to what a full rebuild would have
+    placed in those cells)."""
+    return _ivf_cells(
+        _with_qv(vectors, id_col, vec_col, "nid"), qcents, "nid", 1
+    ).select(
+        F.col("nid").alias(id_col),
+        F.col("qv_nid").alias("qv"),
+        F.col("nrm_nid").alias("nrm"),
+        "cell",
+    )
+
+
+def ivf_append_batch(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    batch_id: int | str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of vectors to a stored IVF index WITHOUT a rebuild
+    — the index-maintenance path a 100 TB corpus needs (a full rebuild
+    re-reads the corpus; an append reads only the batch).
+
+    Layout & durability (the invindex committed-batch protocol):
+    the batch lands in ``<path>/cells_delta/batch=<id>/cell=*/`` via an
+    idempotent per-batch overwrite (retry-safe: a re-driven batch
+    rewrites its own directory, ``sources.writers.write_epoch``
+    semantics), and a zero-byte ``_COMMITTED`` marker is written LAST.
+    Probes read base cells plus committed batches only, so a crashed
+    partial append is invisible until its retry completes.  Batch ids
+    must be novel vector ids (the exactly-once id dedup belongs to the
+    upstream dedup store, not the index).
+
+    Assignment uses the STORED centroids — reading them first also makes
+    the centroids table's presence the layout completeness marker, so
+    appending to a half-built index fails loudly.  Because assignment is
+    per-vector under fixed centroids, probe(base + batches) is exactly
+    probe(single build over the union) — pinned by test.  Compaction
+    (folding deltas into the base when batch count grows) is a rebuild
+    into a fresh fingerprint-keyed path, the same rotation story as the
+    base build."""
+    import os
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    qcents = cents.select(
+        "cent_id", quantize("cent_vec").alias("qv_cent")
+    )
+    assigned = _ivf_assign(new_vectors, qcents, id_col, vec_col)
+    delta_dir = f"{path}/cells_delta/batch={batch_id}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        delta_dir
+    )
+    with open(os.path.join(delta_dir, "_COMMITTED"), "w"):
+        pass
+
+
+def _ivf_cell_stores(spark, path: str) -> list[DataFrame]:
+    """Base cells plus every COMMITTED delta batch, one DataFrame per
+    store so a cell predicate prunes partitions inside each subtree.
+    Delta reads are pinned to the base store's schema: an EMPTY batch (a
+    quiet ingest window) writes a directory with no part files, which
+    schema inference cannot read but an explicit schema returns as zero
+    rows."""
+    import os
+
+    base = spark.read.parquet(f"{path}/cells")
+    stores = [base]
+    droot = f"{path}/cells_delta"
+    if os.path.isdir(droot):
+        for d in sorted(os.listdir(droot)):
+            if d.startswith("batch=") and os.path.exists(
+                os.path.join(droot, d, "_COMMITTED")
+            ):
+                stores.append(
+                    spark.read.schema(base.schema).parquet(
+                        f"{droot}/{d}"
+                    )
+                )
+    return stores
+
+
 def ivf_write_index(
     corpus: DataFrame,
     path: str,
@@ -351,14 +439,7 @@ def ivf_write_index(
     qcents = cents.select(
         "cent_id", quantize("cent_vec").alias("qv_cent")
     )
-    assigned = _ivf_cells(
-        _with_qv(corpus, id_col, vec_col, "nid"), qcents, "nid", 1
-    ).select(
-        F.col("nid").alias(id_col),
-        F.col("qv_nid").alias("qv"),
-        F.col("nrm_nid").alias("nrm"),
-        "cell",
-    )
+    assigned = _ivf_assign(corpus, qcents, id_col, vec_col)
     # cells first, centroids LAST: every probe starts by reading the
     # centroids table, so its _SUCCESS doubles as the layout's
     # completeness marker — a crashed partial build fails LOUDLY at
@@ -404,16 +485,17 @@ def ivf_probe_index(
     probe_cells = sorted(
         {r.cell for r in q.select("cell").distinct().collect()}
     )
-    idx = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("cell").isin(probe_cells))
-        .select(
+    # base + committed appends (ivf_append_batch); the literal IN-filter
+    # prunes cell partitions inside every subtree independently
+    idx = None
+    for store in _ivf_cell_stores(spark, path):
+        part = store.where(F.col("cell").isin(probe_cells)).select(
             F.col(id_col).alias("neighbor_id"),
             F.col("qv").alias("qv_neighbor_id"),
             F.col("nrm").alias("nrm_neighbor_id"),
             "cell",
         )
-    )
+        idx = part if idx is None else idx.unionAll(part)
     scored = idx.join(F.broadcast(q), "cell").select(
         query_id_col,
         "neighbor_id",

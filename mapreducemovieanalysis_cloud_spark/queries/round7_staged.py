@@ -432,3 +432,66 @@ def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("removal_rate_micro"),
     )
+
+
+def _ann_ivf_inc_oracle() -> str:
+    """Identical to the registered ann_ivf oracle: an incrementally-
+    appended stored index under fixed centroids is bit-identical to the
+    single full build, so the two queries share one truth."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _ann_ivf_oracle,
+    )
+
+    return _ann_ivf_oracle()
+
+
+@_staged("ann_ivf_incremental", oracle=_ann_ivf_inc_oracle())
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of an INCREMENTALLY-maintained stored IVF index: base build
+    over a corpus prefix, the remainder appended as a committed delta
+    batch (``similarity.ivf_append_batch`` — idempotent per-batch
+    overwrite + ``_COMMITTED`` marker, the invindex durability
+    protocol), probed with the same parameters as the registered
+    ``ann_ivf``.  Because cell assignment is per-vector under fixed
+    centroids, the incremental index answers EXACTLY like the inline
+    operator — same oracle, no weaker "rows-only" tier — while the
+    maintenance cost of adding a batch is O(batch), not O(corpus).
+
+    Scale: this is the ANN-index story a 100 TB corpus needs — the
+    base build is write-once, daily arrivals land as delta batches,
+    probes prune cells inside every subtree independently, and
+    compaction is a rebuild into a fresh fingerprint-keyed path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import similarity
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivf_inc",
+        leaf,
+        f"v1-{fp}",
+    )
+    # build-if-absent keyed on the LAST artifact (the append's commit
+    # marker): a half-done build+append sequence rebuilds cleanly via
+    # the per-directory overwrites
+    marker = os.path.join(path, "cells_delta", "batch=b1", "_COMMITTED")
+    if not os.path.exists(marker):
+        similarity.ivf_write_index(
+            emb.where(F.col("vec_id") < 250), path, n_centroids=8
+        )
+        similarity.ivf_append_batch(
+            spark, path, emb.where(F.col("vec_id") >= 250), "b1"
+        )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_probe_index(spark, path, queries, k=10, nprobe=2)

@@ -463,6 +463,140 @@ def test_ivf_stored_index_matches_inline_operator(spark, oracle_sf_dir, tmp_path
     assert "PartitionFilters: [cell" in plan.replace("\n", " "), plan
 
 
+def test_ivf_append_equals_full_build(spark, oracle_sf_dir, tmp_path):
+    """Incremental index maintenance: build on a prefix, append the rest
+    as committed delta batches — probing must equal a single full build
+    (fixed centroids make assignment per-vector), an uncommitted batch
+    must be invisible, and a retried append must not duplicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    corpus = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = (
+        corpus.where(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(5)
+    )
+    full_path = str(tmp_path / "ivf_full")
+    ivf_write_index(corpus, full_path, n_centroids=8)
+    want = sorted(
+        map(tuple, ivf_probe_index(spark, full_path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+
+    # prefix covers the centroid ids, so both indexes share centroids
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_write_index(
+        corpus.where(F.col("vec_id") < 200), inc_path, n_centroids=8
+    )
+    batch1 = corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 0)
+    )
+    batch2 = corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 1)
+    )
+    ivf_append_batch(spark, inc_path, batch1, "b1")
+    # retried batch: same id rewrites its own directory, no duplicates
+    ivf_append_batch(spark, inc_path, batch1, "b1")
+    ivf_append_batch(spark, inc_path, batch2, "b2")
+    got = sorted(
+        map(tuple, ivf_probe_index(spark, inc_path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    assert got == want
+
+    # a crashed (uncommitted) append must be invisible to probes
+    os.remove(os.path.join(inc_path, "cells_delta", "batch=b2",
+                           "_COMMITTED"))
+    partial = sorted(
+        map(tuple, ivf_probe_index(spark, inc_path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    base_plus_b1 = str(tmp_path / "ivf_b1")
+    ivf_write_index(
+        corpus.where(
+            (F.col("vec_id") < 200)
+            | ((F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 0))
+        ),
+        base_plus_b1,
+        n_centroids=8,
+    )
+    want_b1 = sorted(
+        map(tuple, ivf_probe_index(spark, base_plus_b1, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    assert partial == want_b1
+    # the retry heals: re-append writes the marker back
+    ivf_append_batch(spark, inc_path, batch2, "b2")
+    healed = sorted(
+        map(tuple, ivf_probe_index(spark, inc_path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    assert healed == want
+
+
+def test_ivf_empty_append_is_harmless(spark, oracle_sf_dir, tmp_path):
+    """An EMPTY committed batch (a quiet ingest window) must not break
+    probes: delta reads are schema-pinned to the base store, so a
+    part-file-less batch directory reads as zero rows."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    corpus = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = (
+        corpus.where(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(3)
+    )
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, n_centroids=8)
+    want = sorted(
+        map(tuple, ivf_probe_index(spark, path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    ivf_append_batch(
+        spark, path, corpus.where(F.lit(False)), "empty_day"
+    )
+    got = sorted(
+        map(tuple, ivf_probe_index(spark, path, queries, k=5,
+                                   nprobe=2).collect())
+    )
+    assert got == want
+
+
+def test_ivf_append_to_missing_index_fails_loudly(spark, tmp_path):
+    """Appending to a path with no centroids (half-built or absent
+    layout) must raise, not silently assign against nothing."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ivf_append_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, [1.0] * 8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(AnalysisException):
+        ivf_append_batch(
+            spark, str(tmp_path / "nope"), batch, "b1"
+        )
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A batch doc sharing a long run with the reference must be flagged;
     a disjoint doc must survive with zero shared fingerprints."""

@@ -209,8 +209,10 @@ def test_transition_matrix_single_event_shuffle(spark, sf_dir):
 def test_profile_approx_within_hll_tolerance(spark, oracle_sf_dir):
     """The HLL profile tier agrees with the exact profile on every
     metric except n_distinct, and its distinct estimates sit within
-    3x the configured relative error — while its plan contains NO
-    Expand (the exact variant's N-fold row amplification)."""
+    3x the configured relative error. NEITHER plan may contain an
+    Expand: the approx tier never had one, and the exact tier's
+    union-of-pruned-scans shape exists precisely to avoid the N-fold
+    row amplification a mixed count_distinct aggregate plans into."""
     from mapreducemovieanalysis_cloud_spark import plans
     from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
         profile_columns,
@@ -226,7 +228,9 @@ def test_profile_approx_within_hll_tolerance(spark, oracle_sf_dir):
     }
     approx_df = profile_columns_approx(orders, cols, rsd=0.05)
     assert "Expand" not in plans.executed_plan(approx_df)
-    assert "Expand" in plans.executed_plan(profile_columns(orders, cols))
+    assert "Expand" not in plans.executed_plan(
+        profile_columns(orders, cols)
+    )
     for r in approx_df.collect():
         e = exact[r["column_name"]]
         assert r["n_rows"] == e["n_rows"]
