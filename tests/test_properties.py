@@ -544,3 +544,94 @@ def test_ngram_lm_matches_python_reference(spark, texts):
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) <= 1
         assert abs(got[i][2] - want[i][2]) <= 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_profile_columns_matches_bruteforce(spark, rows):
+    """The union-of-pruned-scans exact profile must agree with a plain
+    Python computation of rows/nulls/distinct/min/max per column —
+    randomized null placement and duplicate density, both an int and a
+    string column."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        profile_columns,
+    )
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("i", IntegerType(), True),
+            StructField("s", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(2)
+    got = {
+        r["column_name"]: r
+        for r in profile_columns(df, ["i", "s"]).collect()
+    }
+    for col, idx in (("i", 0), ("s", 1)):
+        vals = [r[idx] for r in rows]
+        nn = [v for v in vals if v is not None]
+        r = got[col]
+        assert r["n_rows"] == len(vals)
+        assert r["n_nulls"] == len(vals) - len(nn)
+        assert r["n_distinct"] == len(set(nn))
+        assert r["min_value"] == (str(min(nn)) if nn else None)
+        assert r["max_value"] == (str(max(nn)) if nn else None)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_duplicate_passages_matches_bruteforce(spark, docs, n):
+    """The two-stage (fp, doc) rollup must produce exactly the naive
+    per-window statistics: distinct docs, total occurrences, first doc —
+    randomized window overlap and same-doc repeats (the partial-collapse
+    path the Expand-free rework has to keep correct)."""
+    from collections import defaultdict
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        duplicate_passages,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["passage"]: (r["n_docs"], r["n_occurrences"], r["first_doc"])
+        for r in duplicate_passages(
+            sdf, n=n, min_docs=2, topk=1000
+        ).collect()
+    }
+    by_passage = defaultdict(list)
+    for doc_id, toks in enumerate(docs):
+        for i in range(len(toks) - n + 1):
+            by_passage[" ".join(toks[i : i + n])].append(doc_id)
+    want = {
+        p: (len(set(ds)), len(ds), min(ds))
+        for p, ds in by_passage.items()
+        if len(set(ds)) >= 2
+    }
+    assert got == want
