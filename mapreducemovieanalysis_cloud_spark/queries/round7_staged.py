@@ -434,6 +434,115 @@ def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_staged(
+    "dsir_weights_en",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS gram FROM toks),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t)-1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    db AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5('dsir:' || gram), 1, 4))
+                       AS INTEGER) % 1024 AS bucket,
+                  COUNT(*) AS c
+           FROM grams GROUP BY 1, 2),
+    mem AS (SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+            FROM documents),
+    raw AS (SELECT bucket, SUM(c) AS c_r FROM db GROUP BY 1),
+    tgt AS (SELECT bucket, SUM(c) AS c_t
+            FROM db JOIN mem USING (doc_id) WHERE is_t = 1 GROUP BY 1),
+    d AS (SELECT raw.bucket, c_r, COALESCE(c_t, 0) AS c_t
+          FROM raw LEFT JOIN tgt USING (bucket)),
+    tot AS (SELECT SUM(c_r) AS tot_r, SUM(c_t) AS tot_t FROM d)
+    SELECT db.doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(ROUND((SUM(c * (ln(CAST(c_t + 1 AS DOUBLE))
+                               - ln(CAST(c_r + 1 AS DOUBLE))))
+                 + SUM(c) * (ln(CAST(MAX(tot_r) + 1024 AS DOUBLE))
+                             - ln(CAST(MAX(tot_t) + 1024 AS DOUBLE))))
+                 * 1000000) AS BIGINT) AS log_weight_micro
+    FROM db JOIN d USING (bucket) CROSS JOIN tot
+    GROUP BY db.doc_id
+    """,
+)
+def dsir_weights_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023)
+    toward the English sub-corpus: the data-selection score a curation
+    run resamples by to shift a raw pool toward a target distribution.
+    Buckets are ``md5_bucket`` (engine-neutral); both distributions are
+    add-1 ratios of integer counts; micro-rounded BIGINT output.
+    Scale posture in operators/dsir.py (one corpus pass, K-row
+    broadcast distributions)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return dsir.dsir_log_weights(docs, F.col("lang") == "en")
+
+
+@_staged(
+    "source_overlap_bottomk",
+    oracle=r"""
+    WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+           FROM (SELECT source, t,
+                        unnest(generate_series(1, len(t)-2)) AS i
+                 FROM toks WHERE len(t) >= 3)),
+    sk AS (SELECT source, h FROM (
+             SELECT source, h,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+                        AS r
+             FROM sh) WHERE r <= 64),
+    cand AS (SELECT DISTINCT x.source AS source_a, y.source AS source_b
+             FROM sk x JOIN sk y USING (h)
+             WHERE x.source < y.source),
+    m AS (SELECT source_a, source_b, h,
+                 MAX(in_a) AS in_a, MAX(in_b) AS in_b
+          FROM (SELECT c.source_a, c.source_b, s.h,
+                       1 AS in_a, 0 AS in_b
+                FROM cand c JOIN sk s ON s.source = c.source_a
+                UNION ALL
+                SELECT c.source_a, c.source_b, s.h, 0, 1
+                FROM cand c JOIN sk s ON s.source = c.source_b)
+          GROUP BY 1, 2, 3),
+    rk AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source_a, source_b ORDER BY h) AS r
+           FROM m)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_union_used,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(SUM(in_a * in_b) * 1000000 // COUNT(*) AS BIGINT)
+               AS jaccard_est_micro
+    FROM rk WHERE r <= 64 GROUP BY 1, 2
+    """,
+)
+def source_overlap_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix via bottom-k (KMV) shingle
+    sketches — the audit that decides whether two sources double-count
+    content before mixing weights are committed.  Exact-integer md5
+    arithmetic end-to-end (no floats), so the DuckDB oracle reproduces
+    the estimator bit-for-bit; pairs with no shared sketch hash are
+    absent by design (estimate 0 — this is also what keeps the pair
+    set near-linear at 10k+ sources).  The oracle's single-window
+    bottom-k equals the operator's two-phase bucket-prefiltered one:
+    every global top-k row survives its bucket's local top-k, so phase
+    two re-ranks a superset.  Scale posture in
+    operators/corpus_overlap.py."""
+    from mapreducemovieanalysis_cloud_spark.operators import corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return corpus_overlap.pairwise_overlap(docs, n=3, k=64)
+
+
 def _ann_ivf_inc_oracle() -> str:
     """Identical to the registered ann_ivf oracle: an incrementally-
     appended stored index under fixed centroids is bit-identical to the

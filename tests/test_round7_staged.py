@@ -70,3 +70,54 @@ def test_ngram_lm_short_docs_absent_not_zero(spark):
     )
     scored = ngram_lm.score_documents(docs, ngram_lm.ngram_model(docs))
     assert [r.doc_id for r in scored.collect()] == [1]
+
+
+def test_dsir_separates_target_from_offtarget(spark):
+    """Behavioral check of the importance weight itself: with a target
+    sub-corpus in one vocabulary and off-target docs in a disjoint one,
+    a raw doc written in the target vocabulary must out-weigh a raw doc
+    in the off-target vocabulary — the selector actually pulls toward
+    the target distribution."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dsir
+
+    target = [(i, "alpha beta gamma delta alpha beta", 1) for i in range(10)]
+    off = [(100 + i, "zork quux fnord blarg zork quux", 0) for i in range(10)]
+    probe = [
+        (900, "alpha beta gamma delta", 0),  # target-like
+        (901, "zork quux fnord blarg", 0),  # off-target-like
+    ]
+    docs = spark.createDataFrame(
+        target + off + probe, "doc_id long, text string, is_t int"
+    )
+    w = {
+        r.doc_id: r.log_weight_micro
+        for r in dsir.dsir_log_weights(docs, F.col("is_t") == 1).collect()
+    }
+    assert w[900] > w[901]
+
+
+def test_bottomk_overlap_identical_and_disjoint(spark):
+    """Identical corpora estimate Jaccard 1.0; disjoint corpora share no
+    sketch hash and are absent from the pair report."""
+    from mapreducemovieanalysis_cloud_spark.operators import corpus_overlap
+
+    text_x = "one two three four five six seven eight nine ten"
+    text_y = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    docs = spark.createDataFrame(
+        [
+            ("a", text_x),
+            ("b", text_x),  # b identical to a
+            ("c", text_y),  # c disjoint from both
+        ],
+        "source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in corpus_overlap.pairwise_overlap(docs, n=3, k=8).collect()
+    }
+    assert set(rows) == {("a", "b")}
+    ab = rows[("a", "b")]
+    assert ab.n_both == ab.n_union_used
+    assert ab.jaccard_est_micro == 1000000
