@@ -16,7 +16,7 @@ are the first k vectors by id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -353,4 +353,54 @@ def star_components(
             F.col("u").alias(id_col),
             F.coalesce("component", "u").alias("component"),
         )
+    )
+
+
+def canonical_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    priority: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection per near-dup component: within each component
+    keep the doc maximizing ``priority`` (ties broken by MIN id), and
+    report every doc's verdict — the step that turns a dedup clustering
+    into an actual keep/drop decision.  Production pipelines keep the
+    LONGEST or highest-quality member of a near-dup cluster rather than
+    the arbitrary min-id one (the longest version of a boilerplate-
+    wrapped page is usually the most complete); ``priority`` is any
+    integer-valued Column over ``docs`` (e.g. ``F.length("text")``).
+
+    Returns (id_col, component, priority, survivor_id, is_survivor) for
+    EVERY doc in ``components`` (singletons survive trivially).
+
+    Scale: the arg-max is a partial-aggregatable ``max(struct(priority,
+    -id))`` per component — no per-component window ever sorts member
+    lists, so a pathological giant component costs a skewed-key
+    aggregate, not a single-task sort.  The verdict join-back is a
+    component-keyed equi-join; both sides arrive pre-shuffled on
+    ``component`` from the agg, so AQE plans it without a new exchange
+    class.  Priority must be integer-valued: float priorities would put
+    cross-engine tie-breaking at the mercy of last-ulp disagreement.
+    """
+    labeled = components.join(
+        docs.select(F.col(id_col), priority.cast("long").alias("priority")),
+        id_col,
+    )
+    best = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("priority").alias("_p"),
+                (-F.col(id_col)).alias("_nid"),
+            )
+        ).alias("_b")
+    )
+    return labeled.join(best, "component").select(
+        id_col,
+        "component",
+        "priority",
+        (-F.col("_b._nid")).cast("long").alias("survivor_id"),
+        (F.col(id_col) == -F.col("_b._nid"))
+        .cast("long")
+        .alias("is_survivor"),
     )

@@ -31,9 +31,7 @@ def _staged(name: str, oracle: str):
     return deco
 
 
-@_staged(
-    "ngram_lm_scores",
-    oracle=r"""
+_NGRAM_LM_ORACLE = r"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                   FROM documents),
     occ AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram, t[i] AS context
@@ -58,8 +56,10 @@ def _staged(name: str, oracle: str):
            CAST(ROUND(SUM(occn * term) / SUM(occn) * 1000000) AS BIGINT)
                AS avg_neg_logprob_micro
     FROM j GROUP BY 1
-    """,
-)
+    """
+
+
+@_staged("ngram_lm_scores", oracle=_NGRAM_LM_ORACLE)
 def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram add-1 LM score per document (CCNet-style
     quality signal): every add-k probability is a ratio of integer
@@ -604,3 +604,157 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_probe_index(spark, path, queries, k=10, nprobe=2)
+
+
+def _survivors_oracle() -> str:
+    """Components closure (imported, lockstep with dedup_clusters) + the
+    arg-max-priority survivor rule as a per-component window."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+    )
+
+    return f"""
+    WITH comp AS ({_components_oracle()}),
+    j AS (SELECT comp.doc_id, comp.component,
+                 CAST(length(d.text) AS BIGINT) AS priority
+          FROM comp JOIN documents d USING (doc_id)),
+    best AS (SELECT component, doc_id AS survivor_id FROM (
+               SELECT component, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY priority DESC, doc_id) AS r
+               FROM j) WHERE r = 1)
+    SELECT j.doc_id, j.component, j.priority, best.survivor_id,
+           CAST(CASE WHEN j.doc_id = best.survivor_id
+                THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM j JOIN best USING (component)
+    """
+
+
+@_staged("dedup_cluster_survivors", oracle=_survivors_oracle())
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per near-dup cluster: MinHash-LSH pairs closed
+    into components (the dedup_clusters closure), then ONE survivor per
+    component by max text length (tie: min doc_id) — the
+    keep-the-most-complete-copy rule production dedup uses instead of
+    keep-min-id.  The arg-max is a partial-aggregatable
+    ``max(struct(priority, -id))`` per component, never a per-component
+    sort; scale posture in ``operators.clustering.canonical_survivors``.
+    The oracle expresses the same rule as a per-component window over
+    the recursive-closure components, so the two stay in lockstep with
+    dedup_clusters."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        canonical_survivors,
+        label_propagation_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comps = label_propagation_components(
+        docs,
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    return canonical_survivors(docs, comps, F.length("text"))
+
+
+_CCNET_ORACLE = f"""
+    WITH scored AS ({_NGRAM_LM_ORACLE}),
+    wl AS (SELECT s.doc_id, d.lang, s.avg_neg_logprob_micro AS score
+           FROM scored s JOIN documents d USING (doc_id)),
+    gs AS (SELECT lang, score, COUNT(*) AS cnt FROM wl GROUP BY 1, 2),
+    cum AS (SELECT lang, score,
+                   COALESCE(SUM(cnt) OVER (PARTITION BY lang
+                       ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+            FROM gs),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM gs GROUP BY 1)
+    SELECT wl.doc_id, wl.lang,
+           wl.score AS avg_neg_logprob_micro,
+           CAST(1 + (cum.cum_before * 3) // tot.n AS BIGINT) AS tercile,
+           CASE 1 + (cum.cum_before * 3) // tot.n
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM wl JOIN cum ON cum.lang = wl.lang AND cum.score = wl.score
+            JOIN tot ON tot.lang = wl.lang
+    """
+
+
+@_staged("ccnet_lm_buckets", oracle=_CCNET_ORACLE)
+def ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail assignment (Wenzek et al. 2020): each
+    LANGUAGE's docs split into LM-score terciles so per-language quality
+    gates replace one global threshold that would starve low-resource
+    languages.  Tercile rule is value-based exact integer arithmetic
+    (``1 + cum_before*3 div n``) over the micro-rounded add-1 bigram LM
+    score; the cumulative count runs as a distributed two-phase prefix
+    sum over the (lang, score) GROUP table — never a per-language
+    window over docs.  Scale posture in operators/ccnet.py."""
+    from mapreducemovieanalysis_cloud_spark.operators import ccnet
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return ccnet.lm_quality_buckets(docs, num_partitions=8)
+
+
+@_staged(
+    "token_fertility_stats",
+    oracle=r"""
+    WITH t AS (SELECT lang, source,
+                      len(string_split_regex(trim(text), '\s+')) AS ws,
+                      len(regexp_extract_all(text,
+                          '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS bpe,
+                      length(text) AS ch
+               FROM documents)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(ch) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) * 1000000 // SUM(ws) AS BIGINT)
+               AS fertility_micro,
+           CAST(SUM(ch) * 1000000 // SUM(bpe) AS BIGINT)
+               AS chars_per_token_micro
+    FROM t GROUP BY 1, 2
+    """,
+)
+def token_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit by (lang, source): subword-ish tokens
+    per whitespace word and chars per subword token — the numbers that
+    decide a corpus's token BUDGET per byte before a training run is
+    costed, and that surface which sources tokenize expensively
+    (fertility rising with markup/code density).  Pure map-side
+    expressions over the scan + one partial-aggregatable groupBy on a
+    bounded (lang, source) key — exact integer ratios, zero extra
+    passes.  The expressions are the established text_stats twins
+    (functions.text.tokens / bpe_ish_token_count)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        T.token_count().alias("ws"),
+        T.bpe_ish_token_count().alias("bpe"),
+        F.length("text").alias("ch"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(SUM(bpe) * 1000000 div SUM(ws) AS BIGINT)"
+        ).alias("fertility_micro"),
+        F.expr(
+            "CAST(SUM(ch) * 1000000 div SUM(bpe) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )

@@ -121,3 +121,67 @@ def test_bottomk_overlap_identical_and_disjoint(spark):
     ab = rows[("a", "b")]
     assert ab.n_both == ab.n_union_used
     assert ab.jaccard_est_micro == 1000000
+
+
+def test_canonical_survivors_rule(spark):
+    """One component {1,2,3}: doc 2 is longest -> survivor; tie between
+    equal-length docs breaks to the smaller id; singleton survives."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        canonical_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaaa"), (9, "z")],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, component long"
+    )
+    out = {
+        r.doc_id: r
+        for r in canonical_survivors(
+            docs, comps, F.length("text")
+        ).collect()
+    }
+    assert out[1].survivor_id == 2  # longest wins
+    assert out[2].is_survivor == 1 and out[3].is_survivor == 0
+    assert out[3].survivor_id == 2  # len tie 2 vs 3 -> min id
+    assert out[9].is_survivor == 1 and out[9].survivor_id == 9
+
+
+def test_ccnet_terciles_partition_per_language(spark):
+    """Six docs per language with strictly ordered LM scores split 2/2/2
+    into head/middle/tail WITHIN each language — a global threshold
+    would have binned them differently across languages."""
+    from mapreducemovieanalysis_cloud_spark.operators import ccnet
+
+    # lang A: natural-ish text with varying repetition; lang B disjoint
+    # vocab so its score range differs from A's.
+    rows = []
+    for i, rep in enumerate(
+        ["a b", "a b a b", "a b c", "a c b", "c b a", "b c a x"]
+    ):
+        rows.append((i, rep, "A"))
+    for i, rep in enumerate(
+        ["q r", "q r q r", "q r s", "q s r", "s r q", "r s q y"]
+    ):
+        rows.append((100 + i, rep, "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet.lm_quality_buckets(docs, num_partitions=4).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) == 6
+        assert sorted(r.tercile for r in rs) == [1, 1, 2, 2, 3, 3], lang
+        # bucket label matches tercile and ordering matches score order
+        for r in rs:
+            assert r.bucket == {1: "head", 2: "middle", 3: "tail"}[
+                r.tercile
+            ]
+        ordered = sorted(rs, key=lambda r: (r.avg_neg_logprob_micro, r.doc_id))
+        assert [r.tercile for r in ordered] == sorted(
+            r.tercile for r in rs
+        )
