@@ -978,3 +978,214 @@ def containment_pairs(
         )
     )
     return out
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int,
+            id_col: str) -> DataFrame:
+    """(id, band_idx, band_key) rows from a signature table — the
+    lsh_candidate_pairs banding, factored so a STORED signature table
+    can be banded without recomputing signatures."""
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b*rows+r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_cols).alias("band_idx", "band_key")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    min_agree: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    survivors_path: str | None = None,
+    batch_id: int | str | None = None,
+):
+    """Incremental NEAR-dup dedup against a persistent MinHash store —
+    the fuzzy sibling of ``incremental_exact_dedup``: the historical
+    corpus's TEXT is never rescanned; only its k-hash signatures
+    (~num_hashes x 8 bytes/doc) persist, and each arriving batch pays
+    O(batch) signature computation plus a band-bucketed join against
+    the stored signature table.
+
+    Per batch: (a) near-dup WITHIN the batch — LSH candidates verified
+    with exact Jaccard on the batch's own shingles (text is in hand),
+    closed into components, min-id survivor (the dedup_clusters rule);
+    (b) each within-batch survivor is dropped if any STORED signature
+    shares a band with it and agrees on >= ``min_agree`` of the
+    ``num_hashes`` minhashes (the classical unbiased Jaccard estimate
+    from signature agreement — exact verification is impossible without
+    the historical text, and storing history shingle sets would be an
+    O(corpus tokens) store; ``min_agree`` defaults to
+    ``ceil(threshold * num_hashes)``, integer arithmetic end-to-end);
+    (c) only SURVIVORS' signatures append to the store — dropped docs
+    add no information.
+
+    Failure semantics and layout are ``incremental_exact_dedup``'s
+    verbatim: flat append (at-least-once; survivors-write-first) or
+    ``batch_id`` epoch layout (exactly-once under retry via per-epoch
+    overwrite + current-batch exclusion on read); the two layouts must
+    not mix on one store path.
+
+    Returns (survivors, store_df_after) where survivors carries
+    (id_col, h0..h{k-1}) — the exact rows appended to the store.
+
+    100 TB posture: banding keys are uniform by hash construction (no
+    skew); the store probe moves (store band rows x batch band rows
+    sharing a key), not the corpus; agreement counting touches only
+    candidate pairs' 2k hash columns. For sustained ingest, bucket the
+    store on band_key (``writers.write_bucketed``) to make the probe
+    co-located, exactly as the exact store's fp-bucketing note."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+        write_epoch,
+    )
+
+    if min_agree is None:
+        min_agree = -(-int(threshold * num_hashes * 1000000) // 1000000)
+    if batch_id is None:
+        for root in (store_path, survivors_path):
+            if root and os.path.isdir(root) and any(
+                e.startswith("batch=") for e in os.listdir(root)
+            ):
+                raise ValueError(
+                    f"{root} holds an epoch (batch=) layout; a flat "
+                    "append (batch_id=None) would mix layouts and break "
+                    "partition discovery — pass a batch_id (or use a "
+                    "fresh store path)"
+                )
+    spark = new_docs.sparkSession
+
+    # (a) within-batch near-dup: the minhash_lsh_dedup pipeline with the
+    # signature table shared (computed ONCE, reused for banding, the
+    # store probe, and the append)
+    sh = shingle_sets(new_docs, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures(
+        new_docs, n, num_hashes, id_col, text_col, shingles=sh
+    ).localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    comps = label_propagation_components(
+        new_docs.select(id_col),
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        id_col=id_col,
+    )
+    within = comps.where(F.col(id_col) == F.col("component")).select(id_col)
+
+    # (b) probe the stored signatures (excluding a crashed prior attempt
+    # of THIS batch, exactly as the exact store's novelty read)
+    try:
+        if batch_id is not None:
+            store = read_epochs(spark, store_path, exclude_batch=batch_id)
+        else:
+            store = spark.read.parquet(store_path)
+        have_store = True
+    except AnalysisException:
+        store = None
+        have_store = False
+    surv_sigs = sigs.join(within, id_col)
+    if have_store:
+        store = store.select(
+            F.col(id_col).alias("_sid"),
+            *[F.col(f"h{i}").alias(f"_sh{i}") for i in range(num_hashes)],
+        )
+        cand_cross = (
+            _banded(surv_sigs, num_hashes, bands, id_col)
+            .join(
+                _banded(
+                    store.select(
+                        F.col("_sid").alias(id_col),
+                        *[
+                            F.col(f"_sh{i}").alias(f"h{i}")
+                            for i in range(num_hashes)
+                        ],
+                    ),
+                    num_hashes,
+                    bands,
+                    id_col,
+                ).select(
+                    F.col(id_col).alias("_sid"), "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .select(id_col, "_sid")
+            .distinct()
+        )
+        agree = (
+            cand_cross.join(surv_sigs, id_col)
+            .join(store, "_sid")
+            .select(
+                id_col,
+                sum(
+                    [
+                        F.when(
+                            F.col(f"h{i}") == F.col(f"_sh{i}"), 1
+                        ).otherwise(0)
+                        for i in range(num_hashes)
+                    ],
+                    F.lit(0),
+                ).alias("_agree"),
+            )
+        )
+        dropped = (
+            agree.where(F.col("_agree") >= min_agree)
+            .select(id_col)
+            .distinct()
+        )
+        surv_sigs = surv_sigs.join(dropped, id_col, "left_anti")
+
+    # (c) persist survivors-first, then append their signatures
+    surv_sigs = surv_sigs.localCheckpoint(eager=True)
+    if batch_id is not None:
+        if survivors_path is not None:
+            write_epoch(surv_sigs, survivors_path, batch_id)
+        write_epoch(surv_sigs, store_path, batch_id)
+    else:
+        if survivors_path is not None:
+            surv_sigs.write.mode("append").parquet(survivors_path)
+        surv_sigs.write.mode("append").parquet(store_path)
+    return surv_sigs, spark.read.parquet(store_path)

@@ -758,3 +758,135 @@ def token_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(ch) * 1000000 div SUM(bpe) AS BIGINT)"
         ).alias("chars_per_token_micro"),
     )
+
+
+def _inc_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, split: int = 250, agree: int = 8
+) -> str:
+    """Full twin of the two-batch incremental MinHash run: chunked-md5
+    signatures (the engine computes k/4 digests and min()s their
+    8-hex-char chunks — the substr offsets here are that layout
+    exactly), per-batch banding + exact-Jaccard-verified components for
+    within-batch survivors, then batch-2 survivors dropped on >= `agree`
+    signature agreement with a stored batch-1 survivor."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b*rows+r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    agree_sum = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM pos),
+    sigs AS (SELECT doc_id, {mins}
+             FROM sh GROUP BY doc_id),
+    br AS ({band_selects}),
+    bb AS (SELECT br.*, CASE WHEN doc_id < {split} THEN 1 ELSE 2 END
+               AS batch FROM br),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bb a JOIN bb b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.batch = b.batch AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+              FROM cands c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE CAST(i.n AS DOUBLE) / (sa.s + sb.s - i.n) >= 0.5),
+    sym AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+            UNION ALL SELECT doc_b AS v, doc_a AS u FROM pairs),
+    reach(v, u) AS (
+        SELECT doc_id AS v, doc_id AS u FROM sigs
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN sym e ON e.v = r.u),
+    comp AS (SELECT v AS doc_id, MIN(u) AS component FROM reach GROUP BY v),
+    within AS (SELECT doc_id FROM comp WHERE doc_id = component),
+    s1 AS (SELECT doc_id FROM within WHERE doc_id < {split}),
+    w2 AS (SELECT doc_id FROM within WHERE doc_id >= {split}),
+    crossc AS (SELECT DISTINCT a.doc_id, b.doc_id AS sid
+               FROM bb a JOIN bb b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               JOIN w2 ON w2.doc_id = a.doc_id
+               JOIN s1 ON s1.doc_id = b.doc_id),
+    agr AS (SELECT c.doc_id, ({agree_sum}) AS ag
+            FROM crossc c
+            JOIN sigs x ON x.doc_id = c.doc_id
+            JOIN sigs y ON y.doc_id = c.sid),
+    dropped AS (SELECT DISTINCT doc_id FROM agr WHERE ag >= {agree}),
+    s2 AS (SELECT doc_id FROM w2
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT doc_id, 'b1' AS batch FROM s1
+    UNION ALL
+    SELECT doc_id, 'b2' AS batch FROM s2
+    """
+
+
+@_staged("incremental_minhash_dedup", oracle=_inc_minhash_oracle())
+def incremental_minhash_dedup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental NEAR-dup store exercised as a two-batch replay:
+    docs with id < 250 ingest as epoch b1 (store is created), the rest
+    as epoch b2 (probed against b1's stored signatures — history text
+    never rescanned).  Returns every survivor with its batch.  Within a
+    batch survivors follow the dedup_clusters min-id-per-component rule
+    under exact-Jaccard >= 0.5 verification; across batches a doc is
+    dropped when >= 8 of its 16 minhashes agree with any stored
+    signature (the unbiased Jaccard estimate — the historical shingle
+    sets no longer exist to verify against).  Scale posture in
+    ``operators.dedup.incremental_minhash_dedup``."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_mh_inc", leaf, f"v1-{fp}"
+    )
+    store, surv = os.path.join(root, "store"), os.path.join(root, "surv")
+    # build-if-absent keyed on the LAST epoch's success marker; a
+    # half-done replay rebuilds cleanly via per-epoch overwrites
+    if not os.path.exists(os.path.join(store, "batch=b2", "_SUCCESS")):
+        incremental_minhash_dedup(
+            docs.where(F.col("doc_id") < 250), store,
+            survivors_path=surv, batch_id="b1",
+        )
+        incremental_minhash_dedup(
+            docs.where(F.col("doc_id") >= 250), store,
+            survivors_path=surv, batch_id="b2",
+        )
+    return read_epochs(spark, surv).select("doc_id", "batch")
