@@ -635,3 +635,102 @@ def test_duplicate_passages_matches_bruteforce(spark, docs, n):
         if len(set(ds)) >= 2
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "en", "en", "es", "de"]),
+            st.integers(-5, 5),
+            st.integers(1, 4),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    nparts=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_two_phase_prefix_sum_matches_window(spark, rows, nparts):
+    """ccnet._grouped_cum_before (two-phase distributed prefix sum) is
+    bit-identical to the naive single-partition window for ANY key
+    skew, duplicate-score collisions, and partition count — integer
+    addition associativity is the whole argument, so machine-check it."""
+    from pyspark.sql import Window
+
+    from mapreducemovieanalysis_cloud_spark.operators.ccnet import (
+        _grouped_cum_before,
+    )
+
+    # collapse to the (grp, score) group table the operator consumes
+    agg: dict = {}
+    for g, s, c in rows:
+        agg[(g, s)] = agg.get((g, s), 0) + c
+    gs = spark.createDataFrame(
+        [(g, s, c) for (g, s), c in agg.items()],
+        "grp string, score long, cnt long",
+    )
+    got = {
+        (r.grp, r.score): r.cum_before
+        for r in _grouped_cum_before(
+            gs, "grp", "score", "cnt", num_partitions=nparts
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r.grp, r.score): r.cb
+        for r in gs.select(
+            "grp",
+            "score",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # component label
+            st.integers(0, 99),  # doc id (deduped below)
+            st.integers(0, 5),  # priority
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_canonical_survivors_matches_bruteforce(spark, members):
+    """The agg-based arg-max survivor equals the brute-force rule
+    (max priority, tie -> min id) for any component shapes and ties."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        canonical_survivors,
+    )
+
+    seen: dict = {}
+    for comp, did, prio in members:
+        seen[did] = (comp, prio)
+    docs = spark.createDataFrame(
+        [(did, "x" * prio) for did, (comp, prio) in seen.items()],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(did, comp) for did, (comp, prio) in seen.items()],
+        "doc_id long, component long",
+    )
+    out = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in canonical_survivors(
+            docs, comps, F.length("text")
+        ).collect()
+    }
+    by_comp: dict = {}
+    for did, (comp, prio) in seen.items():
+        by_comp.setdefault(comp, []).append((did, prio))
+    for comp, mem in by_comp.items():
+        surv = sorted(mem, key=lambda m: (-m[1], m[0]))[0][0]
+        for did, _ in mem:
+            assert out[did] == (surv, 1 if did == surv else 0)
