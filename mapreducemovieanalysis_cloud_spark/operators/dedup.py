@@ -319,6 +319,29 @@ def minhash_signatures(
     )
 
 
+def banded_keys(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_idx, band_key) rows — the exact banding scheme
+    ``lsh_candidate_pairs`` joins on (rows/band = num_hashes/bands,
+    band key = '|'-joined minhash chunks), exposed as its own frame so
+    measurement surfaces (``lsh_band_collision_stats``) audit the
+    production scheme by construction rather than a reimplementation."""
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"h{b*rows+r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_cols).alias("band_idx", "band_key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -328,16 +351,7 @@ def lsh_candidate_pairs(
     """LSH banding: rows/band = num_hashes/bands; docs sharing any band key
     are candidates. Shuffle key is the (band_idx, band_key) pair — uniform by
     hash construction, no skew."""
-    rows = num_hashes // bands
-    band_cols = F.array(
-        *[
-            F.concat_ws("|", *[F.col(f"h{b*rows+r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        F.col(id_col), F.posexplode(band_cols).alias("band_idx", "band_key")
-    )
+    banded = banded_keys(signatures, num_hashes, bands, id_col)
     a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     return (

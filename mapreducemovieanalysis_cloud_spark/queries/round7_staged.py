@@ -890,3 +890,370 @@ def incremental_minhash_dedup_q(
             survivors_path=surv, batch_id="b2",
         )
     return read_epochs(spark, surv).select("doc_id", "batch")
+
+
+# ---- wave 3: quality-rule battery, LSH measurement, packing audit, PMI ----
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "a", "in", "that")
+
+_GOPHER_ORACLE = r"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    per_doc AS (SELECT o.doc_id,
+                       COUNT(*) AS n_words,
+                       SUM(length(o.w)) AS sum_len,
+                       SUM(CASE WHEN regexp_matches(o.w, '[A-Za-z]')
+                                THEN 1 ELSE 0 END) AS n_alpha,
+                       SUM(CASE WHEN lower(o.w) IN
+                                ('the','be','to','of','and','a','in','that')
+                                THEN 1 ELSE 0 END) AS n_stop,
+                       MAX(length(o.w)) AS max_len
+                FROM occ o GROUP BY o.doc_id),
+    flags AS (SELECT t.source,
+                     CASE WHEN p.n_words < 10 OR p.n_words > 100000
+                          THEN 1 ELSE 0 END AS f_wc,
+                     CASE WHEN p.sum_len * 100 < 300 * p.n_words
+                            OR p.sum_len * 100 > 1000 * p.n_words
+                          THEN 1 ELSE 0 END AS f_mwl,
+                     CASE WHEN p.n_alpha * 100 < 80 * p.n_words
+                          THEN 1 ELSE 0 END AS f_ar,
+                     CASE WHEN p.n_stop < 2 THEN 1 ELSE 0 END AS f_sw,
+                     CASE WHEN p.max_len > 20 THEN 1 ELSE 0 END AS f_mx
+              FROM per_doc p JOIN toks t USING (doc_id)),
+    unp AS (SELECT source, 'word_count' AS rule, f_wc AS fail FROM flags
+            UNION ALL
+            SELECT source, 'mean_word_len', f_mwl FROM flags
+            UNION ALL
+            SELECT source, 'alpha_ratio', f_ar FROM flags
+            UNION ALL
+            SELECT source, 'stopwords', f_sw FROM flags
+            UNION ALL
+            SELECT source, 'max_word_len', f_mx FROM flags)
+    SELECT source, rule,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fail) AS BIGINT) AS n_fail,
+           CAST(SUM(fail) * 10000 // COUNT(*) AS BIGINT) AS fail_rate_bp
+    FROM unp GROUP BY source, rule
+    """
+
+
+@_staged("gopher_rules_report", oracle=_GOPHER_ORACLE)
+def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality-rule battery (Rae et al. 2021,
+    Table A1 style) as a per-(source, rule) fail matrix — the audit a
+    curation pipeline runs BEFORE committing a filter, so thresholds are
+    tuned against measured fail rates instead of guessed.  Five rules:
+    word count in [10, 100000], mean word length in [3, 10], >=80% words
+    with an alphabetic char, >=2 stopwords, max word length <= 20.
+
+    Scale: tokens materialized once in their own projection (the HOF
+    no-CSE cliff, SCALE.md); per-doc rule flags are pure map-side array
+    aggregates — no explode, no token-row shuffle; the only exchange is
+    the bounded (source, rule) groupBy after a 5-way stack().  All
+    thresholds integer cross-multiplications, rates in basis points —
+    bit-identical in both engines."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("t")
+    )
+    per_doc = docs.select(
+        "source",
+        F.size("t").alias("n_words"),
+        F.aggregate(
+            "t", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("sum_len"),
+        F.size(F.filter("t", lambda w: w.rlike("[A-Za-z]"))).alias(
+            "n_alpha"
+        ),
+        F.size(
+            F.filter("t", lambda w: F.lower(w).isin(*_GOPHER_STOPS))
+        ).alias("n_stop"),
+        F.array_max(F.transform("t", F.length)).alias("max_len"),
+    )
+    flags = per_doc.select(
+        "source",
+        (
+            (F.col("n_words") < 10) | (F.col("n_words") > 100000)
+        ).cast("long").alias("f_wc"),
+        (
+            (F.col("sum_len") * 100 < 300 * F.col("n_words"))
+            | (F.col("sum_len") * 100 > 1000 * F.col("n_words"))
+        ).cast("long").alias("f_mwl"),
+        (F.col("n_alpha") * 100 < 80 * F.col("n_words"))
+        .cast("long")
+        .alias("f_ar"),
+        (F.col("n_stop") < 2).cast("long").alias("f_sw"),
+        (F.col("max_len") > 20).cast("long").alias("f_mx"),
+    )
+    unp = flags.select(
+        "source",
+        F.expr(
+            "stack(5, 'word_count', f_wc, 'mean_word_len', f_mwl,"
+            " 'alpha_ratio', f_ar, 'stopwords', f_sw,"
+            " 'max_word_len', f_mx) AS (rule, fail)"
+        ),
+    )
+    return unp.groupBy("source", "rule").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fail").alias("n_fail"),
+    ).select(
+        "source",
+        "rule",
+        "n_docs",
+        "n_fail",
+        F.expr("CAST(n_fail * 10000 DIV n_docs AS BIGINT)").alias(
+            "fail_rate_bp"
+        ),
+    )
+
+
+def _lsh_band_stats_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Twin of the production banding (chunked-md5 minhash signatures,
+    '|'-joined band keys — the _inc_minhash_oracle layout) rolled up to
+    per-band bucket statistics."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS INTEGER) AS band_idx,"
+        " {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b*rows+r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM pos),
+    sigs AS (SELECT doc_id, {mins}
+             FROM sh GROUP BY doc_id),
+    br AS ({band_selects}),
+    buckets AS (SELECT band_idx, band_key, COUNT(*) AS c
+                FROM br GROUP BY 1, 2)
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_buckets_multi,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(c) AS BIGINT) AS max_bucket
+    FROM buckets GROUP BY band_idx
+    """
+
+
+@_staged("lsh_band_collision_stats", oracle=_lsh_band_stats_oracle())
+def lsh_band_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH family's no-silent-caps measurement surface
+    (mirror of containment_candidate_stats for the banding scheme): per
+    band, how many buckets exist, how many collide, the implied
+    candidate-pair count Sum c*(c-1)/2, and the largest bucket.  Run it
+    before dedup_minhash_lsh on an unfamiliar corpus — candidate_pairs
+    IS the verify-join input size, and max_bucket growing superlinearly
+    is the skew alarm (a degenerate band key one-tasks the candidate
+    join).
+
+    Scale: the signature build is the production one
+    (operators/dedup.minhash_signatures via banded_keys — measured
+    scheme == shipped scheme by construction); the stats add one
+    (band_idx, band_key) groupBy — the SAME shuffle key the candidate
+    join would use — then a bands-row rollup.  Strictly cheaper than the
+    dedup it predicts."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, n=3, num_hashes=16)
+    banded = banded_keys(sigs, num_hashes=16, bands=4)
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("c") >= 2).cast("long")).alias("n_buckets_multi"),
+        F.sum(F.expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")).alias(
+            "candidate_pairs"
+        ),
+        F.max(F.col("c").cast("long")).alias("max_bucket"),
+    )
+
+
+_PACK_FRAG_ORACLE = r"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\s+'))
+                           AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_prev
+          FROM d),
+    p AS (SELECT source, n_tok, cum_prev % 2048 AS off FROM c),
+    per AS (SELECT source,
+                   CASE WHEN off + n_tok > 2048 THEN 1 ELSE 0 END
+                       AS straddle,
+                   (off + n_tok - 1) // 2048 + 1 AS n_windows
+            FROM p)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(straddle) AS BIGINT) AS n_straddling,
+           CAST(SUM(straddle) * 10000 // COUNT(*) AS BIGINT)
+               AS straddle_rate_bp,
+           CAST(SUM(n_windows) AS BIGINT) AS window_spans,
+           CAST(MAX(n_windows) AS BIGINT) AS max_windows
+    FROM per GROUP BY source
+    """
+
+
+@_staged("packing_fragmentation_audit", oracle=_PACK_FRAG_ORACLE)
+def packing_fragmentation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fragmentation audit of the concat-then-chunk packed layout
+    (pack_sequences): concat packing wastes zero tokens but SPLITS
+    documents across context windows — every straddling doc trains with
+    a truncated attention span on both sides of the cut.  Per source:
+    how many docs straddle a 2048 boundary, the rate, and how many
+    windows each doc spans (window_spans - n_docs = number of cuts).
+    The report a pipeline reads before choosing concat packing vs
+    best-fit binning for a given context length.
+
+    Scale: reuses the distributed two-phase prefix sum
+    (operators/packing.packed_positions — never a single-partition
+    global window); source rides the prefix-sum frame as a pass-through
+    join on doc_id (one equi-join of two narrow corpus-sized frames);
+    the rollup groupBy is bounded by source cardinality."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import (
+        token_count,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.packing import (
+        packed_positions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    packed = packed_positions(docs.select("doc_id", "n_tok"), ctx=2048)
+    per = packed.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        (F.col("pack_offset") + F.col("n_tok") > 2048)
+        .cast("long")
+        .alias("straddle"),
+        F.expr(
+            "CAST((pack_offset + n_tok - 1) DIV 2048 + 1 AS BIGINT)"
+        ).alias("n_windows"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("straddle").alias("n_straddling"),
+        F.expr(
+            "CAST(SUM(straddle) * 10000 DIV COUNT(*) AS BIGINT)"
+        ).alias("straddle_rate_bp"),
+        F.sum("n_windows").alias("window_spans"),
+        F.max("n_windows").alias("max_windows"),
+    )
+
+
+_PMI_ORACLE = r"""
+    WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    pr AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    n AS (SELECT COUNT(*) AS nn FROM pr),
+    bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM pr GROUP BY 1, 2),
+    lc AS (SELECT w1, COUNT(*) AS cx FROM pr GROUP BY 1),
+    rc AS (SELECT w2, COUNT(*) AS cy FROM pr GROUP BY 1)
+    SELECT bc.w1, bc.w2, CAST(bc.cxy AS BIGINT) AS n_pair,
+           CAST(ROUND(ln(CAST(bc.cxy * n.nn AS DOUBLE)
+                         / CAST(lc.cx * rc.cy AS DOUBLE)) * 1000000)
+                AS BIGINT) AS pmi_micro
+    FROM bc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
+    WHERE bc.cxy >= 5
+    ORDER BY pmi_micro DESC, bc.w1 ASC, bc.w2 ASC
+    LIMIT 50
+    """
+
+
+@_staged("pmi_bigrams_top", oracle=_PMI_ORACLE)
+def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by pointwise mutual
+    information over the bigram event space (c_x = occurrences as left
+    element, c_y as right, N = total bigram occurrences) with min
+    support 5 — the classic corpus-statistics pass (phrase mining /
+    word2vec-style preprocessing).  PMI = ln(cxy*N / (cx*cy)), micro-
+    rounded BIGINT with the identical single-ratio expression shape in
+    both engines; ties broken (w1, w2) so the LIMIT set is
+    deterministic.
+
+    Scale: one tokenize pass exploded to bigram rows (the tokenize-pass
+    shuffle class), checkpointed once and reused for all three count
+    tables; left/right marginals join back vocab-keyed (linear, no
+    skew beyond natural Zipf — AQE skew-join handles the head word);
+    the final top-50 is TakeOrderedAndProject, never a global sort.
+    The integer product cxy*N bounds the micro-rounding domain; at
+    extreme corpus sizes (N ~ 1e13) compute the ratio in DOUBLE before
+    the ln instead."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("t")
+    )
+    pairs = (
+        docs.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    n = pairs.agg(F.count(F.lit(1)).alias("nn"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    lc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cx"))
+    rc = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("cy"))
+    return (
+        bc.where(F.col("cxy") >= 5)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("long").alias("n_pair"),
+            F.expr(
+                "CAST(ROUND(ln(CAST(cxy * nn AS DOUBLE)"
+                " / CAST(cx * cy AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+        .orderBy(
+            F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(50)
+    )
