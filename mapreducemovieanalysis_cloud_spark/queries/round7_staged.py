@@ -1257,3 +1257,157 @@ def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+_EMB_HEALTH_ORACLE = r"""
+    WITH comp AS (SELECT vec_id, label,
+                         unnest(embedding) AS x
+                  FROM embeddings),
+    quant AS (SELECT vec_id, label,
+                     CASE WHEN isnan(CAST(x AS DOUBLE))
+                            OR isinf(CAST(x AS DOUBLE))
+                          THEN 1 ELSE 0 END AS bad,
+                     CASE WHEN isnan(CAST(x AS DOUBLE))
+                            OR isinf(CAST(x AS DOUBLE))
+                          THEN 0
+                          ELSE CAST(ROUND(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT) END AS m
+              FROM comp),
+    per_vec AS (SELECT vec_id, label,
+                       SUM(bad) AS n_bad_comp,
+                       SUM(m * m) AS norm2_milli2,
+                       COUNT(*) AS dim
+                FROM quant GROUP BY vec_id, label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN n_bad_comp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(SUM(CASE WHEN norm2_milli2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           CAST(MIN(norm2_milli2) AS BIGINT) AS min_norm2_milli2,
+           CAST(MAX(norm2_milli2) AS BIGINT) AS max_norm2_milli2,
+           CAST(SUM(norm2_milli2) // COUNT(*) AS BIGINT)
+               AS mean_norm2_milli2
+    FROM per_vec GROUP BY label
+    """
+
+
+@_staged("embedding_health_report", oracle=_EMB_HEALTH_ORACLE)
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-table QA report — the gate an ANN/semantic
+    pipeline runs before index build: dimension consistency (a ragged
+    batch poisons every dot product), non-finite components, all-zero
+    vectors (cosine is undefined), and the L2-norm distribution
+    (collapsed or exploding norms flag a broken encoder run).
+
+    Scale: one explode over components (rows = n_vecs x dim — the same
+    volume any reindex reads), map-side partial aggregation to per-vec
+    rows, then a bounded per-label rollup.  Norms are computed on
+    milli-quantized BIGINT components (round(x*1000)^2 sums), so both
+    engines do exact integer arithmetic — no float-sum order
+    sensitivity; 1e-3 resolution is diagnostic-grade for unit-norm-ish
+    embeddings."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.explode("embedding").alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        (
+            F.isnan(F.col("x").cast("double"))
+            | (F.abs(F.col("x").cast("double")) == float("inf"))
+        )
+        .cast("long")
+        .alias("bad"),
+        # non-finite components contribute 0 to the norm (they are
+        # already counted in n_nonfinite); unguarded ROUND(NaN)->BIGINT
+        # throws under ANSI mode in both engines
+        F.expr(
+            "CASE WHEN isnan(CAST(x AS DOUBLE))"
+            " OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE)"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) END"
+        ).alias("m"),
+    )
+    per_vec = comp.groupBy("vec_id", "label").agg(
+        F.sum("bad").alias("n_bad_comp"),
+        F.sum(F.col("m") * F.col("m")).alias("norm2_milli2"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum((F.col("n_bad_comp") > 0).cast("long")).alias("n_nonfinite"),
+        F.sum((F.col("norm2_milli2") == 0).cast("long")).alias("n_zero"),
+        F.min("norm2_milli2").alias("min_norm2_milli2"),
+        F.max("norm2_milli2").alias("max_norm2_milli2"),
+        F.expr(
+            "CAST(SUM(norm2_milli2) DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_norm2_milli2"),
+    )
+
+
+def _cluster_histogram_oracle(thr: float = 0.5) -> str:
+    """Size histogram over the dedup_clusters fixpoint — reuses the
+    registered _components_oracle closure verbatim so the two stay in
+    lockstep."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+    )
+
+    comp = _components_oracle(thr)
+    return f"""
+    WITH comps AS ({comp}),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size
+              FROM comps GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+@_staged("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much duplication, in one table: the size distribution of the
+    near-dup components (cluster_size -> n_clusters, n_docs).  The
+    number a dedup run reports up front — sum(n_docs) - sum(n_clusters)
+    docs would be dropped by keep-one-per-cluster, and a heavy tail
+    (one giant component) says the threshold or the banding is merging
+    the corpus, BEFORE anyone deletes anything.
+
+    Scale: the components fixpoint is the dedup_clusters machinery
+    unchanged (LSH + min-label propagation, localCheckpointed rounds);
+    the histogram adds one component-keyed count and one bounded
+    size-keyed rollup — both tiny next to the fixpoint."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = label_propagation_components(docs, edges)
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.expr("CAST(cluster_size * COUNT(1) AS BIGINT)").alias("n_docs"),
+    )

@@ -201,3 +201,53 @@ def test_packing_fragmentation_brute_force(spark):
     assert got == expect
     for r in out:
         assert r.straddle_rate_bp == r.n_straddling * 10000 // r.n_docs
+
+
+def test_embedding_health_flags_planted_pathologies(spark):
+    """A corpus with one NaN vector, one zero vector, and one ragged
+    (short) vector must surface each in the right counter."""
+    import tempfile
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        embedding_health_report,
+    )
+
+    good = [0.5] * 8
+    rows = [
+        (1, good, 0),
+        (2, [float("nan")] + [0.1] * 7, 0),
+        (3, [0.0] * 8, 1),
+        (4, [0.2] * 4, 1),  # ragged: dim 4 instead of 8
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = {
+            r.label: r
+            for r in embedding_health_report(spark, d).collect()
+        }
+    assert out[0].n_vecs == 2
+    assert out[0].n_nonfinite == 1
+    assert out[0].n_zero == 0
+    # 0.5 milli-quantized = 500; 8 * 500^2 = 2_000_000
+    assert out[0].max_norm2_milli2 == 2_000_000
+    assert out[1].n_zero == 1
+    assert (out[1].min_dim, out[1].max_dim) == (4, 8)
+
+
+def test_cluster_histogram_mass_conservation(spark, oracle_sf_dir):
+    """Sum over the histogram of n_docs must equal the corpus size, and
+    n_docs = cluster_size * n_clusters row-wise — the keep-one savings
+    figure (sum n_docs - sum n_clusters) is then trustworthy."""
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        dedup_cluster_size_histogram,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    rows = dedup_cluster_size_histogram(spark, oracle_sf_dir).collect()
+    n_corpus = load_table(spark, oracle_sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
