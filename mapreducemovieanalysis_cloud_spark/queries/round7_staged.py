@@ -1174,91 +1174,6 @@ def packing_fragmentation_audit(
     )
 
 
-_PMI_ORACLE = r"""
-    WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t
-                  FROM documents),
-    pr AS (SELECT t[i] AS w1, t[i+1] AS w2
-           FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
-                 FROM toks WHERE len(t) >= 2)),
-    n AS (SELECT COUNT(*) AS nn FROM pr),
-    bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM pr GROUP BY 1, 2),
-    lc AS (SELECT w1, COUNT(*) AS cx FROM pr GROUP BY 1),
-    rc AS (SELECT w2, COUNT(*) AS cy FROM pr GROUP BY 1)
-    SELECT bc.w1, bc.w2, CAST(bc.cxy AS BIGINT) AS n_pair,
-           CAST(ROUND(ln(CAST(bc.cxy * n.nn AS DOUBLE)
-                         / CAST(lc.cx * rc.cy AS DOUBLE)) * 1000000)
-                AS BIGINT) AS pmi_micro
-    FROM bc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
-    WHERE bc.cxy >= 5
-    ORDER BY pmi_micro DESC, bc.w1 ASC, bc.w2 ASC
-    LIMIT 50
-    """
-
-
-@_staged("pmi_bigrams_top", oracle=_PMI_ORACLE)
-def pmi_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 adjacent-token collocations by pointwise mutual
-    information over the bigram event space (c_x = occurrences as left
-    element, c_y as right, N = total bigram occurrences) with min
-    support 5 — the classic corpus-statistics pass (phrase mining /
-    word2vec-style preprocessing).  PMI = ln(cxy*N / (cx*cy)), micro-
-    rounded BIGINT with the identical single-ratio expression shape in
-    both engines; ties broken (w1, w2) so the LIMIT set is
-    deterministic.
-
-    Scale: one tokenize pass exploded to bigram rows (the tokenize-pass
-    shuffle class), checkpointed once and reused for all three count
-    tables; left/right marginals join back vocab-keyed (linear, no
-    skew beyond natural Zipf — AQE skew-join handles the head word);
-    the final top-50 is TakeOrderedAndProject, never a global sort.
-    The integer product cxy*N bounds the micro-rounding domain; at
-    extreme corpus sizes (N ~ 1e13) compute the ratio in DOUBLE before
-    the ln instead."""
-    from pyspark.sql import functions as F
-
-    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        tokens("text").alias("t")
-    )
-    pairs = (
-        docs.where(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .localCheckpoint(eager=False)
-    )
-    n = pairs.agg(F.count(F.lit(1)).alias("nn"))
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
-    lc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cx"))
-    rc = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("cy"))
-    return (
-        bc.where(F.col("cxy") >= 5)
-        .join(lc, "w1")
-        .join(rc, "w2")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "w1",
-            "w2",
-            F.col("cxy").cast("long").alias("n_pair"),
-            F.expr(
-                "CAST(ROUND(ln(CAST(cxy * nn AS DOUBLE)"
-                " / CAST(cx * cy AS DOUBLE)) * 1000000) AS BIGINT)"
-            ).alias("pmi_micro"),
-        )
-        .orderBy(
-            F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
-        )
-        .limit(50)
-    )
-
-
 _EMB_HEALTH_ORACLE = r"""
     WITH comp AS (SELECT vec_id, label,
                          unnest(embedding) AS x

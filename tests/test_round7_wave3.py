@@ -101,54 +101,6 @@ def test_band_stats_candidate_pairs_bound_the_production_candidates(
         assert r.max_bucket >= (2 if r.n_buckets_multi else 1)
 
 
-def test_pmi_brute_force_small_corpus(spark):
-    """Brute-force PMI on a constructed corpus: 'new york' co-occurs
-    exclusively, filler bigrams are independent — the collocation must
-    rank first with the exactly-computed micro value."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
-        pmi_bigrams_top,
-    )
-
-    # 10 docs: each "new york" + shuffled filler from a 4-word pool
-    fillers = ["aa bb cc dd", "bb aa dd cc", "cc dd aa bb", "dd cc bb aa"]
-    rows = [
-        (i, f"new york {fillers[i % 4]}", "s", "en")
-        for i in range(12)
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
-    with tempfile.TemporaryDirectory() as d:
-        df.select(
-            "doc_id", "text", "lang", "source",
-            F.length("text").cast("long").alias("n_chars"),
-        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-        out = pmi_bigrams_top(spark, d).collect()
-
-    # brute force in python
-    docs = [r[1].split() for r in rows]
-    pairs = [(t[i], t[i + 1]) for t in docs for i in range(len(t) - 1)]
-    n = len(pairs)
-    from collections import Counter
-
-    cxy = Counter(pairs)
-    cx = Counter(p[0] for p in pairs)
-    cy = Counter(p[1] for p in pairs)
-    expect = {
-        (a, b): round(math.log(c * n / (cx[a] * cy[b])) * 1_000_000)
-        for (a, b), c in cxy.items()
-        if c >= 5
-    }
-    got = {(r.w1, r.w2): r.pmi_micro for r in out}
-    assert got == dict(
-        sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
-    )
-    top = out[0]
-    assert (top.w1, top.w2) == ("new", "york")
-
-
 def test_packing_fragmentation_brute_force(spark):
     """Hand-packed corpus: doc token counts chosen so exactly the docs
     crossing a 64-token boundary straddle; brute-force the layout in
