@@ -185,3 +185,37 @@ def test_ccnet_terciles_partition_per_language(spark):
         assert [r.tercile for r in ordered] == sorted(
             r.tercile for r in rs
         )
+
+
+def test_staged_plan_hygiene(spark, sf_dir):
+    """The registry-wide plan sweep (test_registry.py) only sees
+    registered queries; staged candidates get the same gate here so a
+    promotion can never introduce a CartesianProduct, and every
+    BroadcastNestedLoopJoin must be a deliberate 1-row/tiny-side
+    broadcast listed below."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    BNLJ_BY_DESIGN = {
+        # 1-row vocabulary-size scalar broadcast into the add-1 term
+        "ngram_lm_scores",
+        # 1-row n_docs x 1-row n_candidates report cross join
+        "containment_candidate_stats",
+        # 1024-row hashed-n-gram distributions broadcast back onto the
+        # corpus (bounded by construction, never corpus-sized)
+        "dsir_weights_en",
+        # broadcast query-set x candidate-cell scoring — same design as
+        # the registered ann_ivf whitelist entry
+        "ann_ivf_incremental",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in STAGED_QUERIES.items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BY_DESIGN
+        ):
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
