@@ -734,3 +734,74 @@ def test_canonical_survivors_matches_bruteforce(spark, members):
         surv = sorted(mem, key=lambda m: (-m[1], m[0]))[0][0]
         for did, _ in mem:
             assert out[did] == (surv, 1 if did == surv else 0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet="abc1!.XY the",  # mixes alpha, digit, punct, space-free
+                min_size=1,
+                max_size=25,
+            ).map(lambda w: w.replace(" ", "") or "w"),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_rule_flags_match_bruteforce(spark, docs):
+    """The wave-3 quality-rule battery vs a literal python
+    reimplementation of its five rules, over adversarial token soups
+    (1-char words, all-digit words, 20+-char words, stopword-free
+    docs) — every (rule, fail-count) cell must agree."""
+    import re as _re
+    import tempfile
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        _GOPHER_STOPS,
+        gopher_rules_report,
+    )
+
+    rows = [
+        (i, " ".join(words), "s") for i, words in enumerate(docs)
+    ]
+    expect = {r: 0 for r in (
+        "word_count", "mean_word_len", "alpha_ratio", "stopwords",
+        "max_word_len",
+    )}
+    for _, text, _src in rows:
+        # brute force mirrors Spark's split(trim, \s+) on these inputs
+        ws = text.strip().split()
+        if not ws:
+            ws = [""]
+        n = len(ws)
+        sum_len = sum(len(w) for w in ws)
+        n_alpha = sum(1 for w in ws if _re.search("[A-Za-z]", w))
+        n_stop = sum(1 for w in ws if w.lower() in _GOPHER_STOPS)
+        mx = max(len(w) for w in ws)
+        expect["word_count"] += 1 if (n < 10 or n > 100000) else 0
+        expect["mean_word_len"] += (
+            1 if (sum_len * 100 < 300 * n or sum_len * 100 > 1000 * n)
+            else 0
+        )
+        expect["alpha_ratio"] += 1 if n_alpha * 100 < 80 * n else 0
+        expect["stopwords"] += 1 if n_stop < 2 else 0
+        expect["max_word_len"] += 1 if mx > 20 else 0
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = gopher_rules_report(spark, d).collect()
+    got = {r.rule: r.n_fail for r in out}
+    assert got == expect
