@@ -1326,3 +1326,219 @@ def dedup_cluster_size_histogram(
         F.count(F.lit(1)).alias("n_clusters"),
         F.expr("CAST(cluster_size * COUNT(1) AS BIGINT)").alias("n_docs"),
     )
+
+
+# ---- wave 4: boundary dups, minhash estimator audit ------------------------
+
+_BOUNDARY_ORACLE = r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    ok AS (SELECT doc_id, t, len(t) AS L FROM toks WHERE len(t) >= 3),
+    heads AS (SELECT doc_id, array_to_string(t[1:3], ' ') AS key FROM ok),
+    tails AS (SELECT doc_id, array_to_string(t[L-2:L], ' ') AS key FROM ok)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS boundary_key
+    FROM tails a JOIN heads b USING (key)
+    WHERE a.doc_id <> b.doc_id
+    """
+
+
+@_staged("boundary_overlap_pairs", oracle=_BOUNDARY_ORACLE)
+def boundary_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-duplicate detection: directed pairs where doc A's last 3
+    tokens equal doc B's first 3 — the signature of crawl/segmentation
+    splits (one source document chopped into two records) and of
+    copy-continuation spam.  A dedup class the set-similarity family
+    misses by construction: the overlap is tiny relative to both docs,
+    so Jaccard/containment never fire, but the boundary equality is
+    exact evidence.
+
+    Scale: two map-side projections of a 3-token boundary key and ONE
+    equi-join on it — no explode of interior tokens, cost is
+    corpus-linear.  Boilerplate corpora skew the head key (every page
+    starts with the same banner); AQE skew-join splits those buckets,
+    and the df of a head key bounds its output fan-out exactly like
+    containment's max_df guard would — measure with a groupBy(key)
+    count before raising k if fan-out explodes."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .where(F.size("t") >= 3)
+    )
+    heads = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.concat_ws(" ", F.slice("t", 1, 3)).alias("key"),
+    )
+    tails = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.concat_ws(" ", F.expr("slice(t, size(t) - 2, 3)")).alias("key"),
+    )
+    return (
+        tails.join(heads, "key")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("key").alias("boundary_key"))
+    )
+
+
+def _minhash_est_err_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Signature-agreement Jaccard estimate vs exact Jaccard over the
+    LSH candidate set — sigs/banding CTEs are the _inc_minhash_oracle
+    layout without the batch split."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {key} AS band_key, {b} AS band_idx FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b*rows+r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    agree_sum = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+           FROM pos),
+    sigs AS (SELECT doc_id, {mins}
+             FROM sh GROUP BY doc_id),
+    br AS ({band_selects}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM br a JOIN br b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+              FROM cands c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+    per AS (SELECT c.doc_a, c.doc_b,
+                   ({agree_sum}) * 1000000 // {num_hashes} AS est_micro,
+                   COALESCE(i.n, 0) * 1000000
+                       // (sa.s + sb.s - COALESCE(i.n, 0)) AS exact_micro
+            FROM cands c
+            JOIN sigs x ON x.doc_id = c.doc_a
+            JOIN sigs y ON y.doc_id = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_micro - exact_micro)) // COUNT(*) AS BIGINT)
+               AS mae_micro,
+           CAST(MAX(abs(est_micro - exact_micro)) AS BIGINT)
+               AS max_abs_err_micro,
+           CAST(SUM(CASE WHEN est_micro >= 500000
+                          AND exact_micro < 500000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_accept_at_half
+    FROM per
+    """
+
+
+@_staged("minhash_estimate_error", oracle=_minhash_est_err_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured estimator error of the 16-hash MinHash scheme: over the
+    LSH candidate set, compare the signature-agreement Jaccard estimate
+    (agree/16 — the ONLY similarity signal the incremental near-dup
+    store has for historical docs) against exact shingle Jaccard.
+    Reports MAE, worst case, and how many pairs a >=0.5 agreement
+    threshold would accept that exact Jaccard rejects — i.e. the
+    measured false-accept rate of incremental_minhash_dedup's
+    min_agree=8 rule on THIS corpus.  The no-silent-caps audit for
+    trusting k=16 signatures at scale: rerun with bigger k if
+    mae/false-accepts are unacceptable.
+
+    Scale: the candidate set and both similarity computations are the
+    production dedup's own stages (banding join + verify join) plus a
+    16-comparison map-side expression; one extra one-row rollup.  All
+    integer micro arithmetic — no float comparisons cross-engine."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(docs, 3).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    sigs = minhash_signatures(
+        docs, 3, 16, shingles=sh
+    ).localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sigs, 16, 4)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sx = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"xa{i}") for i in range(16)],
+    )
+    sy = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"xb{i}") for i in range(16)],
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b")
+    )
+    agree = sum(
+        (F.col(f"xa{i}") == F.col(f"xb{i}")).cast("long") for i in range(16)
+    )
+    per = (
+        cands.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            agree.alias("agree"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 1000000"
+                " DIV (s_a + s_b - COALESCE(n, 0)) AS BIGINT)"
+            ).alias("exact_micro"),
+        )
+        .select(
+            F.expr("CAST(agree * 1000000 DIV 16 AS BIGINT)").alias(
+                "est_micro"
+            ),
+            "exact_micro",
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(abs(est_micro - exact_micro)) DIV COUNT(1)"
+            " AS BIGINT)"
+        ).alias("mae_micro"),
+        F.max(F.abs(F.col("est_micro") - F.col("exact_micro"))).alias(
+            "max_abs_err_micro"
+        ),
+        F.sum(
+            (
+                (F.col("est_micro") >= 500000)
+                & (F.col("exact_micro") < 500000)
+            ).cast("long")
+        ).alias("n_false_accept_at_half"),
+    )

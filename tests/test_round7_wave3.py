@@ -203,3 +203,65 @@ def test_cluster_histogram_mass_conservation(spark, oracle_sf_dir):
     assert sum(r.n_docs for r in rows) == n_corpus
     for r in rows:
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_boundary_overlap_planted_pair(spark):
+    """Doc 1 ends with the 3 tokens doc 2 starts with → exactly the
+    directed pair (1, 2); reversed or interior overlaps must NOT
+    fire."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        boundary_overlap_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "s", "en"),
+        (2, "epsilon zeta eta theta iota", "s", "en"),          # head = 1's tail? 1's tail = "delta epsilon zeta"; no
+        (3, "delta epsilon zeta omega psi", "s", "en"),         # head == 1's tail -> pair (1,3)
+        (4, "zeta delta epsilon kappa mu", "s", "en"),          # interior only
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r.doc_a, r.doc_b)
+            for r in boundary_overlap_pairs(spark, d).collect()
+        }
+    assert out == {(1, 3)}
+
+
+def test_minhash_estimate_error_zero_on_identical_docs(spark):
+    """A corpus of byte-identical documents: every candidate pair has
+    exact Jaccard 1.0 AND signature agreement 16/16, so the estimator
+    error must be exactly zero and the false-accept count zero."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        minhash_estimate_error,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text, "s", "en") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        row = minhash_estimate_error(spark, d).collect()[0]
+    assert row.n_pairs == 15  # C(6,2) — banding catches identicals
+    assert row.mae_micro == 0
+    assert row.max_abs_err_micro == 0
+    assert row.n_false_accept_at_half == 0
