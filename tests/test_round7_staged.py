@@ -219,3 +219,32 @@ def test_staged_plan_hygiene(spark, sf_dir):
             offenders_bnlj.append(name)
     assert not offenders_cart, offenders_cart
     assert not offenders_bnlj, offenders_bnlj
+
+
+def test_staged_partition_count_invariance(spark, sf_dir):
+    """The registry invariance pin (tests/test_properties.py) extended
+    to the staged candidates whose kernels involve prefix sums, global
+    distributions, or iterative fixpoints — the classes whose naive
+    formulations are partition-sensitive."""
+    from tests.oracle import _canon
+
+    NAMES = [
+        "packing_fragmentation_audit",  # two-phase prefix sum
+        "ccnet_lm_buckets",             # distributed prefix-sum terciles
+        "dsir_weights_en",              # corpus distributions broadcast
+        "dedup_cluster_size_histogram", # min-label fixpoint rollup
+        "minhash_estimate_error",       # banding + verify joins
+        "leakage_safe_split",           # component-keyed assignment
+    ]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("1", default):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in NAMES:
+                pdf = STAGED_QUERIES[name](spark, sf_dir).toPandas()
+                results.setdefault(name, []).append(_canon(pdf))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} changed under repartitioning"
