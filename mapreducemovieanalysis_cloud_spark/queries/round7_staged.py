@@ -1542,3 +1542,73 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_false_accept_at_half"),
     )
+
+
+_OOV_ORACLE = r"""
+    WITH tok AS (SELECT source,
+                        unnest(string_split_regex(trim(text), '\s+')) AS t
+                 FROM documents),
+    st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tc AS (SELECT t, SUM(c) AS gc FROM st GROUP BY t),
+    vocab AS (SELECT t FROM tc ORDER BY gc DESC, t ASC LIMIT 16)
+    SELECT st.source,
+           CAST(SUM(st.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN st.c ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN st.c ELSE 0 END) * 10000
+                // SUM(st.c) AS BIGINT) AS oov_rate_bp
+    FROM st LEFT JOIN vocab v ON st.t = v.t
+    GROUP BY st.source
+    """
+
+
+@_staged("tokenizer_oov_rate", oracle=_OOV_ORACLE)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per source, the fraction of token
+    occurrences falling outside the corpus's own top-K frequency
+    vocabulary (K=16 here — meaningful against this synthetic corpus's
+    31-type vocabulary; production K is 1e5–1e6).  The report a
+    tokenizer build reads before freezing a vocab: a source with an
+    outlier OOV rate either needs vocab budget or is noise.  Ties at
+    the vocab boundary break lexicographically so the top-K set is a
+    pure function of the counts in both engines.
+
+    Scale: one (source, token) groupBy (the tokenize-pass shuffle
+    class, partial-agg collapsed map-side), a K-row TakeOrdered vocab
+    broadcast back onto the per-source token table, one bounded
+    rollup.  The corpus is never re-scanned for the vocab — it derives
+    from the same grouped table."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        st.groupBy("t")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.col("gc").desc(), F.col("t").asc())
+        .limit(16)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+            F.expr(
+                "CAST(SUM(CASE WHEN in_vocab IS NULL THEN c ELSE 0 END)"
+                " * 10000 DIV SUM(c) AS BIGINT)"
+            ).alias("oov_rate_bp"),
+        )
+    )

@@ -265,3 +265,51 @@ def test_minhash_estimate_error_zero_on_identical_docs(spark):
     assert row.mae_micro == 0
     assert row.max_abs_err_micro == 0
     assert row.n_false_accept_at_half == 0
+
+
+def test_oov_rate_boundary_ties_and_counts(spark):
+    """Hand corpus where the K=16 vocab boundary falls on a count tie:
+    the lexicographically-smaller token must enter the vocab, and the
+    per-source OOV counts must match a python brute force."""
+    import tempfile
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        tokenizer_oov_rate,
+    )
+
+    # 20 token types: t00..t15 frequent, then "zz" and "aa" tied at the
+    # boundary count, plus two rare ones. K=16 keeps t00..t13 (14 types
+    # with count 5) then the count-3 tie {aa, zz} -> both fit? build so
+    # exactly one of the tied pair fits the last slot.
+    words = []
+    for i in range(15):
+        words += [f"t{i:02d}"] * 5          # 15 types, count 5
+    words += ["aa"] * 3 + ["zz"] * 3        # tie at count 3 for slot 16
+    words += ["rare1", "rare2"]             # count 1
+    docs = [
+        (0, " ".join(words), "s1"),
+        (1, "aa zz rare1 extra", "s2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id", "text", F.lit("en").alias("lang"), "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.source: r for r in tokenizer_oov_rate(spark, d).collect()}
+
+    # brute force
+    allw = Counter(words) + Counter("aa zz rare1 extra".split())
+    vocab = set(
+        t for t, _ in sorted(allw.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    )
+    assert "aa" in vocab and "zz" not in vocab  # tie broke lexicographically
+    for src, text in ((("s1"), " ".join(words)), ("s2", "aa zz rare1 extra")):
+        toks = text.split()
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert out[src].n_tokens == len(toks)
+        assert out[src].n_oov == n_oov
+        assert out[src].oov_rate_bp == n_oov * 10000 // len(toks)
