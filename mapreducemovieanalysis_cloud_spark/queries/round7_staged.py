@@ -1612,3 +1612,102 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate_bp"),
         )
     )
+
+
+def _chain_merge_oracle(thr: float = 0.5) -> str:
+    """Per-component direct-vs-implied pair counts.  The verified-pairs
+    and components-closure SQL are the registered dedup_minhash_lsh /
+    dedup_clusters oracles embedded verbatim as derived tables, so the
+    three stay in lockstep by construction."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+        _minhash_oracle,
+    )
+
+    return f"""
+    WITH comps AS (SELECT * FROM ({_components_oracle(thr)}) c),
+    dp AS (SELECT cm.component, COUNT(*) AS n_direct
+           FROM ({_minhash_oracle(thr=thr)}) p
+           JOIN comps cm ON cm.doc_id = p.doc_a
+           GROUP BY 1),
+    sz AS (SELECT component, COUNT(*) AS csize FROM comps GROUP BY 1)
+    SELECT CAST(sz.component AS BIGINT) AS component,
+           CAST(sz.csize AS BIGINT) AS cluster_size,
+           CAST(COALESCE(dp.n_direct, 0) AS BIGINT) AS n_direct_pairs,
+           CAST(sz.csize * (sz.csize - 1) // 2 AS BIGINT) AS implied_pairs,
+           CAST((sz.csize * (sz.csize - 1) // 2
+                 - COALESCE(dp.n_direct, 0)) * 10000
+                // (sz.csize * (sz.csize - 1) // 2) AS BIGINT)
+               AS indirect_rate_bp
+    FROM sz LEFT JOIN dp USING (component)
+    WHERE sz.csize >= 2
+    """
+
+
+@_staged("dedup_chain_merge_audit", oracle=_chain_merge_oracle())
+def dedup_chain_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hairball audit of transitive-closure dedup: per non-singleton
+    near-dup component, how many member pairs were DIRECTLY verified
+    (exact Jaccard >= 0.5) vs merely implied by transitivity
+    (C(size,2) - direct).  A high indirect rate is the chain-merge
+    signature — A~B~C merged a component whose ends A,C are NOT
+    near-dups — the known failure mode of closure-based dedup that
+    silently deletes non-duplicates at scale; read this before trusting
+    keep-one-per-cluster, and route high-indirect components to
+    pairwise survivor rules instead.
+
+    Scale: the pairs and the closure are the production dedup_clusters
+    machinery unchanged (pairs computed once, checkpointed, reused as
+    both the closure's edges and the direct-pair counts); the audit
+    adds two component-keyed counts and one join of component-sized
+    tables."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        label_propagation_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).localCheckpoint(eager=False)
+    comps = label_propagation_components(
+        docs,
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    sz = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    dp = (
+        pairs.join(
+            comps.select(
+                F.col("doc_id").alias("doc_a"), "component"
+            ),
+            "doc_a",
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    return (
+        sz.where(F.col("cluster_size") >= 2)
+        .join(dp, "component", "left")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.coalesce(F.col("n_direct"), F.lit(0))
+            .cast("long")
+            .alias("n_direct_pairs"),
+            F.expr(
+                "CAST(cluster_size * (cluster_size - 1) DIV 2 AS BIGINT)"
+            ).alias("implied_pairs"),
+            F.expr(
+                "CAST((cluster_size * (cluster_size - 1) DIV 2"
+                " - COALESCE(n_direct, 0)) * 10000"
+                " DIV (cluster_size * (cluster_size - 1) DIV 2)"
+                " AS BIGINT)"
+            ).alias("indirect_rate_bp"),
+        )
+    )

@@ -235,6 +235,7 @@ def test_staged_partition_count_invariance(spark, sf_dir):
         "dedup_cluster_size_histogram", # min-label fixpoint rollup
         "minhash_estimate_error",       # banding + verify joins
         "leakage_safe_split",           # component-keyed assignment
+        "dedup_chain_merge_audit",      # closure + direct-pair counts
     ]
     default = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}

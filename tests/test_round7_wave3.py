@@ -313,3 +313,43 @@ def test_oov_rate_boundary_ties_and_counts(spark):
         assert out[src].n_tokens == len(toks)
         assert out[src].n_oov == n_oov
         assert out[src].oov_rate_bp == n_oov * 10000 // len(toks)
+
+
+def test_chain_merge_audit_flags_planted_chain(spark):
+    """Planted A~B~C chain (B bridges two docs that are NOT near-dups
+    of each other): one size-3 component with 2 direct pairs, 3 implied
+    — indirect rate 3333 bp.  The audit surfaces exactly the pair the
+    closure invented."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        dedup_chain_merge_audit,
+    )
+
+    P = [f"p{i}" for i in range(4)]
+    M = [f"m{i}" for i in range(12)]
+    Q = [f"q{i}" for i in range(4)]
+    rows = [
+        (1, " ".join(P + M), "s", "en"),       # A = prefix + middle
+        (2, " ".join(P + M + Q), "s", "en"),   # B = bridge (A ∪ C)
+        (3, " ".join(M + Q), "s", "en"),       # C = middle + suffix
+        (9, "solo unrelated text entirely different", "s", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = dedup_chain_merge_audit(spark, d).collect()
+    assert len(out) == 1  # the singleton never appears
+    r = out[0]
+    assert r.component == 1
+    assert r.cluster_size == 3
+    assert r.n_direct_pairs == 2
+    assert r.implied_pairs == 3
+    assert r.indirect_rate_bp == 3333
