@@ -20,8 +20,14 @@ regression gate, and 213 x 5 repetitions would blow the driver's budget).
 The stdout line keeps only the headline per-query timings so it stays short
 enough to survive any output-capture truncation (BENCH_r01 recorded
 ``parsed: null`` because the full 74-query line was cut mid-stream); the
-complete per-query breakdown is written to ``bench_result.json`` next to this
-file.
+complete per-query breakdown is written to ``bench_result.out.json`` next to
+this file.  SEED vs OUTPUT are split (r06 verdict item 3): the heavy-query
+median-of-3 seed is read from the COMMITTED ``bench_result.json``, while
+every run writes its result to the gitignored ``bench_result.out.json`` —
+so a driver bench run no longer dirties the working tree.  The round-open
+checklist adopts the previous round's adopted measurement by copying
+``bench_result.out.json`` (or the driver's BENCH artifact) over
+``bench_result.json`` and committing it explicitly.
 
 Timing mirrors the reference's driver-side wall clock
 (``MovieRank.java:204-210``) but materializes through Spark's noop sink so the
@@ -146,8 +152,12 @@ def main() -> None:
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
     }
     full = dict(result, queries=timings, spread=spread)
+    # NOT bench_result.json: that file is the committed median-of-3 seed,
+    # and writing the live result there dirtied the tree on every driver
+    # run (r06 verdict item 3) — adoption into the seed is an explicit
+    # round-open commit, never a side effect of running the bench.
     out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.out.json"
     )
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)

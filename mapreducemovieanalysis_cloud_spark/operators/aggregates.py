@@ -172,7 +172,11 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("__k"))
         )
         branch = vt.agg(
-            F.sum("__k").cast("long").alias("n_rows"),
+            # coalesce: sum over the EMPTY value table is NULL, not 0,
+            # and an empty ingest batch is exactly a state this gate
+            # must report — a NULL n_rows falls out of any threshold
+            # comparison silently (r06 advisor)
+            F.coalesce(F.sum("__k"), F.lit(0)).cast("long").alias("n_rows"),
             F.coalesce(
                 F.sum(F.when(F.col("__v").isNull(), F.col("__k"))),
                 F.lit(0),

@@ -374,11 +374,17 @@ def canonical_survivors(
     Returns (id_col, component, priority, survivor_id, is_survivor) for
     EVERY doc in ``components`` (singletons survive trivially).
 
-    Scale: the arg-max is a partial-aggregatable ``max(struct(priority,
-    -id))`` per component — no per-component window ever sorts member
-    lists, so a pathological giant component costs a skewed-key
-    aggregate, not a single-task sort.  The verdict join-back is a
-    component-keyed equi-join; both sides arrive pre-shuffled on
+    Scale: the arg-max is a partial-aggregatable ``min_by(id,
+    struct(-priority, id))`` per component — no per-component window
+    ever sorts member lists, so a pathological giant component costs a
+    skewed-key aggregate, not a single-task sort.  The ordering struct
+    leads with the negated priority (max-priority wins) and breaks ties
+    on the id itself, so the arg-max is deterministic and — because the
+    id is compared natively, never negated — works for STRING doc ids
+    exactly like the rest of the dedup API (the previous
+    ``max(struct(priority, -id))`` shape threw CAST_INVALID_INPUT on
+    string ids under ANSI mode; r06 advisor).  The verdict join-back is
+    a component-keyed equi-join; both sides arrive pre-shuffled on
     ``component`` from the agg, so AQE plans it without a new exchange
     class.  Priority must be integer-valued: float priorities would put
     cross-engine tie-breaking at the mercy of last-ulp disagreement.
@@ -388,19 +394,20 @@ def canonical_survivors(
         id_col,
     )
     best = labeled.groupBy("component").agg(
-        F.max(
+        F.min_by(
+            F.col(id_col),
             F.struct(
-                F.col("priority").alias("_p"),
-                (-F.col(id_col)).alias("_nid"),
-            )
-        ).alias("_b")
+                (-F.col("priority")).alias("_np"),
+                F.col(id_col).alias("_id"),
+            ),
+        ).alias("survivor_id")
     )
     return labeled.join(best, "component").select(
         id_col,
         "component",
         "priority",
-        (-F.col("_b._nid")).cast("long").alias("survivor_id"),
-        (F.col(id_col) == -F.col("_b._nid"))
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id"))
         .cast("long")
         .alias("is_survivor"),
     )

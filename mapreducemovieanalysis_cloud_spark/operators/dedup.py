@@ -994,21 +994,10 @@ def containment_pairs(
     return out
 
 
-def _banded(sigs: DataFrame, num_hashes: int, bands: int,
-            id_col: str) -> DataFrame:
-    """(id, band_idx, band_key) rows from a signature table — the
-    lsh_candidate_pairs banding, factored so a STORED signature table
-    can be banded without recomputing signatures."""
-    rows = num_hashes // bands
-    band_cols = F.array(
-        *[
-            F.concat_ws("|", *[F.col(f"h{b*rows+r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    return sigs.select(
-        F.col(id_col), F.posexplode(band_cols).alias("band_idx", "band_key")
-    )
+# the store probe MUST band with the production scheme itself — a
+# private copy would silently desynchronize within-batch candidates
+# from the store probe if the banding ever changed (r06 advisor)
+_banded = banded_keys
 
 
 def incremental_minhash_dedup(

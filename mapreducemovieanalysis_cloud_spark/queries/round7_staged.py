@@ -637,8 +637,9 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     component by max text length (tie: min doc_id) — the
     keep-the-most-complete-copy rule production dedup uses instead of
     keep-min-id.  The arg-max is a partial-aggregatable
-    ``max(struct(priority, -id))`` per component, never a per-component
-    sort; scale posture in ``operators.clustering.canonical_survivors``.
+    ``min_by(id, struct(-priority, id))`` per component, never a
+    per-component sort; scale posture in
+    ``operators.clustering.canonical_survivors``.
     The oracle expresses the same rule as a per-component window over
     the recursive-closure components, so the two stay in lockstep with
     dedup_clusters."""

@@ -189,9 +189,32 @@ def read_epochs(
             f"{root} is not an epoch layout (no batch= partitions); "
             "epoch and flat layouts must not be mixed on one root"
         )
-    data_schema = spark.read.format(fmt).load(
-        os.path.join(root, epoch_dirs[0])
-    ).schema
+    # Pin the data schema from the first epoch dir whose footers are
+    # readable — NOT unconditionally from epoch_dirs[0]: an epoch dir
+    # with no readable footer (manually cleaned, or an object-store
+    # partial holding only _SUCCESS) would raise AnalysisException,
+    # which dedup callers interpret as "no store yet" — the exact
+    # silent-empty-store inversion this function's docstring warns
+    # about (r06 advisor).  Only when NO epoch yields a schema do we
+    # raise, and then loudly as a corrupt-store error, never as the
+    # missing-path AnalysisException the "no store yet" handlers catch.
+    data_schema = None
+    footer_errs: list[str] = []
+    for e in epoch_dirs:
+        try:
+            data_schema = spark.read.format(fmt).load(
+                os.path.join(root, e)
+            ).schema
+            break
+        except Exception as exc:  # footer unreadable; try the next epoch
+            footer_errs.append(f"{e}: {exc.__class__.__name__}")
+    if data_schema is None:
+        raise ValueError(
+            f"{root} is an epoch layout but no epoch directory has a "
+            f"readable {fmt} footer to pin the data schema from "
+            f"({'; '.join(footer_errs)}); refusing to treat a populated "
+            "store as empty"
+        )
     df = spark.read.format(fmt).schema(
         StructType(
             list(data_schema.fields)

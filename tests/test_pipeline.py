@@ -748,3 +748,53 @@ def test_incremental_dedup_numeric_string_batch_id_roundtrips(
     )
     assert sorted(r.doc_id for r in novel.collect()) == [1, 2]
     assert spark.read.parquet(store).count() == 2
+
+
+def test_read_epochs_schema_pin_skips_footerless_epoch(spark, tmp_path):
+    """An epoch directory holding no readable parquet footer (manually
+    cleaned, or an object-store partial with only _SUCCESS) must not
+    poison the schema pin: read_epochs falls back to the next epoch for
+    footer inference instead of raising AnalysisException — which dedup
+    callers would interpret as "no store yet", the silent-empty-store
+    inversion (r06 advisor)."""
+    import os
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+        write_epoch,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_epoch(df, root, batch_id=1)
+    write_epoch(df.where("id = 2"), root, batch_id=2)
+    # gut the lexicographically FIRST epoch dir down to _SUCCESS only
+    e1 = os.path.join(root, "batch=1")
+    for f in os.listdir(e1):
+        if f != "_SUCCESS":
+            os.remove(os.path.join(e1, f))
+    out = read_epochs(spark, root)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "batch"]
+    assert [(r.id, r.batch) for r in out.collect()] == [(2, "2")]
+
+
+def test_read_epochs_all_footerless_raises_distinct_error(spark, tmp_path):
+    """When NO epoch yields a readable footer the store is corrupt, not
+    absent: read_epochs must raise its own loud ValueError, never the
+    missing-path AnalysisException the "no store yet" handlers catch."""
+    import os
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+        write_epoch,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_epoch(df, root, batch_id=1)
+    e1 = os.path.join(root, "batch=1")
+    for f in os.listdir(e1):
+        if f != "_SUCCESS":
+            os.remove(os.path.join(e1, f))
+    with pytest.raises(ValueError, match="readable"):
+        read_epochs(spark, root)

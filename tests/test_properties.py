@@ -805,3 +805,55 @@ def test_gopher_rule_flags_match_bruteforce(spark, docs):
         out = gopher_rules_report(spark, d).collect()
     got = {r.rule: r.n_fail for r in out}
     assert got == expect
+
+
+def test_profile_columns_empty_input_reports_zero_rows(spark):
+    """An empty ingest batch is a state the validation gate must handle:
+    n_rows/n_nulls/n_distinct are 0 (not NULL — a NULL row count falls
+    out of any threshold comparison silently; r06 advisor)."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame([], "i int, s string")
+    got = {
+        r["column_name"]: r for r in profile_columns(df, ["i", "s"]).collect()
+    }
+    for col in ("i", "s"):
+        r = got[col]
+        assert r["n_rows"] == 0
+        assert r["n_nulls"] == 0
+        assert r["n_distinct"] == 0
+        assert r["min_value"] is None
+        assert r["max_value"] is None
+
+
+def test_canonical_survivors_string_ids(spark):
+    """String doc ids — accepted everywhere else in the dedup family —
+    must work in the survivor rule too (the old max(struct(priority,
+    -id)) arg-max threw CAST_INVALID_INPUT under ANSI mode; r06
+    advisor).  Tie-break is lexicographic min id, matching the oracle's
+    ORDER BY priority DESC, doc_id."""
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        canonical_survivors,
+    )
+
+    docs = spark.createDataFrame(
+        [("d-b", "xxxx"), ("d-a", "xxxx"), ("d-c", "x"), ("e-1", "yy")],
+        "doc_id string, text string",
+    )
+    comps = spark.createDataFrame(
+        [("d-b", "c1"), ("d-a", "c1"), ("d-c", "c1"), ("e-1", "c2")],
+        "doc_id string, component string",
+    )
+    out = {
+        r.doc_id: (r.survivor_id, r.is_survivor)
+        for r in canonical_survivors(docs, comps, F.length("text")).collect()
+    }
+    # c1: d-a and d-b tie on priority 4 -> lexicographic min id d-a wins
+    assert out == {
+        "d-a": ("d-a", 1),
+        "d-b": ("d-a", 0),
+        "d-c": ("d-a", 0),
+        "e-1": ("e-1", 1),
+    }
