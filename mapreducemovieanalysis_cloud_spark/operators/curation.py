@@ -542,3 +542,66 @@ def boilerplate_shingles(
             ),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "a", "in", "that")
+
+
+def gopher_doc_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-document Gopher-style quality-rule flags (Rae et al. 2021,
+    Table A1 style), the SHARED kernel behind the per-source fail-rate
+    report (``gopher_rules_report``) and the end-to-end curation gate
+    (``curate_corpus_v2``) — one implementation so the audit measures
+    exactly the rule the pipeline enforces.
+
+    Five rules, one 0/1 ``f_*`` column each: word count in [10, 100000]
+    (``f_wc``), mean word length in [3, 10] (``f_mwl``), >=80% words
+    containing an alphabetic char (``f_ar``), >=2 stopwords (``f_sw``),
+    max word length <= 20 (``f_mx``).
+
+    Scale: tokens materialized once in their own projection (the HOF
+    no-CSE cliff, SCALE.md); every rule is a pure map-side array
+    aggregate — no explode, no token-row shuffle, no exchange at all.
+    All thresholds integer cross-multiplications so the DuckDB oracle
+    is bit-identical."""
+    toked = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        T.tokens(text_col).alias("__t"),
+    )
+    per_doc = toked.select(
+        id_col,
+        *extra_cols,
+        F.size("__t").alias("__n_words"),
+        F.aggregate(
+            "__t", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("__sum_len"),
+        F.size(F.filter("__t", lambda w: w.rlike("[A-Za-z]"))).alias(
+            "__n_alpha"
+        ),
+        F.size(
+            F.filter("__t", lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+        ).alias("__n_stop"),
+        F.array_max(F.transform("__t", F.length)).alias("__max_len"),
+    )
+    return per_doc.select(
+        id_col,
+        *extra_cols,
+        (
+            (F.col("__n_words") < 10) | (F.col("__n_words") > 100000)
+        ).cast("long").alias("f_wc"),
+        (
+            (F.col("__sum_len") * 100 < 300 * F.col("__n_words"))
+            | (F.col("__sum_len") * 100 > 1000 * F.col("__n_words"))
+        ).cast("long").alias("f_mwl"),
+        (F.col("__n_alpha") * 100 < 80 * F.col("__n_words"))
+        .cast("long")
+        .alias("f_ar"),
+        (F.col("__n_stop") < 2).cast("long").alias("f_sw"),
+        (F.col("__max_len") > 20).cast("long").alias("f_mx"),
+    )

@@ -1,21 +1,22 @@
-"""Round-7 REGISTRY CANDIDATES — implemented, oracle-backed, pytest-
-verified, but NOT yet registered: the registry is frozen at 213 until
-the rotation debt clears (SURVEY.md round-6 ledger item 8), and a new
-entry would enter the driver's stalest-first window immediately,
-displacing one of the planned rotation slots.
+"""Round-7 query wave — REGISTERED as of round 7 (the freeze lifted).
 
-Each entry here is a ready-to-promote (query_fn, oracle_sql) pair in
-the exact shape ``registry.query`` expects; round 7 promotes them by
-moving the definitions into a registered module (or decorating them
-here) once the freeze lifts.  ``tests/test_round7_staged.py`` runs the
-same Spark-vs-DuckDB parity the driver would, so promotion is a
-mechanical flip, not new verification work.
+History: these were built and oracle-parity-tested during round 6 while
+the registry was frozen at 213 (a new entry would have hijacked a
+rotation slot in the driver's stalest-first window; SURVEY.md round-6
+ledger items 8-10).  Round 7 promoted them per the r06 verdict item 1:
+every ``_staged`` entry now ALSO registers through ``registry.query``,
+so the driver's correctness gate covers them directly.  The
+STAGED_QUERIES/STAGED_ORACLES dicts remain as the module's index (the
+parity tests iterate them), but they are no longer a separate contract
+— ``tests/test_round7_staged.py::test_staged_are_registered`` pins that
+every entry is live in the registry with the identical oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -26,7 +27,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 
@@ -895,7 +896,9 @@ def incremental_minhash_dedup_q(
 
 # ---- wave 3: quality-rule battery, LSH measurement, packing audit, PMI ----
 
-_GOPHER_STOPS = ("the", "be", "to", "of", "and", "a", "in", "that")
+from mapreducemovieanalysis_cloud_spark.operators.curation import (  # noqa: E402
+    GOPHER_STOPWORDS as _GOPHER_STOPS,
+)
 
 _GOPHER_ORACLE = r"""
     WITH toks AS (SELECT doc_id, source,
@@ -949,48 +952,22 @@ def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     word count in [10, 100000], mean word length in [3, 10], >=80% words
     with an alphabetic char, >=2 stopwords, max word length <= 20.
 
-    Scale: tokens materialized once in their own projection (the HOF
-    no-CSE cliff, SCALE.md); per-doc rule flags are pure map-side array
-    aggregates — no explode, no token-row shuffle; the only exchange is
-    the bounded (source, rule) groupBy after a 5-way stack().  All
+    Scale: the per-doc flags are the SHARED
+    ``operators.curation.gopher_doc_flags`` kernel (pure map-side array
+    aggregates over one token projection — no explode, no token-row
+    shuffle; the same implementation ``curate_corpus_v2`` enforces, so
+    this report measures exactly the shipped rule); the only exchange
+    is the bounded (source, rule) groupBy after a 5-way stack().  All
     thresholds integer cross-multiplications, rates in basis points —
     bit-identical in both engines."""
     from pyspark.sql import functions as F
 
-    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        gopher_doc_flags,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", tokens("text").alias("t")
-    )
-    per_doc = docs.select(
-        "source",
-        F.size("t").alias("n_words"),
-        F.aggregate(
-            "t", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        ).alias("sum_len"),
-        F.size(F.filter("t", lambda w: w.rlike("[A-Za-z]"))).alias(
-            "n_alpha"
-        ),
-        F.size(
-            F.filter("t", lambda w: F.lower(w).isin(*_GOPHER_STOPS))
-        ).alias("n_stop"),
-        F.array_max(F.transform("t", F.length)).alias("max_len"),
-    )
-    flags = per_doc.select(
-        "source",
-        (
-            (F.col("n_words") < 10) | (F.col("n_words") > 100000)
-        ).cast("long").alias("f_wc"),
-        (
-            (F.col("sum_len") * 100 < 300 * F.col("n_words"))
-            | (F.col("sum_len") * 100 > 1000 * F.col("n_words"))
-        ).cast("long").alias("f_mwl"),
-        (F.col("n_alpha") * 100 < 80 * F.col("n_words"))
-        .cast("long")
-        .alias("f_ar"),
-        (F.col("n_stop") < 2).cast("long").alias("f_sw"),
-        (F.col("max_len") > 20).cast("long").alias("f_mx"),
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_doc_flags(docs)
     unp = flags.select(
         "source",
         F.expr(
@@ -1050,7 +1027,10 @@ def _lsh_band_stats_oracle(num_hashes: int = 16, bands: int = 4) -> str:
            CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_buckets_multi,
            CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
-           CAST(MAX(c) AS BIGINT) AS max_bucket
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(MAX(c) * COUNT(*) > 4 * SUM(c) AS INT) AS skewed,
+           CAST((MAX(c) * COUNT(*) + 4 * SUM(c) - 1) // (4 * SUM(c))
+                AS BIGINT) AS salt_factor
     FROM buckets GROUP BY band_idx
     """
 
@@ -1064,7 +1044,12 @@ def lsh_band_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before dedup_minhash_lsh on an unfamiliar corpus — candidate_pairs
     IS the verify-join input size, and max_bucket growing superlinearly
     is the skew alarm (a degenerate band key one-tasks the candidate
-    join).
+    join).  The alarm carries its remedy (the skew_report_lineitem
+    pattern): ``skewed`` flags a band whose hottest bucket exceeds 4x
+    the band's mean bucket size (cross-multiplied — no division), and
+    ``salt_factor`` is the ceil-ratio salt that flattens it back to
+    ~4x mean — the value to hand ``operators.skew.salted_join``'s
+    ``salt_buckets`` for the candidate self-join on that band.
 
     Scale: the signature build is the production one
     (operators/dedup.minhash_signatures via banded_keys — measured
@@ -1085,13 +1070,31 @@ def lsh_band_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("c")
     )
-    return buckets.groupBy("band_idx").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum((F.col("c") >= 2).cast("long")).alias("n_buckets_multi"),
-        F.sum(F.expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")).alias(
-            "candidate_pairs"
-        ),
-        F.max(F.col("c").cast("long")).alias("max_bucket"),
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("c") >= 2).cast("long")).alias("n_buckets_multi"),
+            F.sum(F.expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")).alias(
+                "candidate_pairs"
+            ),
+            F.max(F.col("c").cast("long")).alias("max_bucket"),
+            F.sum("c").alias("_total"),
+        )
+        .select(
+            "band_idx",
+            "n_buckets",
+            "n_buckets_multi",
+            "candidate_pairs",
+            "max_bucket",
+            F.expr(
+                "CAST(max_bucket * n_buckets > 4 * _total AS INT)"
+            ).alias("skewed"),
+            F.expr(
+                "CAST((max_bucket * n_buckets + 4 * _total - 1)"
+                " div (4 * _total) AS BIGINT)"
+            ).alias("salt_factor"),
+        )
     )
 
 
@@ -1710,5 +1713,159 @@ def dedup_chain_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV (cluster_size * (cluster_size - 1) DIV 2)"
                 " AS BIGINT)"
             ).alias("indirect_rate_bp"),
+        )
+    )
+
+
+def _curate_v2_oracle() -> str:
+    """The flagship curation pipeline's oracle: gopher per-doc flags
+    (the gopher_rules_report SQL kept per-doc), the CCNet tercile
+    assignment (embedded verbatim), the components closure + survivor
+    window (the dedup_cluster_survivors SQL), and the md5_bucket split
+    rule (the leakage_safe_split twin) — each stage IS its standalone
+    oracle, composed as CTEs so the five queries stay in lockstep."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _components_oracle,
+    )
+
+    split = (
+        "CAST(('0x' || substr(md5('split:' || CAST(s.component AS VARCHAR))"
+        ", 1, 4)) AS BIGINT) % 10 = 0"
+    )
+    return f"""
+    WITH lmb AS ({_CCNET_ORACLE}),
+    comp AS (SELECT * FROM ({_components_oracle()}) c),
+    toks AS (SELECT doc_id, source,
+                    string_split_regex(trim(text), '\\s+') AS t
+             FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    per_doc AS (SELECT o.doc_id,
+                       COUNT(*) AS n_words,
+                       SUM(length(o.w)) AS sum_len,
+                       SUM(CASE WHEN regexp_matches(o.w, '[A-Za-z]')
+                                THEN 1 ELSE 0 END) AS n_alpha,
+                       SUM(CASE WHEN lower(o.w) IN
+                                ('the','be','to','of','and','a','in','that')
+                                THEN 1 ELSE 0 END) AS n_stop,
+                       MAX(length(o.w)) AS max_len
+                FROM occ o GROUP BY o.doc_id),
+    gflags AS (SELECT t.doc_id, t.source,
+                      (CASE WHEN p.n_words < 10 OR p.n_words > 100000
+                            THEN 1 ELSE 0 END
+                       + CASE WHEN p.sum_len * 100 < 300 * p.n_words
+                                OR p.sum_len * 100 > 1000 * p.n_words
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN p.n_alpha * 100 < 80 * p.n_words
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN p.n_stop < 2 THEN 1 ELSE 0 END
+                       + CASE WHEN p.max_len > 20 THEN 1 ELSE 0 END)
+                          AS gopher_fails
+               FROM per_doc p JOIN toks t USING (doc_id)),
+    j AS (SELECT comp.doc_id, comp.component,
+                 CAST(length(d.text) AS BIGINT) AS priority
+          FROM comp JOIN documents d USING (doc_id)),
+    best AS (SELECT component, doc_id AS survivor_id FROM (
+               SELECT component, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY priority DESC, doc_id) AS r
+               FROM j) WHERE r = 1),
+    surv AS (SELECT j.doc_id, j.component,
+                    CAST(CASE WHEN j.doc_id = best.survivor_id
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+             FROM j JOIN best USING (component))
+    SELECT g.doc_id, g.source,
+           CAST(g.gopher_fails AS BIGINT) AS gopher_fails,
+           b.tercile, s.is_survivor,
+           CASE WHEN {split} THEN 'val' ELSE 'train' END AS split,
+           CAST(CASE WHEN g.gopher_fails = 0 AND b.tercile < 3
+                      AND s.is_survivor = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM gflags g JOIN lmb b USING (doc_id) JOIN surv s USING (doc_id)
+    """
+
+
+@_staged("curate_corpus_v2", oracle=_curate_v2_oracle())
+def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship modern-pretraining curation pipeline (r06 verdict
+    item 6), composed from the round's new stack with a per-document
+    verdict row: Gopher quality rules (shared
+    ``curation.gopher_doc_flags`` kernel — the audit report measures
+    exactly this gate), CCNet per-language LM terciles (drop the
+    'tail' tercile), near-dup survivor selection (MinHash-LSH pairs ->
+    min-label components -> keep-the-longest ``canonical_survivors``),
+    and the leakage-safe train/val split (whole components assigned by
+    md5_bucket(component), so no near-duplicate of a training doc can
+    reach the eval split).  ``kept`` = passes all gopher rules AND not
+    tail-tercile AND cluster survivor; every doc keeps its full verdict
+    so downstream writers filter/route without recomputing any stage.
+
+    Scale: one documents scan feeds three projected fronts (tokens for
+    gopher flags — map-side only; the bigram LM train/score pair; the
+    shingle->minhash->band front), each pruned to the columns it needs;
+    the joins reassembling the verdict are doc_id equi-joins of
+    doc-count-sized tables.  The heavy shapes are exactly the audited
+    standalone ones: the LM's vocab-bounded grouped counts
+    (operators/ngram_lm.py), the banded LSH candidate join
+    (dedup_minhash_lsh), the O(edges)-per-round closure
+    (dedup_clusters) — nothing new, composed once."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import ccnet, dedup
+    from mapreducemovieanalysis_cloud_spark.operators.clustering import (
+        canonical_survivors,
+        label_propagation_components,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        gopher_doc_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gf = gopher_doc_flags(docs)
+    gpass = gf.select(
+        "doc_id",
+        "source",
+        (
+            F.col("f_wc") + F.col("f_mwl") + F.col("f_ar")
+            + F.col("f_sw") + F.col("f_mx")
+        ).alias("gopher_fails"),
+    )
+    lmb = ccnet.lm_quality_buckets(
+        docs.select("doc_id", "text", "lang"), num_partitions=8
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = label_propagation_components(
+        docs,
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    surv = canonical_survivors(docs, comp, F.length("text"))
+    return (
+        gpass.join(lmb.select("doc_id", "tercile"), "doc_id")
+        .join(surv.select("doc_id", "component", "is_survivor"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "gopher_fails",
+            "tercile",
+            "is_survivor",
+            F.when(
+                md5_bucket(F.col("component"), 10, salt="split:") == 0,
+                "val",
+            )
+            .otherwise("train")
+            .alias("split"),
+            (
+                (F.col("gopher_fails") == 0)
+                & (F.col("tercile") < 3)
+                & (F.col("is_survivor") == 1)
+            )
+            .cast("long")
+            .alias("kept"),
         )
     )

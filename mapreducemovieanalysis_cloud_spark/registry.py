@@ -45,8 +45,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # alphabetical tiebreak.  The generated list lives in _priority.py;
 # tests/test_rotation.py pins that the live registry order matches the
 # recomputed policy, so a stale or hand-edited list fails CI.  The registry
-# is FROZEN this round (no new entries) so the ~50-slot driver window pays
-# down rotation debt exclusively.
+# unfroze in round 7 (the r02/r01 staleness debt cleared through r06):
+# the 23 round-7 entries enter as never-checked and take the head of the
+# window; the remaining slots keep paying down the oldest green rows.
 from mapreducemovieanalysis_cloud_spark._priority import PRIORITY as _PRIORITY
 
 
@@ -100,6 +101,7 @@ def _load_all() -> None:
         import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4l_queries  # noqa: F401
         import mapreducemovieanalysis_cloud_spark.queries.round4m_queries  # noqa: F401
+        import mapreducemovieanalysis_cloud_spark.queries.round7_staged  # noqa: F401
     except ImportError:
         pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

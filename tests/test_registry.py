@@ -86,6 +86,18 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "ann_recall_ivf",
         "hard_negatives_brute",
         "kmeans_embeddings",
+        # round-7 promotions (justifications unchanged from the staged
+        # sweep they graduated from):
+        # 1-row vocabulary-size scalar broadcast into the add-1 term
+        "ngram_lm_scores",
+        # 1-row n_docs x 1-row n_candidates report cross join
+        "containment_candidate_stats",
+        # 1024-row hashed-n-gram distributions broadcast back onto the
+        # corpus (bounded by construction, never corpus-sized)
+        "dsir_weights_en",
+        # broadcast query-set x candidate-cell scoring — same design as
+        # the ann_ivf entry above
+        "ann_ivf_incremental",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in registry.queries().items():

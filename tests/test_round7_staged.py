@@ -23,16 +23,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered_while_frozen():
-    """The freeze contract: staged names must NOT appear in the live
-    registry (a new entry would hijack a rotation slot in the driver's
-    stalest-first window).  Round 7 flips this test to assert the
-    opposite when it promotes them."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-6 freeze test, per
+    the r06 verdict item 1): every round-7 entry must be live in the
+    registry with the IDENTICAL callable and oracle — the driver's
+    correctness gate now covers them directly, and a drift between the
+    module index and the registry would mean the parity tests exercise
+    something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_ngram_lm_gates_planted_gibberish(spark):

@@ -353,3 +353,101 @@ def test_chain_merge_audit_flags_planted_chain(spark):
     assert r.n_direct_pairs == 2
     assert r.implied_pairs == 3
     assert r.indirect_rate_bp == 3333
+
+
+def test_band_stats_salt_factor_on_planted_hot_band(spark, tmp_path):
+    """A planted degenerate bucket (many identical docs -> one band key
+    holds them all) must trip the skew flag and emit the ceil-ratio
+    salt factor the salted_join remedy needs — the alarm carries an
+    actionable output, not just a number (r06 verdict item 7)."""
+    import math
+
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        lsh_band_collision_stats,
+    )
+
+    hot = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    cold = [
+        (100 + i, f"unique{i} words{i} here{i} now{i} more{i}")
+        for i in range(20)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        hot + cold, "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    stats = lsh_band_collision_stats(spark, sf).collect()
+    assert {r.band_idx for r in stats} == {0, 1, 2, 3}
+    for r in stats:
+        # 40 identical signatures share every band's hottest bucket
+        assert r.max_bucket >= 40
+        total = 60  # one banded key per doc per band
+        assert r.skewed == int(r.max_bucket * r.n_buckets > 4 * total)
+        assert r.skewed == 1
+        assert r.salt_factor == math.ceil(
+            r.max_bucket * r.n_buckets / (4 * total)
+        )
+        assert r.salt_factor >= 2
+
+
+def test_curate_corpus_v2_planted_verdicts(spark, tmp_path):
+    """End-to-end curation semantics on planted docs: a 2-word doc is
+    gopher-gated, the token-salad outlier lands in the tail tercile and
+    is LM-gated, the shorter member of a planted near-dup pair loses
+    survivor selection, components never straddle the train/val split,
+    and ``kept`` is exactly the AND of the three gates."""
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        curate_corpus_v2,
+    )
+
+    normal = [
+        (
+            i,
+            f"the cat{i} and the dog{i} walk to the park{i} in that town",
+            "web",
+            "en",
+        )
+        for i in range(12)
+    ]
+    dup_a = (
+        50,
+        "the fish and the bird swim to the lake in that valley",
+        "web",
+        "en",
+    )
+    dup_b = (
+        51,
+        "the fish and the bird swim to the lake in that valley today maybe",
+        "web",
+        "en",
+    )
+    short = (60, "tiny doc", "web", "en")
+    salad = (
+        70,
+        "zxq plork vmnt qqj blarg wex fnord grue zyzzx wibble qux corge",
+        "web",
+        "en",
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        normal + [dup_a, dup_b, short, salad],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in curate_corpus_v2(spark, sf).collect()}
+    assert len(rows) == 16
+    # gopher gate: the 2-word doc fails word_count (and stopwords)
+    assert rows[60].gopher_fails >= 1 and rows[60].kept == 0
+    # LM gate: the token salad is the corpus's worst-scoring doc -> tail
+    assert rows[70].tercile == 3 and rows[70].kept == 0
+    # survivor rule: the longer near-dup member wins, the shorter loses
+    assert rows[51].is_survivor == 1
+    assert rows[50].is_survivor == 0 and rows[50].kept == 0
+    # leakage safety: 50 and 51 share a component -> identical split
+    assert rows[50].split == rows[51].split
+    # kept is exactly the AND of the three gates, for every doc
+    for r in rows.values():
+        assert r.kept == int(
+            r.gopher_fails == 0 and r.tercile < 3 and r.is_survivor == 1
+        )
+    assert sum(r.kept for r in rows.values()) >= 1
