@@ -1,0 +1,383 @@
+"""Round-8 REGISTRY CANDIDATES — implemented, oracle-backed, pytest-
+verified, but NOT registered until the round-8 freeze decision: the
+round-7 verdict's rotation plan dedicates round 8's 50-slot window to
+the 36 r03-latest + 14 oldest-r04 rows (SURVEY.md round-7 ledger item
+10), and a new registry entry would enter the driver window at the
+head, displacing a planned rotation slot.  Same contract as the
+round-6 staging wave: each entry is a ready-to-promote (query_fn,
+oracle_sql) pair in the exact shape ``registry.query`` expects;
+``tests/test_round8_staged.py`` runs the same Spark-vs-DuckDB parity
+the driver would, so promotion is a mechanical flip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+STAGED_ORACLES: dict[str, str] = {}
+STAGED_QUERIES: dict = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _novelty_oracle() -> str:
+    """Shingle CTEs imported from the registered dedup family so the
+    novelty measurement uses the production shingle definition."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _SHINGLE_CTES,
+    )
+
+    return f"""
+    WITH {_SHINGLE_CTES},
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc
+              FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.doc_id = f.first_doc
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN sh.doc_id = f.first_doc
+                    THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+               AS novelty_bp
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.doc_id
+    """
+
+
+@_staged("ngram_novelty_curve", oracle=_novelty_oracle())
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-ordering novelty audit: per document (stream order =
+    doc_id), the fraction of its distinct 3-token shingles never seen
+    in any EARLIER document — the curve a curriculum/ordering decision
+    reads (novelty collapsing toward zero marks the point where
+    additional data is mostly re-statement), and the corpus-level
+    complement of the dedup family: dedup asks "is this doc a copy",
+    novelty asks "how much of this doc is new material".
+
+    First-occurrence attribution is an associative MIN per shingle, so
+    the "seen before" test needs no ordered scan: min(doc_id) per
+    shingle IS the first observer, computed in one gram-keyed partial
+    aggregate exactly like token_doc_frequency.
+
+    Scale: the shingle explode is the tokenize-pass floor every dedup
+    query already pays; the min-agg collapses map-side to one row per
+    distinct shingle (vocabulary-sized, Heaps-law sublinear); the
+    join-back is on the same shingle key (no new exchange class under
+    AQE) and the verdict rollup is doc-keyed.  Nothing is
+    quadratic, nothing windows over the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(docs, 3).localCheckpoint(eager=False)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("CAST(n_novel * 10000 DIV n_shingles AS BIGINT)").alias(
+                "novelty_bp"
+            ),
+        )
+    )
+
+
+def _sweep_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """The registered dedup_minhash_lsh oracle's candidate machinery
+    (sigs/bands/cands/inter CTEs, same md5 signature scheme) with the
+    threshold REMOVED and the Jaccard kept in exact integer permille,
+    bucketed into deciles."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _SHINGLE_CTES,
+    )
+
+    rows = num_hashes // bands
+    mins = ",\n      ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b*rows+r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+              FROM cands c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    jp AS (SELECT LEAST(i.n_common * 1000
+                        // (sa.n + sb.n - i.n_common) // 100, 9) AS bucket
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b),
+    hist AS (SELECT bucket, COUNT(*) AS n_pairs FROM jp GROUP BY 1)
+    SELECT CAST(bucket * 100 AS BIGINT) AS bucket_lo_permille,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+               AS n_pairs_ge
+    FROM hist
+    """
+
+
+@_staged("jaccard_threshold_sweep", oracle=_sweep_oracle())
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the MinHash-LSH dedup: exact
+    Jaccard of every LSH candidate pair (no threshold filter),
+    histogrammed into permille deciles with a reverse-cumulative
+    "pairs at or above this bucket" column — the table you read to
+    CHOOSE dedup_minhash_lsh's threshold on a new corpus (how many
+    pairs each candidate cutoff accepts), instead of inheriting 0.5 on
+    faith.  Complements minhash_estimate_error (which audits the
+    estimator; this audits the decision threshold).
+
+    Scale: identical cost to one dedup_minhash_lsh run minus the final
+    filter — candidates from banding (linear in docs), exact verify
+    linear in candidates; the histogram adds a 10-key rollup and the
+    cumulative sum runs over AT MOST 10 rows (bucket-sized by
+    construction, so the single-partition window is a constant, not a
+    scale risk).  Jaccard is kept in integer permille (n_common*1000
+    div union) — no float division anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_sets(docs, 3).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sigs = minhash_signatures(docs, 3, 16, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, 16, 4)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jp = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least(
+                F.expr("n_common * 1000 DIV (sa + sb - n_common) DIV 100"),
+                F.lit(9),
+            ).alias("bucket")
+        )
+    )
+    hist = jp.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # bucket-sized table (<= 10 rows): the unpartitioned window is a
+    # constant-size reduction, not a corpus-sized sort
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        (F.col("bucket") * 100).cast("long").alias("bucket_lo_permille"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
+    )
+
+
+def _nb_oracle() -> str:
+    return r"""
+    WITH toks AS (SELECT doc_id, source,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+    doc_tot AS (SELECT doc_id, SUM(cnt) AS n_d FROM dt GROUP BY 1),
+    lab AS (SELECT doc_id, source FROM toks),
+    cls AS (SELECT l.source, d.tok, SUM(d.cnt) AS c
+            FROM dt d JOIN lab l USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS t FROM cls GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM dt),
+    term AS (SELECT cls.source, cls.tok,
+                    ln((cls.c + 1.0) / (tot.t + v.v)) AS lp
+             FROM cls JOIN tot USING (source) CROSS JOIN v),
+    base AS (SELECT tot.source, ln(1.0 / (tot.t + v.v)) AS lp0
+             FROM tot CROSS JOIN v),
+    matched AS (SELECT d.doc_id, term.source,
+                       SUM(d.cnt * term.lp) AS mscore,
+                       SUM(d.cnt) AS mcnt
+                FROM dt d JOIN term ON term.tok = d.tok
+                GROUP BY 1, 2),
+    grid AS (SELECT doc_tot.doc_id, doc_tot.n_d, base.source, base.lp0
+             FROM doc_tot CROSS JOIN base),
+    scores AS (SELECT g.doc_id, g.source,
+                      CAST(ROUND((COALESCE(m.mscore, 0)
+                            + (g.n_d - COALESCE(m.mcnt, 0)) * g.lp0)
+                           * 1000000) AS BIGINT) AS score_micro
+               FROM grid g
+               LEFT JOIN matched m
+                 ON m.doc_id = g.doc_id AND m.source = g.source),
+    pred AS (SELECT doc_id, source AS pred_source,
+                    score_micro AS score_pred_micro
+             FROM (SELECT doc_id, source, score_micro,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score_micro DESC, source) AS r
+                   FROM scores) WHERE r = 1)
+    SELECT l.doc_id, l.source,
+           s.score_micro AS score_own_micro,
+           p.pred_source, p.score_pred_micro,
+           CAST(CASE WHEN p.pred_source = l.source
+                THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM lab l
+    JOIN scores s ON s.doc_id = l.doc_id AND s.source = l.source
+    JOIN pred p ON p.doc_id = l.doc_id
+    """
+
+
+@_staged("quality_nb_scores", oracle=_nb_oracle())
+def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier, trained and scored in
+    one distributed pass — the deterministic analog of the
+    fasttext-style linear quality/domain classifier every modern
+    pretraining pipeline runs (CCNet's LM is the fluency signal;
+    this is the domain-attribution signal: a doc whose own source is
+    NOT its argmax class reads like another source's text, the
+    standard "quality = looks like the target domain" filter).
+    Per doc: its own-source log-likelihood, the argmax source, and a
+    correctness bit (the corpus-level mean of which is the
+    classifier's resubstitution accuracy).
+
+    Determinism: scores are micro-rounded to BIGINT before the argmax
+    (ties then break on source name), so the prediction is a pure
+    integer comparison in both engines — a last-ulp double wobble
+    cannot flip pred_source; the add-1 term ln((c+1)/(T+V)) is the
+    same double expression in both engines (the ngram_lm pattern).
+
+    Scale: the (source, token) class-count table is vocabulary x
+    n_sources (Heaps-law sublinear), built by one token-keyed partial
+    agg; scoring joins doc term counts to class terms ON TOKEN (the
+    ngram_lm score-join shape — never a broadcast of an unbounded
+    vocab), producing at most n_sources x token_rows intermediate rows
+    (n_sources is a bounded catalog, 10 here); the absent-token
+    smoothing mass is closed-form ((n_d - matched) * lp0) so the grid
+    never materializes vocab-sized rows per doc.  The per-source
+    totals and base terms broadcast as n_sources-row tables.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    occ = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    dt = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dt = dt.localCheckpoint(eager=False)  # reused: class counts + scoring
+    doc_tot = dt.groupBy("doc_id").agg(F.sum("cnt").alias("n_d"))
+    lab = docs.select("doc_id", "source")
+    cls = (
+        dt.join(lab, "doc_id")
+        .groupBy("source", "tok")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    tot = cls.groupBy("source").agg(F.sum("c").alias("t"))
+    v = dt.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    term = cls.join(F.broadcast(tot), "source").crossJoin(
+        F.broadcast(v)
+    ).select(
+        "source",
+        "tok",
+        F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.col("v"))).alias(
+            "lp"
+        ),
+    )
+    base = tot.crossJoin(F.broadcast(v)).select(
+        "source",
+        F.log(F.lit(1.0) / (F.col("t") + F.col("v"))).alias("lp0"),
+    )
+    matched = (
+        dt.join(term, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lp")).alias("mscore"),
+            F.sum("cnt").alias("mcnt"),
+        )
+    )
+    grid = doc_tot.crossJoin(F.broadcast(base))
+    scores = grid.join(matched, ["doc_id", "source"], "left").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(ROUND((COALESCE(mscore, 0)"
+            " + (n_d - COALESCE(mcnt, 0)) * lp0) * 1000000) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    scores = scores.localCheckpoint(eager=False)  # reused: pred + own
+    # arg-max source per doc: min_by over (-score, source) — the
+    # canonical_survivors shape (max score, ties -> min source name),
+    # deterministic because scores are already integer micro units
+    pred = scores.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct(
+                F.col("source").alias("pred_source"),
+                F.col("score_micro").alias("score_pred_micro"),
+            ),
+            F.struct(
+                (-F.col("score_micro")).alias("_ns"),
+                F.col("source").alias("_src"),
+            ),
+        ).alias("p")
+    ).select("doc_id", "p.pred_source", "p.score_pred_micro")
+    return (
+        lab.join(
+            scores.withColumnRenamed("score_micro", "score_own_micro"),
+            ["doc_id", "source"],
+        )
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "score_own_micro",
+            "pred_source",
+            "score_pred_micro",
+            (F.col("pred_source") == F.col("source"))
+            .cast("long")
+            .alias("correct"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Parity + contracts for the round-8 registry candidates
+(queries/round8_staged.py): the exact Spark-vs-DuckDB comparison the
+driver will run once they promote, the not-registered freeze contract
+(round 8's driver window is reserved for rotation debt per the round-7
+ledger), the staged plan-hygiene sweep, and behavioral checks of each
+measurement's semantics on planted corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_matches_oracle(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, oracle_sf_dir),
+        STAGED_ORACLES[name],
+        oracle_sf_dir,
+    )
+
+
+def test_staged_not_registered_while_rotation_pending():
+    """The round-8 freeze contract (SURVEY.md round-7 ledger item 10):
+    these candidates must NOT appear in the live registry until the
+    r03/r04 rotation debt clears — a new entry would displace one of
+    round 8's planned 50 rotation slots.  The promotion round flips
+    this to assert presence (the round-7 pattern)."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
+
+
+def test_staged_plan_hygiene(spark, sf_dir):
+    """Same gate as the registry-wide sweep: no CartesianProduct ever;
+    BroadcastNestedLoopJoin only for deliberate 1-row/bounded
+    broadcasts listed here."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    BNLJ_BY_DESIGN = {
+        # 1-row vocab-size scalar + n_sources-row base-term broadcasts
+        # into the smoothing terms (the ngram_lm_scores justification)
+        "quality_nb_scores",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in STAGED_QUERIES.items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BY_DESIGN
+        ):
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
+
+
+def test_novelty_curve_planted_order(spark, tmp_path):
+    """First doc is 100% novel; an exact copy later is 0% novel; a doc
+    sharing half its shingles with earlier material scores between."""
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        ngram_novelty_curve,
+    )
+
+    d0 = "alpha beta gamma delta epsilon zeta eta theta"  # 6 shingles
+    # shares its first half of shingles with d0, introduces new ones
+    d1 = "alpha beta gamma delta omega psi chi phi"
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, d0), (2, d1), (3, d0)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in ngram_novelty_curve(spark, sf).collect()}
+    assert rows[1].novelty_bp == 10000
+    assert rows[3].novelty_bp == 0 and rows[3].n_novel == 0
+    assert 0 < rows[2].novelty_bp < 10000
+    # mass conservation: every shingle's first occurrence is counted
+    # exactly once across docs
+    assert sum(r.n_novel for r in rows.values()) == len(
+        {
+            " ".join(ws[i : i + 3])
+            for ws in (d0.split(), d1.split())
+            for i in range(len(ws) - 2)
+        }
+    )
+
+
+def test_threshold_sweep_buckets_bound_the_dedup(spark, oracle_sf_dir):
+    """The sweep's cumulative count at the 500-permille bucket must
+    equal-or-exceed the registered dedup's accepted pairs at
+    threshold 0.5 (the sweep counts >=500-permille pairs in integer
+    floor arithmetic; the dedup accepts jaccard >= 0.5 in float —
+    floor-permille >= 500 implies jaccard >= 0.5 and vice versa), and
+    every bucket is within [0, 900]."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        jaccard_threshold_sweep,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    sweep = jaccard_threshold_sweep(spark, oracle_sf_dir).collect()
+    assert all(0 <= r.bucket_lo_permille <= 900 for r in sweep)
+    # reverse-cumulative is internally consistent
+    by_bucket = sorted(sweep, key=lambda r: -r.bucket_lo_permille)
+    run = 0
+    for r in by_bucket:
+        run += r.n_pairs
+        assert r.n_pairs_ge == run
+    at_500 = sum(
+        r.n_pairs for r in sweep if r.bucket_lo_permille >= 500
+    )
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    accepted = minhash_lsh_dedup(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).count()
+    assert at_500 == accepted
+
+
+def test_nb_scores_separate_planted_vocabularies(spark, tmp_path):
+    """Two sources with disjoint vocabularies must classify perfectly;
+    a doc written in the OTHER source's vocabulary must be attributed
+    to that other source (correct = 0) — the quality-filter semantics
+    the classifier exists for."""
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        quality_nb_scores,
+    )
+
+    a_docs = [
+        (i, f"apple banana cherry date elder fig grape kiwi w{i}", "fruit")
+        for i in range(8)
+    ]
+    b_docs = [
+        (
+            20 + i,
+            f"iron copper zinc nickel cobalt tin lead silver m{i}",
+            "metal",
+        )
+        for i in range(8)
+    ]
+    # labeled 'fruit' but written in metal vocabulary
+    turncoat = (40, "iron copper zinc nickel cobalt tin lead", "fruit")
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        a_docs + b_docs + [turncoat],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in quality_nb_scores(spark, sf).collect()}
+    assert len(rows) == 17
+    for i in range(8):
+        assert rows[i].pred_source == "fruit" and rows[i].correct == 1
+        assert rows[20 + i].pred_source == "metal"
+    t = rows[40]
+    assert t.pred_source == "metal" and t.correct == 0
+    # own-class score is strictly below the predicted class's score
+    assert t.score_own_micro < t.score_pred_micro
+    # and the prediction bit is consistent with the scores everywhere
+    for r in rows.values():
+        assert (r.score_own_micro == r.score_pred_micro) == (r.correct == 1)

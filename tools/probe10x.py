@@ -49,13 +49,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     qs = dict(e.queries())
-    # Staged round-7 candidates are probe-able before they register.
+    # Staged candidates are probe-able before they register.
     from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
-        STAGED_QUERIES,
+        STAGED_QUERIES as _R7,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        STAGED_QUERIES as _R8,
     )
 
-    for k, v in STAGED_QUERIES.items():
-        qs.setdefault(k, v)
+    for staged in (_R7, _R8):
+        for k, v in staged.items():
+            qs.setdefault(k, v)
     for name in names:
         for sf in SFS:
             fn = qs[name]
