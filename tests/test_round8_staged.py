@@ -168,3 +168,92 @@ def test_nb_scores_separate_planted_vocabularies(spark, tmp_path):
     # and the prediction bit is consistent with the scores everywhere
     for r in rows.values():
         assert (r.score_own_micro == r.score_pred_micro) == (r.correct == 1)
+
+
+def test_novelty_matches_bruteforce_property(spark, tmp_path):
+    """Exact-integer brute force over adversarial corpora: repeated
+    docs, shared prefixes, sub-3-token docs (which must be absent from
+    the output), duplicate shingles within a doc."""
+    corpora = [
+        ["a b c d", "a b c d", "a b c d e"],
+        ["x y", "x y z", "z y x w v"],
+        ["p q r p q r p q r", "q r p"],
+    ]
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        ngram_novelty_curve,
+    )
+
+    for ci, texts in enumerate(corpora):
+        sf = str(tmp_path / f"c{ci}")
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).write.parquet(f"{sf}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty_bp)
+            for r in ngram_novelty_curve(spark, sf).collect()
+        }
+        seen: set = set()
+        want = {}
+        for did, text in enumerate(texts):
+            ws = text.split()
+            sh = {
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            }
+            if not sh:
+                continue
+            novel = len(sh - seen)
+            seen |= sh
+            want[did] = (len(sh), novel, novel * 10000 // len(sh))
+        assert got == want
+
+
+def test_nb_scores_match_bruteforce_python(spark, tmp_path):
+    """Independent reimplementation (python floats, same add-1 formula)
+    must agree with the distributed NB to within 1 micro unit on every
+    (doc, own/pred) score, and exactly on pred_source wherever the
+    margin exceeds 2 micro — catches a formula error the hand-written
+    oracle could share with the query."""
+    import math
+
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        quality_nb_scores,
+    )
+
+    docs = [
+        (0, "red red green blue", "paint"),
+        (1, "green blue blue cyan", "paint"),
+        (2, "loam silt clay sand", "soil"),
+        (3, "clay sand sand loam red", "soil"),
+        (4, "red green blue clay", "paint"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in quality_nb_scores(spark, sf).collect()}
+
+    # brute force
+    from collections import Counter, defaultdict
+
+    cls: dict = defaultdict(Counter)
+    for _, text, src in docs:
+        cls[src].update(text.split())
+    vocab = {w for c in cls.values() for w in c}
+    v = len(vocab)
+    tot = {s: sum(c.values()) for s, c in cls.items()}
+
+    def score(text: str, s: str) -> int:
+        lp = 0.0
+        for w, n in Counter(text.split()).items():
+            lp += n * math.log((cls[s][w] + 1.0) / (tot[s] + v))
+        return round(lp * 1_000_000)
+
+    for did, text, src in docs:
+        scores = {s: score(text, s) for s in cls}
+        pred = min(scores, key=lambda s: (-scores[s], s))
+        r = got[did]
+        assert abs(r.score_own_micro - scores[src]) <= 1
+        assert abs(r.score_pred_micro - scores[pred]) <= 1
+        ordered = sorted(scores.values(), reverse=True)
+        if len(ordered) > 1 and ordered[0] - ordered[1] > 2:
+            assert r.pred_source == pred
