@@ -381,3 +381,113 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+def _recall_pq_oracle(n_queries: int = 5, topk: int = 10) -> str:
+    """The registered ann_pq oracle chain (_pq_oracle, verbatim) with a
+    recall tail: PQ ADC top-k LEFT-joined against the exact integer-L2
+    top-k computed over the same quantized ``base`` CTE — so the ground
+    truth and the index read the identical vectors."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _dot,
+        _norm2,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.scale_queries import (
+        _pq_oracle,
+    )
+
+    d2 = (
+        f"{_norm2('q.qv')} - 2 * {_dot('q.qv', 'c.qv')} + {_norm2('c.qv')}"
+    )
+    tail = f"""
+    ,adc AS (SELECT d.query_id, co.vec_id AS neighbor_id,
+                   CAST(SUM(d.d2q) AS BIGINT) AS adc_d2
+            FROM codes co
+            JOIN dtab d ON co.j = d.j AND co.code = d.code
+            WHERE co.vec_id <> d.query_id
+            GROUP BY 1, 2),
+    ptop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+               FROM adc) WHERE rank <= {topk}),
+    etop AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                        ORDER BY {d2} ASC, c.vec_id ASC) AS rank
+               FROM base q, base c
+               WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id)
+             WHERE rank <= {topk})
+    SELECT e.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(p.neighbor_id) * 1000000) // {topk} AS BIGINT)
+             AS recall_micro
+    FROM etop e LEFT JOIN ptop p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+    return _pq_oracle(n_queries=n_queries, topk=topk, tail_sql=tail)
+
+
+@_staged("ann_recall_pq", oracle=_recall_pq_oracle())
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ compressed index against exact integer-L2
+    ground truth, per query — the measured-recall tier for the one ANN
+    variant that did not have one (IVF has ann_recall_ivf): PQ's loss
+    is quantization error in the codes, exactly what this measures.
+    Ground truth is L2 (the metric ADC approximates), computed over the
+    SAME micro-quantized int64 vectors the codes are trained on, so the
+    comparison isolates code error from metric or quantization
+    mismatch.
+
+    Scale: ground truth scores a bounded query SAMPLE (5 queries)
+    against the corpus once — |sample| x corpus multiply-adds behind a
+    broadcast of the sample, the ann_bruteforce shape; the PQ side is
+    the registered ann_pq subtree verbatim; the recall join is
+    k-rows-per-query on both sides (evaluation.recall_at_k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.vector import (
+        qdot_arrow,
+        qnorm2,
+        quantize,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators import evaluation, pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize("embedding").alias("qb"),
+    ).withColumn("bn2", qnorm2(F.col("qb")))
+    q = queries_df.select(
+        "query_id", quantize("embedding").alias("qa")
+    ).withColumn("an2", qnorm2(F.col("qa")))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("an2")
+                - 2 * qdot_arrow(F.col("qa"), F.col("qb"))
+                + F.col("bn2")
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq.ann_pq_topk(
+        emb, queries_df, topk=10, m=4, k=16, iters=2, dim=64
+    )
+    return evaluation.recall_at_k(approx, exact, k=10)

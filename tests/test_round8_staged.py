@@ -49,6 +49,9 @@ def test_staged_plan_hygiene(spark, sf_dir):
         # 1-row vocab-size scalar + n_sources-row base-term broadcasts
         # into the smoothing terms (the ngram_lm_scores justification)
         "quality_nb_scores",
+        # broadcast query-sample x corpus scoring for the exact-L2
+        # ground truth (the ann_bruteforce whitelist justification)
+        "ann_recall_pq",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in STAGED_QUERIES.items():
