@@ -71,37 +71,43 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Imports are UNCONDITIONAL: the original try/except-ImportError let
+    modules land incrementally in round 1, but once the full registry
+    exists a swallowed import error would silently SHRINK it — the
+    driver's bounded correctness window would quietly fall back to
+    whatever still imported, reading as "green" while entire families
+    went unchecked.  A broken query module must fail the very first
+    registry call, loudly, in every consumer (driver, bench, pytest).
+    """
     global _LOADED
     if _LOADED:
         return
+    import mapreducemovieanalysis_cloud_spark.queries.curation_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.functions_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.graph_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.pipeline_queries  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.reference_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.relational  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.relational2  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round3_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4l_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round4m_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round7_staged  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
 
-    try:
-        import mapreducemovieanalysis_cloud_spark.queries.relational  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.relational2  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.functions_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.pipeline_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.curation_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.graph_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round3_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4b_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4c_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4d_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4e_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4f_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4g_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4h_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4i_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4j_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4k_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4l_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round4m_queries  # noqa: F401
-        import mapreducemovieanalysis_cloud_spark.queries.round7_staged  # noqa: F401
-    except ImportError:
-        pass  # modules land incrementally; reference queries are the floor
     _LOADED = True

@@ -140,3 +140,14 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
         if "Expand" in plan and name not in EXPAND_BY_DESIGN:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_registry_count_pinned():
+    """Exactly 236 registered queries (round-7 unfreeze: 213 + 23).
+    A smaller count means a query module silently vanished (the
+    failure mode the unconditional _load_all imports exist to
+    prevent); a larger one means an unplanned registration jumped the
+    rotation queue — both need a deliberate update HERE plus a
+    rotation regeneration, never an accident."""
+    assert len(registry.queries()) == 236
+    assert len(registry.oracle_sql()) == 236
