@@ -491,3 +491,77 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, topk=10, m=4, k=16, iters=2, dim=64
     )
     return evaluation.recall_at_k(approx, exact, k=10)
+
+
+def _cosine_sweep_oracle() -> str:
+    """The registered dedup_embedding_cosine oracle with the threshold
+    opened to -1.0 (every SRP candidate kept), wrapped in the decile
+    histogram — candidate machinery stays in lockstep by embedding."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _cosine_pairs_oracle,
+    )
+
+    return f"""
+    WITH allp AS ({_cosine_pairs_oracle(threshold=-1.0)}),
+    jp AS (SELECT LEAST((CAST(ROUND(cosine * 1000000) AS BIGINT)
+                         + 1000000) // 100000, 19) AS bucket
+           FROM allp),
+    hist AS (SELECT bucket, COUNT(*) AS n_pairs FROM jp GROUP BY 1)
+    SELECT CAST(bucket * 100 - 1000 AS BIGINT) AS bucket_lo_permille,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+               AS n_pairs_ge
+    FROM hist
+    """
+
+
+@_staged("cosine_threshold_sweep", oracle=_cosine_sweep_oracle())
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the EMBEDDING near-dup family
+    (the jaccard_threshold_sweep twin): exact cosine of every multi-band
+    SRP candidate pair, histogrammed into 0.1-wide buckets over [-1, 1)
+    with reverse-cumulative counts — the table that calibrates
+    dedup_embedding_cosine's threshold on a new embedding space (0.4 is
+    corpus-specific: a different encoder shifts the whole similarity
+    distribution).
+
+    The candidate set is the PRODUCTION one by construction:
+    ``cosine_dup_pairs(threshold=-1.0)`` runs the registered query's
+    exact machinery (same SRP planes, same banding, same verify join)
+    with the final filter opened, so the sweep counts precisely the
+    pairs the dedup could ever see.  Bucketing shifts the micro-rounded
+    cosine by +1e6 before integer division so the arithmetic never
+    divides a negative (Spark DIV truncates toward zero, DuckDB //
+    floors — identical only on non-negatives).
+
+    Scale: one dedup_embedding_cosine minus its filter; the histogram
+    adds a 20-key rollup and a constant-size (<= 20 rows) cumulative
+    window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    allp = cosine_dup_pairs(
+        emb, threshold=-1.0, num_planes=6, num_bands=3
+    )
+    jp = allp.select(
+        F.expr(
+            "LEAST((CAST(ROUND(cosine * 1000000) AS BIGINT) + 1000000)"
+            " DIV 100000, 19)"
+        ).alias("bucket")
+    )
+    hist = jp.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        (F.col("bucket") * 100 - 1000)
+        .cast("long")
+        .alias("bucket_lo_permille"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
+    )

@@ -260,3 +260,34 @@ def test_nb_scores_match_bruteforce_python(spark, tmp_path):
         ordered = sorted(scores.values(), reverse=True)
         if len(ordered) > 1 and ordered[0] - ordered[1] > 2:
             assert r.pred_source == pred
+
+
+def test_cosine_sweep_buckets_bound_the_dedup(spark, oracle_sf_dir):
+    """The sweep's pairs at or above the 400-permille bucket must cover
+    the registered dedup's accepted pairs at threshold 0.4 (bucket
+    floor-400 admits cosines in [0.4, 0.5), so >= is coverage, not
+    equality), the cumulative column must be internally consistent, and
+    buckets stay within the [-1000, 900] domain."""
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        cosine_threshold_sweep,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    sweep = cosine_threshold_sweep(spark, oracle_sf_dir).collect()
+    assert all(-1000 <= r.bucket_lo_permille <= 900 for r in sweep)
+    by_bucket = sorted(sweep, key=lambda r: -r.bucket_lo_permille)
+    run = 0
+    for r in by_bucket:
+        run += r.n_pairs
+        assert r.n_pairs_ge == run
+    at_400 = sum(r.n_pairs for r in sweep if r.bucket_lo_permille >= 400)
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    accepted = cosine_dup_pairs(
+        emb, threshold=0.4, num_planes=6, num_bands=3
+    ).count()
+    assert at_400 >= accepted
+    # and the bucket strictly below 400 exists or accepted == at_400
+    assert run >= accepted
