@@ -489,24 +489,21 @@ def simhash64_blocks(
     return agg.select(F.col(id_col), *blocks)
 
 
-def simhash_pairs(
+def simhash_candidate_hamming(
     docs: DataFrame,
-    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash hamming distance (≤3), blocked on
-    the four 16-bit signature blocks: ≤3 differing bits across 4 blocks
-    leave at least one block identical (pigeonhole), so the blocked join
-    finds exactly the brute-force result. Each block key has 2^16 values —
-    expected bucket size n/65536, so the within-bucket self-join stays
-    ~4·n²/65536 pairs instead of the n²/16 a 4-bit quarter scheme degrades
-    to; at larger corpora, widen blocks (more tables) or add a second
-    signature the way the MinHash path bands."""
-    if max_hamming >= _SIM64_BLOCKS:
-        raise ValueError(
-            "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
-        )
+    """(doc_a, doc_b, hamming) for every PIGEONHOLE CANDIDATE pair —
+    docs whose 64-bit SimHash signatures agree on at least one of the
+    four 16-bit blocks — with the exact hamming distance attached and
+    no threshold applied.  This is ``simhash_pairs``' candidate
+    generator factored out (the production pairs are exactly this
+    frame filtered to hamming <= max_hamming), so measurement surfaces
+    (``simhash_hamming_histogram``) audit the shipped blocking scheme
+    by construction.  For hamming <= 3 the candidate set is provably
+    complete (pigeonhole); at larger distances it is the observable
+    population only."""
     sigs = simhash64_blocks(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -545,8 +542,30 @@ def simhash_pairs(
         )
         .distinct()
         .withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance (≤3), blocked on
+    the four 16-bit signature blocks: ≤3 differing bits across 4 blocks
+    leave at least one block identical (pigeonhole), so the blocked join
+    finds exactly the brute-force result. Each block key has 2^16 values —
+    expected bucket size n/65536, so the within-bucket self-join stays
+    ~4·n²/65536 pairs instead of the n²/16 a 4-bit quarter scheme degrades
+    to; at larger corpora, widen blocks (more tables) or add a second
+    signature the way the MinHash path bands."""
+    if max_hamming >= _SIM64_BLOCKS:
+        raise ValueError(
+            "pigeonhole blocking over 4 blocks only covers max_hamming <= 3"
+        )
+    return simhash_candidate_hamming(docs, id_col, text_col).where(
+        F.col("hamming") <= max_hamming
     )
 
 

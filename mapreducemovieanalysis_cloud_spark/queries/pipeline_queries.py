@@ -178,9 +178,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash64_oracle(max_hamming: int = 3) -> str:
-    """Brute-force 64-bit SimHash pairs (the engine's block-join is
-    lossless by pigeonhole, so the all-pairs oracle is the exact target)."""
+def _simhash64_sigs_cte() -> str:
+    """The 64-bit SimHash signature CTE chain (toks/h/bits/sigs ending
+    in ``sigs (doc_id, b0..b3)``), factored so both the pairs oracle
+    and the staged hamming-histogram oracle derive from the identical
+    signature SQL (lockstep by construction, the banded_keys rule)."""
 
     def chunk(j: int) -> str:
         digit = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
@@ -203,9 +205,7 @@ def _simhash64_oracle(max_hamming: int = 3) -> str:
         + f" AS BIGINT) AS b{j}"
         for j in range(4)
     )
-    ham = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(4))
-    return rf"""
-    WITH toks AS (SELECT doc_id,
+    return rf"""toks AS (SELECT doc_id,
                          unnest(string_split_regex(trim(text), '\s+')) AS tok
                   FROM documents),
     h AS (SELECT doc_id,
@@ -216,11 +216,21 @@ def _simhash64_oracle(max_hamming: int = 3) -> str:
              FROM h GROUP BY 1),
     sigs AS (SELECT doc_id,
            {blocks}
-           FROM bits)
+           FROM bits)"""
+
+
+_SIM64_HAM = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(4))
+
+
+def _simhash64_oracle(max_hamming: int = 3) -> str:
+    """Brute-force 64-bit SimHash pairs (the engine's block-join is
+    lossless by pigeonhole, so the all-pairs oracle is the exact target)."""
+    return f"""
+    WITH {_simhash64_sigs_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST({ham} AS INT) AS hamming
+           CAST({_SIM64_HAM} AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE {ham} <= {max_hamming}
+    WHERE {_SIM64_HAM} <= {max_hamming}
     """
 
 

@@ -565,3 +565,72 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
     )
+
+
+def _hamming_hist_oracle() -> str:
+    """The pigeonhole candidate machinery in SQL (blocks unioned from
+    the shared _simhash64_sigs_cte signature chain — the same CTEs the
+    registered dedup_simhash_pairs oracle derives from), histogrammed
+    by exact hamming distance with an ascending cumulative."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _SIM64_HAM,
+        _simhash64_sigs_cte,
+    )
+
+    blocks = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS j, b{j} AS key FROM sigs" for j in range(4)
+    )
+    return f"""
+    WITH {_simhash64_sigs_cte()},
+    bl AS ({blocks}),
+    cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bl x JOIN bl y
+                ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id),
+    hh AS (SELECT CAST({_SIM64_HAM} AS INT) AS hamming
+           FROM cands c
+           JOIN sigs a ON a.doc_id = c.doc_a
+           JOIN sigs b ON b.doc_id = c.doc_b),
+    hist AS (SELECT hamming, COUNT(*) AS n_pairs FROM hh GROUP BY 1)
+    SELECT hamming,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming ASC) AS BIGINT)
+               AS n_pairs_le
+    FROM hist
+    """
+
+
+@_staged("simhash_hamming_histogram", oracle=_hamming_hist_oracle())
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the SimHash family — the third
+    leg of the calibration triad (jaccard_threshold_sweep for MinHash,
+    cosine_threshold_sweep for embeddings): exact hamming distance of
+    every pigeonhole candidate pair, histogrammed with an ascending
+    "pairs at or below this distance" cumulative.  Buckets 0..3 are
+    EXACT corpus-wide counts (the 4x16-bit blocking is provably
+    complete at hamming <= 3); larger distances count the observable
+    candidate population — the table you read to pick
+    dedup_simhash_pairs' max_hamming and to see how sharply similarity
+    decays past the pigeonhole guarantee.
+
+    Scale: the candidate generator is the production one by
+    construction (``dedup.simhash_candidate_hamming`` — simhash_pairs
+    is exactly this frame filtered); the histogram adds a <=65-key
+    rollup and a constant-size cumulative window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        simhash_candidate_hamming,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hh = simhash_candidate_hamming(docs)
+    hist = hh.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.col("hamming").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "hamming",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_le"),
+    )

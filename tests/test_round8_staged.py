@@ -291,3 +291,30 @@ def test_cosine_sweep_buckets_bound_the_dedup(spark, oracle_sf_dir):
     assert at_400 >= accepted
     # and the bucket strictly below 400 exists or accepted == at_400
     assert run >= accepted
+
+
+def test_hamming_histogram_low_buckets_exact(spark, oracle_sf_dir):
+    """Buckets 0..3 must match the registered dedup's per-distance pair
+    counts exactly (pigeonhole completeness), and the ascending
+    cumulative must be internally consistent."""
+    from collections import Counter
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        simhash_hamming_histogram,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    hist = simhash_hamming_histogram(spark, oracle_sf_dir).collect()
+    run = 0
+    for r in sorted(hist, key=lambda r: r.hamming):
+        run += r.n_pairs
+        assert r.n_pairs_le == run
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    exact = Counter(
+        r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()
+    )
+    got_low = {r.hamming: r.n_pairs for r in hist if r.hamming <= 3}
+    assert got_low == {h: n for h, n in exact.items()}
