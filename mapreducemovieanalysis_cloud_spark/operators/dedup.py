@@ -362,19 +362,23 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_lsh_dedup(
+def minhash_candidate_jaccard(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
-    with exact Jaccard (join back to shingle sets). Only candidate pairs pay
-    the verification cost — the LSH recall/precision tradeoff is in
-    (num_hashes, bands)."""
+    """(doc_a, doc_b, n_common, size_a, size_b, jaccard) for every LSH
+    CANDIDATE pair, exact-verified but NOT thresholded —
+    ``minhash_lsh_dedup``'s candidate-verify machinery factored out so
+    measurement surfaces (``jaccard_threshold_sweep``) audit the
+    shipped pipeline by construction rather than a reimplementation
+    (the ``banded_keys`` rule; a private copy would silently
+    desynchronize the calibration curve from the dedup it
+    calibrates).  Integer columns are exact, so callers can derive
+    floor-permille thresholds without touching the float."""
     # Re-read twice (signatures + verification join): lazy localCheckpoint
     # — the repo-wide pattern for multi-consumer intermediates since the
     # round-4 leak audit (persist() without a matching unpersist pins
@@ -403,6 +407,27 @@ def minhash_lsh_dedup(
             "jaccard",
             F.col("n_common")
             / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banding, verified
+    with exact Jaccard (join back to shingle sets). Only candidate pairs pay
+    the verification cost — the LSH recall/precision tradeoff is in
+    (num_hashes, bands).  Exactly ``minhash_candidate_jaccard`` filtered
+    to the threshold."""
+    return (
+        minhash_candidate_jaccard(
+            docs, n, num_hashes, bands, id_col, text_col
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -1775,12 +1775,16 @@ def _curate_v2_oracle() -> str:
              FROM j JOIN best USING (component))
     SELECT g.doc_id, g.source,
            CAST(g.gopher_fails AS BIGINT) AS gopher_fails,
-           b.tercile, s.is_survivor,
+           CAST(COALESCE(b.tercile, 0) AS BIGINT) AS tercile,
+           CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS lm_scored,
+           s.is_survivor,
            CASE WHEN {split} THEN 'val' ELSE 'train' END AS split,
-           CAST(CASE WHEN g.gopher_fails = 0 AND b.tercile < 3
+           CAST(CASE WHEN g.gopher_fails = 0
+                      AND COALESCE(b.tercile, 0) IN (1, 2)
                       AND s.is_survivor = 1
                 THEN 1 ELSE 0 END AS BIGINT) AS kept
-    FROM gflags g JOIN lmb b USING (doc_id) JOIN surv s USING (doc_id)
+    FROM gflags g LEFT JOIN lmb b USING (doc_id) JOIN surv s USING (doc_id)
     """
 
 
@@ -1795,9 +1799,16 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label components -> keep-the-longest ``canonical_survivors``),
     and the leakage-safe train/val split (whole components assigned by
     md5_bucket(component), so no near-duplicate of a training doc can
-    reach the eval split).  ``kept`` = passes all gopher rules AND not
-    tail-tercile AND cluster survivor; every doc keeps its full verdict
-    so downstream writers filter/route without recomputing any stage.
+    reach the eval split).  ``kept`` = passes all gopher rules AND
+    lands in LM tercile 1 or 2 AND cluster survivor; every doc keeps
+    its full verdict so downstream writers filter/route without
+    recomputing any stage — INCLUDING docs too short for the bigram LM
+    to score (< 2 tokens): the LM stage is a LEFT join with
+    ``lm_scored = 0`` / ``tercile = 0`` for them, so they fail the LM
+    gate explicitly instead of silently vanishing from both splits
+    (they have no fluency evidence; in practice the gopher word-count
+    rule already fails them, but the verdict row must exist either
+    way).
 
     Scale: one documents scan feeds three projected fronts (tokens for
     gopher flags — map-side only; the bigram LM train/score pair; the
@@ -1846,13 +1857,16 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = canonical_survivors(docs, comp, F.length("text"))
     return (
-        gpass.join(lmb.select("doc_id", "tercile"), "doc_id")
+        gpass.join(lmb.select("doc_id", "tercile"), "doc_id", "left")
         .join(surv.select("doc_id", "component", "is_survivor"), "doc_id")
         .select(
             "doc_id",
             "source",
             "gopher_fails",
-            "tercile",
+            F.coalesce(F.col("tercile"), F.lit(0))
+            .cast("long")
+            .alias("tercile"),
+            F.col("tercile").isNotNull().cast("long").alias("lm_scored"),
             "is_survivor",
             F.when(
                 md5_bucket(F.col("component"), 10, salt="split:") == 0,
@@ -1862,7 +1876,7 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
             (
                 (F.col("gopher_fails") == 0)
-                & (F.col("tercile") < 3)
+                & F.coalesce(F.col("tercile"), F.lit(0)).isin(1, 2)
                 & (F.col("is_survivor") == 1)
             )
             .cast("long")

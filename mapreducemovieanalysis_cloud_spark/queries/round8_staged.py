@@ -161,50 +161,31 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator; this audits the decision threshold).
 
     Scale: identical cost to one dedup_minhash_lsh run minus the final
-    filter — candidates from banding (linear in docs), exact verify
-    linear in candidates; the histogram adds a 10-key rollup and the
-    cumulative sum runs over AT MOST 10 rows (bucket-sized by
+    filter — the candidate population is
+    ``dedup.minhash_candidate_jaccard``, the production pipeline's own
+    verify machinery factored out (measured population == shipped
+    population by construction); the histogram adds a 10-key rollup
+    and the cumulative sum runs over AT MOST 10 rows (bucket-sized by
     construction, so the single-partition window is a constant, not a
-    scale risk).  Jaccard is kept in integer permille (n_common*1000
-    div union) — no float division anywhere.
+    scale risk).  Jaccard is bucketed in integer permille
+    (n_common*1000 div union) from the kernel's exact integer columns
+    — no float division anywhere.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from mapreducemovieanalysis_cloud_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_sets,
+        minhash_candidate_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_sets(docs, 3).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sigs = minhash_signatures(docs, 3, 16, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, 16, 4)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jp = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            F.least(
-                F.expr("n_common * 1000 DIV (sa + sb - n_common) DIV 100"),
-                F.lit(9),
-            ).alias("bucket")
-        )
+    jp = minhash_candidate_jaccard(docs, n=3, num_hashes=16, bands=4).select(
+        F.least(
+            F.expr(
+                "n_common * 1000 DIV (size_a + size_b - n_common) DIV 100"
+            ),
+            F.lit(9),
+        ).alias("bucket")
     )
     hist = jp.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
     # bucket-sized table (<= 10 rows): the unpartitioned window is a

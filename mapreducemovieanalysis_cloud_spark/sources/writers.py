@@ -167,6 +167,7 @@ def read_epochs(
     thread-safe by construction."""
     import os
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql.types import StringType, StructField, StructType
 
     if not os.path.isdir(root):
@@ -206,7 +207,12 @@ def read_epochs(
                 os.path.join(root, e)
             ).schema
             break
-        except Exception as exc:  # footer unreadable; try the next epoch
+        except AnalysisException as exc:
+            # ONLY the documented footer-inference failure
+            # (UNABLE_TO_INFER_SCHEMA on a partfile-less dir) advances
+            # to the next epoch; a transient FS / Py4J / session error
+            # must propagate, not reclassify a healthy store as corrupt
+            # or nondeterministically shift the schema pin (r07 review)
             footer_errs.append(f"{e}: {exc.__class__.__name__}")
     if data_schema is None:
         raise ValueError(

@@ -422,6 +422,10 @@ def test_curate_corpus_v2_planted_verdicts(spark, tmp_path):
         "en",
     )
     short = (60, "tiny doc", "web", "en")
+    # below the bigram LM's scoring floor (< 2 tokens): must still get
+    # a verdict row (lm_scored=0, kept=0), never silently vanish from
+    # both splits (r07 self-review finding)
+    one_tok = (61, "solo", "web", "en")
     salad = (
         70,
         "zxq plork vmnt qqj blarg wex fnord grue zyzzx wibble qux corge",
@@ -430,14 +434,20 @@ def test_curate_corpus_v2_planted_verdicts(spark, tmp_path):
     )
     sf = str(tmp_path)
     spark.createDataFrame(
-        normal + [dup_a, dup_b, short, salad],
+        normal + [dup_a, dup_b, short, one_tok, salad],
         "doc_id long, text string, source string, lang string",
     ).write.parquet(f"{sf}/documents.parquet")
 
     rows = {r.doc_id: r for r in curate_corpus_v2(spark, sf).collect()}
-    assert len(rows) == 16
+    assert len(rows) == 17
     # gopher gate: the 2-word doc fails word_count (and stopwords)
     assert rows[60].gopher_fails >= 1 and rows[60].kept == 0
+    # LM-unscorable doc: present, explicitly unscored, LM-gated
+    assert rows[61].lm_scored == 0 and rows[61].tercile == 0
+    assert rows[61].kept == 0
+    assert rows[61].split in ("train", "val")
+    # every scorable doc is marked scored
+    assert all(r.lm_scored == 1 for d, r in rows.items() if d != 61)
     # LM gate: the token salad is the corpus's worst-scoring doc -> tail
     assert rows[70].tercile == 3 and rows[70].kept == 0
     # survivor rule: the longer near-dup member wins, the shorter loses
@@ -448,6 +458,8 @@ def test_curate_corpus_v2_planted_verdicts(spark, tmp_path):
     # kept is exactly the AND of the three gates, for every doc
     for r in rows.values():
         assert r.kept == int(
-            r.gopher_fails == 0 and r.tercile < 3 and r.is_survivor == 1
+            r.gopher_fails == 0
+            and r.tercile in (1, 2)
+            and r.is_survivor == 1
         )
     assert sum(r.kept for r in rows.values()) >= 1
