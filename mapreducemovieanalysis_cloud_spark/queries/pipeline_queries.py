@@ -766,10 +766,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BATCH_SOURCES = "'src0','src1','src2','src3','src4'"
 
-
-@query(
-    "decontaminate_batch",
-    oracle=rf"""
+# module-level so the staged decontamination_overlap_sweep derives its
+# histogram from the identical per-doc overlap SQL (lockstep by import,
+# the banded_keys rule)
+_DECONTAMINATE_ORACLE = rf"""
     WITH toks AS (SELECT doc_id, source,
                          string_split_regex(trim(text), '\s+') AS t
                   FROM documents),
@@ -800,8 +800,10 @@ _BATCH_SOURCES = "'src0','src1','src2','src3','src4'"
            CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
            COALESCE(s.n_shared, 0) >= 10 AS contaminated
     FROM per_doc p LEFT JOIN shared s ON s.doc_id = p.doc_id
-    """,
-)
+    """
+
+
+@query("decontaminate_batch", oracle=_DECONTAMINATE_ORACLE)
 def decontaminate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination pass: treat sources src0-src4 as the
     incoming batch and every other source as the reference corpus; score

@@ -68,9 +68,9 @@ def keyness_llr_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- asymmetric containment pairs -------------------------------------------
 
 
-@query(
-    "containment_pairs",
-    oracle=r"""
+# module-level so the staged containment_threshold_sweep derives its
+# histogram from the identical pair SQL (lockstep by import)
+_CONTAINMENT_ORACLE = r"""
     WITH toked AS (SELECT doc_id,
                           string_split_regex(trim(text), '\s+') AS t
                    FROM documents WHERE length(trim(text)) > 0),
@@ -88,8 +88,10 @@ def keyness_llr_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ix.c * 1000 // sz.s AS BIGINT) AS containment_permille
     FROM ix JOIN sz ON sz.doc_id = ix.doc_a
     WHERE ix.c * 2 >= sz.s
-    """,
-)
+    """
+
+
+@query("containment_pairs", oracle=_CONTAINMENT_ORACLE)
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional doc-in-doc near-dup pairs: |A∩B|/|A| >= 1/2 on word
     3-gram shingle sets (operators/dedup.py:containment_pairs) — the

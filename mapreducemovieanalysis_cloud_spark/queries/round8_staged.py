@@ -615,3 +615,141 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_le"),
     )
+
+
+def _containment_sweep_oracle() -> str:
+    """The registered containment_pairs oracle embedded verbatim,
+    histogrammed by permille decile over the operating-threshold-and-
+    above range it covers exactly."""
+    from mapreducemovieanalysis_cloud_spark.queries.round4i_queries import (
+        _CONTAINMENT_ORACLE,
+    )
+
+    return f"""
+    WITH pairs AS ({_CONTAINMENT_ORACLE}),
+    jp AS (SELECT LEAST(containment_permille // 100, 10) AS bucket
+           FROM pairs),
+    hist AS (SELECT bucket, COUNT(*) AS n_pairs FROM jp GROUP BY 1)
+    SELECT CAST(bucket * 100 AS BIGINT) AS bucket_lo_permille,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+               AS n_pairs_ge
+    FROM hist
+    """
+
+
+@_staged("containment_threshold_sweep", oracle=_containment_sweep_oracle())
+def containment_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-calibration curve for the containment (doc-in-doc)
+    detector — the fourth calibration leg: the registered
+    containment_pairs output (t = 1/2, directional) histogrammed by
+    permille decile with reverse-cumulative counts; bucket 1000 is
+    full containment (exact sub-documents), a distinct class worth
+    seeing separately.
+
+    Honesty note baked into the shape: containment's PREFIX scheme
+    depends on the threshold, so the candidate set at t=1/2 is exact
+    only for containment >= 500 permille — this sweep therefore covers
+    the operating-threshold-and-above range (raising the threshold is
+    an exact read off this table; lowering it requires re-running the
+    detector at the lower t).  The minhash/simhash/cosine sweeps have
+    no such floor because their candidate generators are
+    threshold-independent.
+
+    Scale: the registered operator's cost plus a <=6-key rollup and a
+    constant-size cumulative window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs)
+    jp = pairs.select(
+        F.least(
+            F.expr("containment_permille DIV 100"), F.lit(10)
+        ).alias("bucket")
+    )
+    hist = jp.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        (F.col("bucket") * 100).cast("long").alias("bucket_lo_permille"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
+    )
+
+
+def _decon_sweep_oracle() -> str:
+    """The registered decontaminate_batch oracle embedded verbatim,
+    rolled up into the shared-fingerprint-count histogram."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _DECONTAMINATE_ORACLE,
+    )
+
+    return f"""
+    WITH scored AS ({_DECONTAMINATE_ORACLE}),
+    jp AS (SELECT LEAST(n_shared, 20) AS n_shared_capped FROM scored),
+    hist AS (SELECT n_shared_capped, COUNT(*) AS n_docs
+             FROM jp GROUP BY 1)
+    SELECT CAST(n_shared_capped AS BIGINT) AS n_shared_capped,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY n_shared_capped DESC)
+                AS BIGINT) AS n_docs_ge
+    FROM hist
+    """
+
+
+@_staged("decontamination_overlap_sweep", oracle=_decon_sweep_oracle())
+def decontamination_overlap_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-calibration curve for the decontamination gate — the
+    fifth calibration leg: the registered decontaminate_batch per-doc
+    shared-winnowing-fingerprint counts histogrammed (capped at 20)
+    with a descending cumulative, so every candidate ``min_shared``
+    reads off as "this many batch docs would be flagged".  The
+    registered gate's min_shared=10 sits mid-table by design —
+    choose it from this curve per corpus instead of inheriting it.
+
+    The scored population is the PRODUCTION one by construction:
+    ``dedup.decontaminate`` emits every batch doc with its overlap
+    count unfiltered (the contaminated flag is advisory), so the sweep
+    is a pure rollup of the registered operator's output — no parallel
+    machinery to desynchronize.
+
+    Scale: the registered operator's cost plus a <=21-key rollup and a
+    constant-size cumulative window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    scored = dedup.decontaminate(
+        docs.where(F.col("source").isin(batch_srcs)),
+        docs.where(~F.col("source").isin(batch_srcs)),
+        n=3,
+        window=4,
+        min_shared=10,
+    )
+    jp = scored.select(
+        F.least(F.col("n_shared"), F.lit(20)).alias("n_shared_capped")
+    )
+    hist = jp.groupBy("n_shared_capped").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy(F.col("n_shared_capped").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("n_shared_capped").cast("long").alias("n_shared_capped"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_ge"),
+    )
