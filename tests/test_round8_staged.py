@@ -318,3 +318,65 @@ def test_hamming_histogram_low_buckets_exact(spark, oracle_sf_dir):
     )
     got_low = {r.hamming: r.n_pairs for r in hist if r.hamming <= 3}
     assert got_low == {h: n for h, n in exact.items()}
+
+
+def test_containment_sweep_totals_match_detector(spark, oracle_sf_dir):
+    """The sweep's grand total equals the registered detector's pair
+    count (it is that output histogrammed), the cumulative column is
+    consistent, and every bucket sits in the exact [500, 1000]
+    operating range."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        containment_threshold_sweep,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    sweep = containment_threshold_sweep(spark, oracle_sf_dir).collect()
+    assert all(500 <= r.bucket_lo_permille <= 1000 for r in sweep)
+    run = 0
+    for r in sorted(sweep, key=lambda r: -r.bucket_lo_permille):
+        run += r.n_pairs
+        assert r.n_pairs_ge == run
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    assert run == containment_pairs(docs).count()
+
+
+def test_decon_sweep_gate_bucket_matches_flag(spark, oracle_sf_dir):
+    """n_docs_ge at the capped bucket 10 must equal the registered
+    gate's contaminated count (min_shared=10 reads off the curve), and
+    the grand total equals the batch's doc population."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import dedup
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        decontamination_overlap_sweep,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    sweep = {
+        r.n_shared_capped: r
+        for r in decontamination_overlap_sweep(spark, oracle_sf_dir).collect()
+    }
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    scored = dedup.decontaminate(
+        docs.where(F.col("source").isin(batch_srcs)),
+        docs.where(~F.col("source").isin(batch_srcs)),
+        n=3,
+        window=4,
+        min_shared=10,
+    ).collect()
+    n_contaminated = sum(1 for r in scored if r.contaminated)
+    # docs in buckets >= 10 are exactly the n_shared >= 10 population
+    # (capping at 20 never moves a doc across the 10 boundary)
+    assert sum(r.n_docs for k, r in sweep.items() if k >= 10) == (
+        n_contaminated
+    )
+    # cumulative is consistent and the grand total is the batch
+    run = 0
+    for k in sorted(sweep, reverse=True):
+        run += sweep[k].n_docs
+        assert sweep[k].n_docs_ge == run
+    assert run == len(scored)
