@@ -380,3 +380,38 @@ def test_decon_sweep_gate_bucket_matches_flag(spark, oracle_sf_dir):
         run += sweep[k].n_docs
         assert sweep[k].n_docs_ge == run
     assert run == len(scored)
+
+
+def test_ann_recall_pq_perfect_on_representable_corpus(spark, tmp_path):
+    """A corpus with exactly 16 distinct vectors (k=16 per-subspace
+    centroids) must be PQ-representable EXACTLY: Lloyd's init takes the
+    first 16 vectors' slices as centroids, every point snaps to its own
+    pattern, ADC distance equals exact distance, and recall@10 is
+    1.0 for every query — the index is lossless when the codebook can
+    hold the corpus, which pins the whole train/encode/probe chain."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
+        ann_recall_pq,
+    )
+
+    rng = random.Random(7)
+    patterns = [
+        [round(rng.uniform(-1, 1), 3) for _ in range(64)] for _ in range(16)
+    ]
+    rows = []
+    vid = 0
+    for copy in range(3):
+        for p in patterns:
+            rows.append((vid, p, vid % 4))
+            vid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = ann_recall_pq(spark, sf).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.n_hits == 10
+        assert r.recall_micro == 1_000_000
