@@ -210,10 +210,20 @@ def read_epochs(
         except AnalysisException as exc:
             # ONLY the documented footer-inference failure
             # (UNABLE_TO_INFER_SCHEMA on a partfile-less dir) advances
-            # to the next epoch; a transient FS / Py4J / session error
+            # to the next epoch; any OTHER AnalysisException (e.g.
+            # PATH_NOT_FOUND from a concurrently deleted epoch dir)
             # must propagate, not reclassify a healthy store as corrupt
-            # or nondeterministically shift the schema pin (r07 review)
-            footer_errs.append(f"{e}: {exc.__class__.__name__}")
+            # or nondeterministically shift the schema pin (r08 advisor
+            # — the r07 comment documented this contract but the catch
+            # was still class-wide)
+            condition = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if condition != "UNABLE_TO_INFER_SCHEMA":
+                raise
+            footer_errs.append(f"{e}: {condition}")
     if data_schema is None:
         raise ValueError(
             f"{root} is an epoch layout but no epoch directory has a "

@@ -798,3 +798,80 @@ def test_read_epochs_all_footerless_raises_distinct_error(spark, tmp_path):
             os.remove(os.path.join(e1, f))
     with pytest.raises(ValueError, match="readable"):
         read_epochs(spark, root)
+
+
+def test_read_epochs_non_footer_analysis_error_propagates(spark, tmp_path):
+    """The schema-pin fallback advances ONLY on UNABLE_TO_INFER_SCHEMA
+    (the documented footer-inference failure); any other
+    AnalysisException — e.g. PATH_NOT_FOUND from an epoch dir deleted
+    between listing and load — must propagate, not silently shift the
+    schema pin to a later epoch or reclassify a healthy store as
+    corrupt (r08 advisor: the r07 comment documented this contract but
+    the except clause still caught every AnalysisException)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+        write_epoch,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_epoch(df, root, batch_id=1)
+    write_epoch(df.where("id = 2"), root, batch_id=2)
+    poison = os.path.join(root, "batch=1")
+
+    class _PathGone(AnalysisException):
+        # JVM-raised error classes aren't in the Python error registry,
+        # so build the instance directly and answer getCondition like a
+        # captured PATH_NOT_FOUND would
+        def __init__(self):
+            Exception.__init__(self, "[PATH_NOT_FOUND] fake: epoch dir deleted")
+
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+        def getErrorClass(self):
+            return "PATH_NOT_FOUND"
+
+        def __str__(self):
+            return "[PATH_NOT_FOUND] fake: epoch dir deleted"
+
+    class _RacedReader:
+        def __init__(self, real_spark):
+            self._spark = real_spark
+            self._fmt = "parquet"
+
+        def format(self, fmt):
+            self._fmt = fmt
+            return self
+
+        def load(self, path):
+            if path == poison:
+                raise _PathGone()
+            return self._spark.read.format(self._fmt).load(path)
+
+        def schema(self, s):
+            return self._spark.read.format(self._fmt).schema(s)
+
+    class _RacedSpark:
+        """Delegates everything to the real session except .read, whose
+        per-epoch load races away the first epoch dir."""
+
+        def __init__(self, real_spark):
+            self._spark = real_spark
+
+        @property
+        def read(self):
+            return _RacedReader(self._spark)
+
+        def __getattr__(self, name):
+            return getattr(self._spark, name)
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        read_epochs(_RacedSpark(spark), root)
+    # sanity: the same store reads fine without the race — the raise
+    # above came from propagation, not from a broken store
+    assert read_epochs(spark, root).count() == 3
