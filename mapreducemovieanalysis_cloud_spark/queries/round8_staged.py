@@ -214,21 +214,25 @@ def _nb_oracle() -> str:
     tot AS (SELECT source, SUM(c) AS t FROM cls GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok) AS v FROM dt),
     term AS (SELECT cls.source, cls.tok,
-                    ln((cls.c + 1.0) / (tot.t + v.v)) AS lp
+                    CAST(ROUND(ln((cls.c + 1.0) / (tot.t + v.v))
+                         * 1000000) AS BIGINT) AS lp_micro
              FROM cls JOIN tot USING (source) CROSS JOIN v),
-    base AS (SELECT tot.source, ln(1.0 / (tot.t + v.v)) AS lp0
+    base AS (SELECT tot.source,
+                    CAST(ROUND(ln(1.0 / (tot.t + v.v))
+                         * 1000000) AS BIGINT) AS lp0_micro
              FROM tot CROSS JOIN v),
     matched AS (SELECT d.doc_id, term.source,
-                       SUM(d.cnt * term.lp) AS mscore,
+                       SUM(d.cnt * term.lp_micro) AS mscore_micro,
                        SUM(d.cnt) AS mcnt
                 FROM dt d JOIN term ON term.tok = d.tok
                 GROUP BY 1, 2),
-    grid AS (SELECT doc_tot.doc_id, doc_tot.n_d, base.source, base.lp0
+    grid AS (SELECT doc_tot.doc_id, doc_tot.n_d, base.source,
+                    base.lp0_micro
              FROM doc_tot CROSS JOIN base),
     scores AS (SELECT g.doc_id, g.source,
-                      CAST(ROUND((COALESCE(m.mscore, 0)
-                            + (g.n_d - COALESCE(m.mcnt, 0)) * g.lp0)
-                           * 1000000) AS BIGINT) AS score_micro
+                      CAST(COALESCE(m.mscore_micro, 0)
+                           + (g.n_d - COALESCE(m.mcnt, 0)) * g.lp0_micro
+                           AS BIGINT) AS score_micro
                FROM grid g
                LEFT JOIN matched m
                  ON m.doc_id = g.doc_id AND m.source = g.source),
@@ -262,11 +266,21 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness bit (the corpus-level mean of which is the
     classifier's resubstitution accuracy).
 
-    Determinism: scores are micro-rounded to BIGINT before the argmax
-    (ties then break on source name), so the prediction is a pure
-    integer comparison in both engines — a last-ulp double wobble
-    cannot flip pred_source; the add-1 term ln((c+1)/(T+V)) is the
-    same double expression in both engines (the ngram_lm pattern).
+    Determinism: each per-(source, token) log-likelihood TERM is
+    micro-rounded to BIGINT before any summation (the round4b Gram
+    pattern — quantize the leaves, then sum exactly), so score_micro
+    is a pure integer expression whose value is identical under ANY
+    summation order: Spark's partial aggregation and DuckDB's
+    sequential sum cannot diverge by even one unit, and the argmax
+    (ties break on source name) is a pure integer comparison in both
+    engines.  The only double op left is the single libm
+    ln((c+1)/(T+V)) per term — the same expression both engines
+    evaluate on identical integer inputs (the ngram_lm pattern); the
+    r08 advisor flagged the previous shape (round AFTER a
+    non-associative double SUM) as flaky at .5-micro boundaries on
+    larger corpora.  Quantizing the term instead of the sum shifts
+    each doc score by at most n_d half-micro — noise for a
+    classifier, in exchange for provable cross-engine equality.
 
     Scale: the (source, token) class-count table is vocabulary x
     n_sources (Heaps-law sublinear), built by one token-keyed partial
@@ -304,19 +318,26 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "tok",
-        F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.col("v"))).alias(
-            "lp"
-        ),
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.col("v")))
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lp_micro"),
     )
     base = tot.crossJoin(F.broadcast(v)).select(
         "source",
-        F.log(F.lit(1.0) / (F.col("t") + F.col("v"))).alias("lp0"),
+        F.round(
+            F.log(F.lit(1.0) / (F.col("t") + F.col("v"))) * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lp0_micro"),
     )
     matched = (
         dt.join(term, "tok")
         .groupBy("doc_id", "source")
         .agg(
-            F.sum(F.col("cnt") * F.col("lp")).alias("mscore"),
+            F.sum(F.col("cnt") * F.col("lp_micro")).alias("mscore_micro"),
             F.sum("cnt").alias("mcnt"),
         )
     )
@@ -325,9 +346,11 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.expr(
-            "CAST(ROUND((COALESCE(mscore, 0)"
-            " + (n_d - COALESCE(mcnt, 0)) * lp0) * 1000000) AS BIGINT)"
-        ).alias("score_micro"),
+            "COALESCE(mscore_micro, 0)"
+            " + (n_d - COALESCE(mcnt, 0)) * lp0_micro"
+        )
+        .cast("long")
+        .alias("score_micro"),
     )
     scores = scores.localCheckpoint(eager=False)  # reused: pred + own
     # arg-max source per doc: min_by over (-score, source) — the

@@ -211,11 +211,13 @@ def test_novelty_matches_bruteforce_property(spark, tmp_path):
 
 
 def test_nb_scores_match_bruteforce_python(spark, tmp_path):
-    """Independent reimplementation (python floats, same add-1 formula)
-    must agree with the distributed NB to within 1 micro unit on every
-    (doc, own/pred) score, and exactly on pred_source wherever the
-    margin exceeds 2 micro — catches a formula error the hand-written
-    oracle could share with the query."""
+    """Independent reimplementation (python floats, same add-1 formula,
+    same quantize-the-term-then-sum-exactly shape) must agree with the
+    distributed NB EXACTLY on every (doc, own/pred) score and on
+    pred_source — since r08 each ln term is micro-rounded to int
+    BEFORE summation, the score is pure integer arithmetic and any
+    difference at all is a formula error the hand-written oracle could
+    share with the query."""
     import math
 
     from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
@@ -246,20 +248,20 @@ def test_nb_scores_match_bruteforce_python(spark, tmp_path):
     tot = {s: sum(c.values()) for s, c in cls.items()}
 
     def score(text: str, s: str) -> int:
-        lp = 0.0
+        lp = 0
         for w, n in Counter(text.split()).items():
-            lp += n * math.log((cls[s][w] + 1.0) / (tot[s] + v))
-        return round(lp * 1_000_000)
+            lp += n * round(
+                math.log((cls[s][w] + 1.0) / (tot[s] + v)) * 1_000_000
+            )
+        return lp
 
     for did, text, src in docs:
         scores = {s: score(text, s) for s in cls}
         pred = min(scores, key=lambda s: (-scores[s], s))
         r = got[did]
-        assert abs(r.score_own_micro - scores[src]) <= 1
-        assert abs(r.score_pred_micro - scores[pred]) <= 1
-        ordered = sorted(scores.values(), reverse=True)
-        if len(ordered) > 1 and ordered[0] - ordered[1] > 2:
-            assert r.pred_source == pred
+        assert r.score_own_micro == scores[src]
+        assert r.score_pred_micro == scores[pred]
+        assert r.pred_source == pred
 
 
 def test_cosine_sweep_buckets_bound_the_dedup(spark, oracle_sf_dir):
