@@ -463,3 +463,87 @@ def test_curate_corpus_v2_planted_verdicts(spark, tmp_path):
             and r.is_survivor == 1
         )
     assert sum(r.kept for r in rows.values()) >= 1
+
+
+def test_salt_factor_feeds_salted_join_end_to_end(spark, tmp_path):
+    """The remedy loop closed (r07 verdict item 6): plant a hot band,
+    READ the report's salt_factor, run the LSH candidate self-join
+    salted with exactly that value, and assert (a) the salted join
+    yields the identical candidate-pair set as the unsalted join and
+    (b) the hot bucket's fact rows actually spread across salt groups
+    — the per-(key, salt) max group shrinks toward hot/salt_factor, so
+    no single join task sees the whole degenerate bucket."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.skew import salted_join
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        lsh_band_collision_stats,
+    )
+
+    hot = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    cold = [
+        (100 + i, f"unique{i} words{i} here{i} now{i} more{i}")
+        for i in range(20)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        hot + cold, "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # 1. the report emits the remedy
+    stats = {r.band_idx: r for r in lsh_band_collision_stats(spark, sf).collect()}
+    assert all(r.skewed == 1 for r in stats.values())
+    salt = max(r.salt_factor for r in stats.values())
+    assert salt >= 2
+
+    # 2. consume it: candidate self-join on the production banding,
+    # composite (band_idx, band_key) folded into one join column so the
+    # generic fact/dim salted_join applies unchanged
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    banded = banded_keys(
+        minhash_signatures(docs, n=3, num_hashes=16), num_hashes=16, bands=4
+    ).select(
+        "doc_id",
+        F.concat_ws("#", F.col("band_idx").cast("string"), "band_key").alias(
+            "bucket"
+        ),
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("bucket").alias("bucket_b")
+    )
+    unsalted = (
+        banded.join(right, F.col("bucket") == F.col("bucket_b"))
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select("doc_id", "doc_id_b")
+        .distinct()
+    )
+    salted = (
+        salted_join(banded, right, "bucket", "bucket_b", salt_buckets=int(salt))
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select("doc_id", "doc_id_b")
+        .distinct()
+    )
+    expect = {(r.doc_id, r.doc_id_b) for r in unsalted.collect()}
+    got = {(r.doc_id, r.doc_id_b) for r in salted.collect()}
+    assert got == expect and len(expect) >= 40 * 39 // 2
+
+    # 3. the hot bucket genuinely spread: reproduce salted_join's fact
+    # salt (same expression over the same columns) and check the
+    # per-(bucket, salt) group max is well under the unsalted 40 —
+    # bounded by twice the ideal even split to allow hash imbalance
+    dist = (
+        banded.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*banded.columns), F.lit(int(salt))).cast("int"),
+        )
+        .groupBy("bucket", "__salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    assert dist.mx < 40
+    assert dist.mx <= 2 * -(-40 // int(salt))
