@@ -46,6 +46,13 @@ def check_constraints(
     1.0, i.e. the constraint must hold for every row).  Output:
     (constraint STRING, metric_micro BIGINT, passed INT), one row per
     constraint, produced by ONE aggregate over the table.
+
+    An EMPTY batch fails closed: every metric reports 0 and the gate
+    blocks promotion (Deequ's behavior — its metrics go NaN on empty
+    data and assertions fail). A zero-row ingest almost always means
+    an upstream failure, not a clean batch; a pipeline that wants
+    emptiness to pass adds an explicit row-count constraint instead of
+    this gate silently promoting it (r08 empty-input sweep).
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     names: list[str] = []
@@ -76,9 +83,12 @@ def check_constraints(
         *[
             F.struct(
                 F.lit(n).alias("constraint"),
-                F.expr(f"(`{n}` * {MICRO}) div `__n`").alias(
-                    "metric_micro"
-                ),
+                # fail-closed: empty batch (__n = 0) reports 0, never
+                # DIVIDE_BY_ZERO (ANSI) or a vacuous pass
+                F.expr(
+                    f"CASE WHEN `__n` = 0 THEN 0 "
+                    f"ELSE (`{n}` * {MICRO}) div `__n` END"
+                ).alias("metric_micro"),
             )
             for n in names
         ]
@@ -122,7 +132,12 @@ def referential_integrity(
         n.crossJoin(F.broadcast(matched))
         .select(
             F.lit(f"referential_{fact_key}").alias("constraint"),
-            F.expr(f"(__m * {MICRO}) div __n").alias("metric_micro"),
+            # same fail-closed empty-batch convention as
+            # check_constraints
+            F.expr(
+                f"CASE WHEN __n = 0 THEN 0 "
+                f"ELSE (__m * {MICRO}) div __n END"
+            ).alias("metric_micro"),
         )
         .withColumn(
             "passed",

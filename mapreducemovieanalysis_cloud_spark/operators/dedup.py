@@ -927,6 +927,9 @@ def containment_candidate_stats(
     sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
     cands = _containment_candidates(sh, sizes, t_num, t_den, id_col, max_df)
+    # GREATEST guard: an empty corpus has n_docs = 0 AND n_candidates
+    # = 0, so density 0 is exact — without it ANSI mode raises
+    # DIVIDE_BY_ZERO on an empty ingest batch (r08 empty-input sweep)
     return cands.agg(
         F.count(F.lit(1)).alias("n_candidates")
     ).crossJoin(
@@ -935,7 +938,8 @@ def containment_candidate_stats(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_candidates").cast("long").alias("n_candidates"),
         F.expr(
-            "CAST(n_candidates * 1000000 div n_docs AS BIGINT)"
+            "CAST(n_candidates * 1000000 div GREATEST(n_docs, 1)"
+            " AS BIGINT)"
         ).alias("candidates_per_doc_micro"),
     )
 

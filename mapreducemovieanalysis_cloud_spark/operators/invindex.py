@@ -61,6 +61,22 @@ def _bucket(col: str, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
 
 
+def _ddl(schema) -> str:
+    """DDL string for spark.read.schema() from a StructType."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+
+
+def _layout_schema(
+    spark: SparkSession, path: str, sub: str
+) -> str | None:
+    """The build-time-pinned DDL for ``<path>/<sub>`` from meta (format
+    v3), or None on a v2 layout (caller falls back to inference)."""
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return getattr(row, f"{sub}_schema", None)
+
+
 def _postings(
     docs: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -116,8 +132,22 @@ def build_inverted_index(
     never disagree on the partitioning function."""
     tf, dl = _postings(docs, id_col, text_col)
     spark = docs.sparkSession
+    # Format v3: the sub-table schemas are pinned in meta at build time
+    # and every probe applies them explicitly — no probe ever pays (or
+    # depends on) parquet footer inference, and an EMPTY corpus builds a
+    # valid zero-row index (partitionBy writes no part files for zero
+    # rows, so an inference-based read would raise
+    # UNABLE_TO_INFER_SCHEMA; r08 empty-input sweep). v2 layouts lack
+    # the schema columns and fall back to inference unchanged.
+    postings_ddl = _ddl(
+        tf.withColumn("bucket", _bucket("term", n_buckets)).schema
+    )
+    doclen_ddl = _ddl(dl.schema)
+    stats_ddl = "n_docs_total bigint, sum_dl bigint"
     spark.createDataFrame(
-        [(int(n_buckets), 2)], "n_buckets int, format_version int"
+        [(int(n_buckets), 3, postings_ddl, doclen_ddl, stats_ddl)],
+        "n_buckets int, format_version int, postings_schema string,"
+        " doclen_schema string, stats_schema string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
     dl.agg(
@@ -273,10 +303,15 @@ def _union_with_batches(
     mutate the layout, so concurrent probes cannot race a heal and
     cannot hijack a live compact's fold."""
     data_dir, batches_live = _resolve_sub(path, sub)
-    df = spark.read.parquet(data_dir)
+    ddl = _layout_schema(spark, path, sub)
+    # v3 layouts: the pinned schema makes the read inference-free AND
+    # total over empty dirs (a zero-row base or batch has no part
+    # files); v2 layouts infer as before
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    df = reader.parquet(data_dir)
     if batches_live:
         for bdir in _committed_batches(path):
-            df = df.unionByName(spark.read.parquet(f"{bdir}/{sub}"))
+            df = df.unionByName(reader.parquet(f"{bdir}/{sub}"))
     return df
 
 
@@ -342,7 +377,9 @@ def append_to_inverted_index(
     # rather than dl.agg(...): re-aggregating dl would re-run the whole
     # tokenize+groupBy lineage a second time, which costs more than the
     # read-back and could in principle diverge from the bytes on disk
-    spark.read.parquet(f"{bdir}/doclen").agg(
+    dl_ddl = _layout_schema(spark, path, "doclen")
+    dl_reader = spark.read.schema(dl_ddl) if dl_ddl else spark.read
+    dl_reader.parquet(f"{bdir}/doclen").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{bdir}/stats")
@@ -431,7 +468,9 @@ def compact_inverted_index(spark: SparkSession, path: str) -> None:
             .parquet(f"{tmp}/postings")
         )
         dl.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/doclen")
-        spark.read.parquet(f"{tmp}/doclen").agg(
+        dl_ddl = _layout_schema(spark, path, "doclen")
+        dl_reader = spark.read.schema(dl_ddl) if dl_ddl else spark.read
+        dl_reader.parquet(f"{tmp}/doclen").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias(
                 "sum_dl"

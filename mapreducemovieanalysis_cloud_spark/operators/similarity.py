@@ -400,7 +400,15 @@ def _ivf_cell_stores(spark, path: str) -> list[DataFrame]:
     rows."""
     import os
 
-    base = spark.read.parquet(f"{path}/cells")
+    ddl = None
+    if os.path.isdir(f"{path}/meta"):
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        ddl = getattr(row, "cells_schema", None)
+    base = (
+        spark.read.schema(ddl).parquet(f"{path}/cells")
+        if ddl
+        else spark.read.parquet(f"{path}/cells")
+    )
     stores = [base]
     droot = f"{path}/cells_delta"
     if os.path.isdir(droot):
@@ -440,13 +448,23 @@ def ivf_write_index(
         "cent_id", quantize("cent_vec").alias("qv_cent")
     )
     assigned = _ivf_assign(corpus, qcents, id_col, vec_col)
-    # cells first, centroids LAST: every probe starts by reading the
-    # centroids table, so its _SUCCESS doubles as the layout's
-    # completeness marker — a crashed partial build fails LOUDLY at
-    # probe time (no centroids) instead of silently probing cells that
-    # were assigned under different centroids.  (Rebuilds land in a new
-    # fingerprint-keyed path — see sources/readers.table_fingerprint —
-    # so same-path rewrite only ever rewrites identical content.)
+    # meta first (schema pin), cells next, centroids LAST: every probe
+    # starts by reading the centroids table, so its _SUCCESS doubles as
+    # the layout's completeness marker — a crashed partial build fails
+    # LOUDLY at probe time (no centroids) instead of silently probing
+    # cells that were assigned under different centroids.  (Rebuilds
+    # land in a new fingerprint-keyed path — see
+    # sources/readers.table_fingerprint — so same-path rewrite only
+    # ever rewrites identical content.)  The meta row pins the cells
+    # DDL so probes skip footer inference and an EMPTY corpus (zero
+    # part files under partitionBy) still reads as a zero-row index
+    # (r08 empty-input sweep; the invindex v3 pattern).
+    from mapreducemovieanalysis_cloud_spark.operators.invindex import _ddl
+
+    corpus.sparkSession.createDataFrame(
+        [(1, _ddl(assigned.schema))],
+        "format_version int, cells_schema string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )

@@ -113,43 +113,40 @@ weighted_sample_docs.__doc__ = weighted_sample_docs.__doc__.format(
 @query(
     "dq_orders_gate",
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS n FROM orders)
-    SELECT 'completeness_o_custkey' AS constraint,
-           CAST((COUNT(o_custkey) * 1000000) // MAX(n.n) AS BIGINT)
-             AS metric_micro,
-           CAST(COUNT(o_custkey) = MAX(n.n) AS INT) AS passed
-    FROM orders, n
-    UNION ALL
-    SELECT 'completeness_o_orderdate',
-           CAST((COUNT(o_orderdate) * 1000000) // MAX(n.n) AS BIGINT),
-           CAST(COUNT(o_orderdate) = MAX(n.n) AS INT)
-    FROM orders, n
-    UNION ALL
-    SELECT 'uniqueness_o_orderkey',
-           CAST((COUNT(DISTINCT o_orderkey) * 1000000) // MAX(n.n)
-                AS BIGINT),
-           CAST(COUNT(DISTINCT o_orderkey) = MAX(n.n) AS INT)
-    FROM orders, n
-    UNION ALL
-    SELECT 'range_totalprice_positive',
-           CAST((SUM(CAST(o_totalprice > 0 AS BIGINT)) * 1000000)
-                // MAX(n.n) AS BIGINT),
-           CAST(SUM(CAST(o_totalprice > 0 AS BIGINT)) = MAX(n.n) AS INT)
-    FROM orders, n
-    UNION ALL
-    SELECT 'domain_o_orderstatus',
-           CAST((SUM(CAST(o_orderstatus IN ('F', 'O', 'P') AS BIGINT))
-                 * 1000000) // MAX(n.n) AS BIGINT),
-           CAST(SUM(CAST(o_orderstatus IN ('F', 'O', 'P') AS BIGINT))
-                = MAX(n.n) AS INT)
-    FROM orders, n
-    UNION ALL
-    SELECT 'referential_o_custkey',
-           CAST((SUM(CAST(c.c_custkey IS NOT NULL AS BIGINT)) * 1000000)
-                // COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(c.c_custkey IS NOT NULL AS BIGINT)) = COUNT(*)
-                AS INT)
-    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WITH m AS (SELECT COUNT(*) AS n,
+                      COUNT(o_custkey) AS comp_custkey,
+                      COUNT(o_orderdate) AS comp_orderdate,
+                      COUNT(DISTINCT o_orderkey) AS uniq_orderkey,
+                      COALESCE(SUM(CAST(o_totalprice > 0 AS BIGINT)), 0)
+                        AS range_price,
+                      COALESCE(SUM(CAST(o_orderstatus IN ('F', 'O', 'P')
+                        AS BIGINT)), 0) AS dom_status
+               FROM orders),
+    r AS (SELECT COUNT(*) AS n,
+                 COALESCE(SUM(CAST(c.c_custkey IS NOT NULL AS BIGINT)),
+                          0) AS matched
+          FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey),
+    -- fail-closed on an empty batch, in lockstep with
+    -- operators/dataquality.py: metric 0 / passed 0 when n = 0
+    raw AS (
+      SELECT 'completeness_o_custkey' AS "constraint", comp_custkey AS k,
+             n FROM m
+      UNION ALL
+      SELECT 'completeness_o_orderdate', comp_orderdate, n FROM m
+      UNION ALL
+      SELECT 'uniqueness_o_orderkey', uniq_orderkey, n FROM m
+      UNION ALL
+      SELECT 'range_totalprice_positive', range_price, n FROM m
+      UNION ALL
+      SELECT 'domain_o_orderstatus', dom_status, n FROM m
+      UNION ALL
+      SELECT 'referential_o_custkey', matched, n FROM r)
+    SELECT "constraint",
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (k * 1000000) // n END AS BIGINT) AS metric_micro,
+           CAST(n > 0 AND k = n AS INT) AS passed
+    FROM raw
     """,
 )
 def dq_orders_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,8 +107,8 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk AS (SELECT COUNT(*) AS n_candidates FROM kept)
     SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
            CAST(nk.n_candidates AS BIGINT) AS n_candidates,
-           CAST(nk.n_candidates * 1000000 // nd.n_docs AS BIGINT)
-               AS candidates_per_doc_micro
+           CAST(nk.n_candidates * 1000000 // GREATEST(nd.n_docs, 1)
+                AS BIGINT) AS candidates_per_doc_micro
     FROM nd CROSS JOIN nk
     """,
 )
