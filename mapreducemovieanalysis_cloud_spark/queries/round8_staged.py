@@ -102,15 +102,13 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sweep_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """The registered dedup_minhash_lsh oracle's candidate machinery
-    (sigs/bands/cands/inter CTEs, same md5 signature scheme) with the
-    threshold REMOVED and the Jaccard kept in exact integer permille,
-    bucketed into deciles."""
-    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
-        _SHINGLE_CTES,
-    )
-
+def lsh_candidates_cte(num_hashes: int = 16, bands: int = 4) -> str:
+    """The registered dedup_minhash_lsh oracle's candidate machinery as
+    a reusable CTE fragment (sigs/bands/cands, same md5 signature
+    scheme) — shared by every calibration oracle that must count
+    exactly the pairs the production banding produces (this module's
+    jaccard_threshold_sweep, round9_staged's lsh_recall_vs_exact), so
+    the SQL twin cannot drift per-consumer."""
     rows = num_hashes // bands
     mins = ",\n      ".join(
         f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
@@ -123,13 +121,24 @@ def _sweep_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH {_SHINGLE_CTES},
     sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bands a JOIN bands b
                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id),
+               AND a.doc_id < b.doc_id)"""
+
+
+def _sweep_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared LSH-candidate CTEs with the threshold REMOVED and the
+    Jaccard kept in exact integer permille, bucketed into deciles."""
+    from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
+        _SHINGLE_CTES,
+    )
+
+    return f"""
+    WITH {_SHINGLE_CTES},
+    {lsh_candidates_cte(num_hashes, bands)},
     inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
               FROM cands c
               JOIN sh a ON a.doc_id = c.doc_a

@@ -1,0 +1,223 @@
+"""Parity + contracts for the round-9 second-wave registry candidates
+(queries/round9_staged.py): the exact Spark-vs-DuckDB comparison the
+driver will run once they promote, the not-registered freeze contract
+(these are sized for round 9's slack slots, after the rotation debt
+and the round8_staged wave), the plan-hygiene sweep, and behavioral
+checks of each measurement's semantics on planted corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_matches_oracle(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, oracle_sf_dir),
+        STAGED_ORACLES[name],
+        oracle_sf_dir,
+    )
+
+
+def test_staged_not_registered_while_rotation_pending():
+    """Freeze contract: round 8's window is rotation-only and round 9's
+    head slots belong to the remaining r04 rows + the round8_staged
+    wave (round-7 verdict item 2); this wave fills round 9's slack, so
+    it must not be in the live registry yet."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
+
+
+def test_staged_plan_hygiene(spark, sf_dir):
+    """No CartesianProduct ever; BroadcastNestedLoopJoin only for the
+    deliberate bounded broadcasts listed here."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    BNLJ_BY_DESIGN = {
+        # the d-row per-dim min/max stats broadcast into the encoder —
+        # the ann_sq8 whitelist justification, via the same
+        # sq8_reconstructed kernel
+        "sq8_reconstruction_error",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in STAGED_QUERIES.items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BY_DESIGN
+        ):
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
+
+
+def test_lsh_recall_exact_dups_always_caught(spark, tmp_path):
+    """Identical docs share every minhash, hence every band key — the
+    1000-permille bucket's recall must be exactly 1.0; and the
+    caught/missed split must stay internally consistent in every
+    bucket."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        lsh_recall_vs_exact,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, dup) for i in range(6)] + [
+        (100 + i, f"unique{i} text{i} body{i} words{i} here{i} now{i}")
+        for i in range(10)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.bucket_lo_permille: r for r in lsh_recall_vs_exact(spark, sf).collect()}
+    assert 1000 in out
+    exact = out[1000]
+    assert exact.n_true_pairs == 6 * 5 // 2
+    assert exact.n_caught == exact.n_true_pairs and exact.n_missed == 0
+    assert exact.recall_micro == 1_000_000
+    for r in out.values():
+        assert r.n_missed == r.n_true_pairs - r.n_caught
+        assert 0 <= r.recall_micro <= 1_000_000
+        assert 500 <= r.bucket_lo_permille <= 1000
+
+
+def test_lsh_recall_truth_matches_registered_detector(spark, oracle_sf_dir):
+    """The recall table's truth mass (sum of n_true_pairs) must equal
+    the registered jaccard_pairs detector's pair count at the same
+    threshold — the measured-scheme == shipped-scheme rule."""
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        lsh_recall_vs_exact,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+    out = lsh_recall_vs_exact(spark, oracle_sf_dir).collect()
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    n_truth = jaccard_pairs(docs, n=3, threshold=0.5).count()
+    assert sum(r.n_true_pairs for r in out) == n_truth
+
+
+def test_diversity_separates_repetitive_source(spark, tmp_path):
+    """A source that repeats one sentence scores far lower distinct-n
+    than a source of all-unique sentences; unigram totals are exact."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        distinct_ngram_diversity,
+    )
+
+    rep = [(i, "spam spam spam spam spam", "looped") for i in range(5)]
+    uniq = [
+        (100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e", "fresh")
+        for i in range(5)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rep + uniq, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {
+        (r.source, r.n): r
+        for r in distinct_ngram_diversity(spark, sf).collect()
+    }
+    # looped: 25 unigram occurrences, 1 distinct -> 40 permille
+    assert out[("looped", 1)].n_total == 25
+    assert out[("looped", 1)].n_distinct == 1
+    assert out[("looped", 1)].distinct_permille == 40
+    # fresh: every token unique corpus-wide
+    assert out[("fresh", 1)].n_total == 25
+    assert out[("fresh", 1)].n_distinct == 25
+    assert out[("fresh", 1)].distinct_permille == 1000
+    for n in (1, 2, 3):
+        assert (
+            out[("looped", n)].distinct_permille
+            < out[("fresh", n)].distinct_permille
+        )
+
+
+def test_sq8_error_zero_on_constant_dim_and_within_codec_bound(
+    spark, tmp_path
+):
+    """A dimension whose values are all equal reconstructs exactly
+    (the mx = mn branch); every dimension's max error respects the
+    codec's per-dim bound (range // 255 + 1 in quantized units)."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        sq8_reconstruction_error,
+    )
+
+    rows = [
+        (i, [1.0, float(i) / 7.0, -0.25 + float(i % 5) / 11.0])
+        for i in range(40)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = {r.d: r for r in sq8_reconstruction_error(spark, sf).collect()}
+    assert out[0].max_abs_err == 0 and out[0].sum_abs_err == 0
+    # per-dim quantized ranges, same quantization as the codec
+    import numpy as np
+
+    q = np.round(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1_000_000
+    ).astype("int64")
+    for d in (1, 2):
+        rng = int(q[:, d].max() - q[:, d].min())
+        assert 0 < out[d].max_abs_err <= rng // 255 + 1
+        assert out[d].n_vecs == 40
+
+
+def test_unicode_hygiene_planted_pathologies(spark, tmp_path):
+    """Planted control char, U+FFFD, zero-width space, and accented
+    text are each counted in exactly their own column."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        unicode_hygiene_report,
+    )
+
+    rows = [
+        (1, "clean ascii text", "dirty"),
+        (2, "bell \x07 char", "dirty"),
+        (3, "moji�bake", "dirty"),
+        (4, "zero​width", "dirty"),
+        (5, "café résumé", "dirty"),
+        (6, "all clean here", "clean"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.source: r for r in unicode_hygiene_report(spark, sf).collect()}
+    d = out["dirty"]
+    assert d.n_docs == 5
+    assert d.n_ctrl_docs == 1
+    assert d.n_replacement_docs == 1
+    assert d.n_zerowidth_docs == 1
+    # café résumé -> 3 non-ascii chars; U+FFFD and U+200B count too
+    assert d.n_nonascii_chars == 5
+    assert d.nonascii_ppm == 5 * 1_000_000 // d.n_chars
+    c = out["clean"]
+    assert (
+        c.n_ctrl_docs
+        == c.n_replacement_docs
+        == c.n_zerowidth_docs
+        == c.n_nonascii_chars
+        == 0
+    )
+    assert c.nonascii_ppm == 0

@@ -56,8 +56,11 @@ def main() -> None:
     from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
         STAGED_QUERIES as _R8,
     )
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        STAGED_QUERIES as _R9,
+    )
 
-    for staged in (_R7, _R8):
+    for staged in (_R7, _R8, _R9):
         for k, v in staged.items():
             qs.setdefault(k, v)
     for name in names:
