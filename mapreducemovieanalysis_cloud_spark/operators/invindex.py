@@ -109,7 +109,9 @@ def _write_postings(
     term within the file, so every parquet row group carries a tight
     term min/max for skipping."""
     (
-        tf.withColumn("bucket", _bucket("term", n_buckets))
+        # int cast keeps the v3 pinned DDL on the same dtype
+        # hive-partition inference always produced for the bucket dirs
+        tf.withColumn("bucket", _bucket("term", n_buckets).cast("int"))
         .repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", "term")
         .write.mode(mode)
@@ -140,7 +142,9 @@ def build_inverted_index(
     # UNABLE_TO_INFER_SCHEMA; r08 empty-input sweep). v2 layouts lack
     # the schema columns and fall back to inference unchanged.
     postings_ddl = _ddl(
-        tf.withColumn("bucket", _bucket("term", n_buckets)).schema
+        tf.withColumn(
+            "bucket", _bucket("term", n_buckets).cast("int")
+        ).schema
     )
     doclen_ddl = _ddl(dl.schema)
     stats_ddl = "n_docs_total bigint, sum_dl bigint"

@@ -447,7 +447,13 @@ def ivf_write_index(
     qcents = cents.select(
         "cent_id", quantize("cent_vec").alias("qv_cent")
     )
-    assigned = _ivf_assign(corpus, qcents, id_col, vec_col)
+    # cell cast to int BEFORE the write so the pinned DDL carries the
+    # same dtype hive-partition inference always produced (a bigint
+    # pin here widens the probe's cell comparisons and breaks subtree
+    # dedup against the delta stores — measured as a doubled plan)
+    assigned = _ivf_assign(corpus, qcents, id_col, vec_col).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
     # meta first (schema pin), cells next, centroids LAST: every probe
     # starts by reading the centroids table, so its _SUCCESS doubles as
     # the layout's completeness marker — a crashed partial build fails
