@@ -23,6 +23,11 @@ frameworks):
   index was missing (PQ got ann_recall_pq in the round-8 wave).
 * ``unicode_hygiene_report`` — per-source mojibake/control-character
   screen, the cleaning signal upstream of every text gate.
+* ``label_propagation_communities`` — deterministic synchronous LPA
+  on the supplier co-occurrence graph, the densely-attached grouping
+  connected components cannot express.
+* ``token_head_mass`` — Zipf head concentration per source (top-k
+  occurrence share), the rank-frequency mix-health summary.
 """
 
 from __future__ import annotations
@@ -416,3 +421,188 @@ def unicode_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV GREATEST(SUM(length(text)), 1) AS BIGINT)"
         ).alias("nonascii_ppm"),
     )
+
+
+# ---- label-propagation communities ------------------------------------------
+
+_LPA_ITERS = 3
+
+_LPA_EDGE_CTES = """
+    li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pr AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS shared
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    edges AS (SELECT u, v FROM pr WHERE shared >= 20),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)"""
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    """Synchronous LPA unrolled ``iters`` times: each round every node
+    takes the most frequent label among its neighbours (count DESC,
+    label ASC tie-break — fully deterministic)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+    l{i} AS (SELECT u AS node, label FROM (
+          SELECT n.u, l.label, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY n.u
+                     ORDER BY COUNT(*) DESC, l.label) AS r
+          FROM und n JOIN {prev} l ON l.node = n.v
+          GROUP BY n.u, l.label) WHERE r = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH {_LPA_EDGE_CTES},
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+    {','.join(steps)}
+    SELECT CAST(node AS BIGINT) AS suppkey,
+           CAST(label AS BIGINT) AS community
+    FROM {prev}
+    """
+
+
+@_staged("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection on the supplier co-occurrence graph
+    (the triangle_counts_suppliers edge definition: >= 20 shared
+    orders) via SYNCHRONOUS label propagation, {it} rounds — the
+    modularity-style grouping the graph family lacked: connected
+    components answers "reachable at all", LPA answers "densely
+    attached", and on a dedup-cluster graph the difference is exactly
+    the chain-merge pathology dedup_chain_merge_audit measures.
+
+    Determinism (the reason for SYNCHRONOUS rounds): every node
+    updates from the PREVIOUS round's labels, and the per-node vote is
+    an integer argmax (count DESC, label ASC), so the result is a pure
+    function of the edge set — no traversal order, partitioning, or
+    async race anywhere.  A fixed {it}-round horizon keeps the lineage
+    bounded (the bounded-iteration BPE/PageRank discipline) and is the
+    standard near-convergence budget for LPA's coarse structure.
+
+    Scale: each round is one edge-keyed join (labels are |V| rows,
+    edges |E|) + one (node, label) partial-count aggregate + one
+    |V|-row argmax — 3 bounded shuffles per round, no windows over
+    edges, no driver-side state; lineage is cut per round with a lazy
+    localCheckpoint exactly like the PageRank loop."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", node_col="l_suppkey", min_shared=20
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        und.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("u")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("c")).alias("nc"), F.col("label")),
+                ).alias("label")
+            )
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("suppkey"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+label_propagation_communities.__doc__ = (
+    label_propagation_communities.__doc__.format(it=_LPA_ITERS)
+)
+
+
+# ---- Zipf head mass ---------------------------------------------------------
+
+_HEAD_KS = (10, 100, 1000)
+
+_HEAD_MASS_ORACLE = r"""
+    WITH occ AS (SELECT source, unnest(
+                   string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+    rk AS (SELECT source, c, ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY c DESC, tok) AS r
+           FROM cnt)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens_total,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) * 1000
+                // SUM(c) AS BIGINT) AS top10_permille,
+           CAST(SUM(CASE WHEN r <= 100 THEN c ELSE 0 END) * 1000
+                // SUM(c) AS BIGINT) AS top100_permille,
+           CAST(SUM(CASE WHEN r <= 1000 THEN c ELSE 0 END) * 1000
+                // SUM(c) AS BIGINT) AS top1000_permille
+    FROM rk GROUP BY source
+    """
+
+
+@_staged("token_head_mass", oracle=_HEAD_MASS_ORACLE)
+def token_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head concentration per source: the share of all token
+    occurrences covered by the top-10/100/1000 tokens — the
+    rank-frequency summary a mixing decision reads instead of a
+    fitted Zipf exponent (same signal, zero float regression: a
+    head-heavy source is templated/boilerplate, a flat one is
+    diverse).  Complements distinct_ngram_diversity (type/token
+    ratio) with WHERE the mass sits.
+
+    Exactness: counts, a deterministic rank (count DESC, token ASC),
+    and integer permille divisions — engine-identical bit-for-bit.
+
+    Scale: one token-keyed partial-count aggregate (vocabulary-sized
+    output, Heaps-sublinear), then a rank window over VOCAB rows per
+    source — never over token occurrences or documents — and a
+    |sources|-row rollup.  The tokenize pass is the corpus floor."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("tok")
+    )
+    rk = cnt.withColumn("r", F.row_number().over(w))
+    aggs = [
+        F.sum("c").alias("n_tokens_total"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    ] + [
+        F.expr(
+            f"CAST(SUM(CASE WHEN r <= {k} THEN c ELSE 0 END) * 1000"
+            f" DIV SUM(c) AS BIGINT)"
+        ).alias(f"top{k}_permille")
+        for k in _HEAD_KS
+    ]
+    return rk.groupBy("source").agg(*aggs)

@@ -221,3 +221,77 @@ def test_unicode_hygiene_planted_pathologies(spark, tmp_path):
         == 0
     )
     assert c.nonascii_ppm == 0
+
+
+def test_lpa_separates_planted_cliques(spark, tmp_path):
+    """Two planted 4-cliques joined by a single bridge edge resolve to
+    two communities (each clique converges to its min node id); the
+    bridge endpoints stay with their own cliques because clique votes
+    outnumber the single cross edge."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        label_propagation_communities,
+    )
+
+    # lineitem fixture: an order shared by two suppliers = an edge
+    # (>= 20 shared orders per the production min_shared)
+    rows = []
+    order = 0
+
+    def add_edge(u, v):
+        nonlocal order
+        for _ in range(20):
+            rows.append((order, u))
+            rows.append((order, v))
+            order += 1
+
+    cliq_a = [1, 2, 3, 4]
+    cliq_b = [11, 12, 13, 14]
+    for grp in (cliq_a, cliq_b):
+        for i, u in enumerate(grp):
+            for v in grp[i + 1 :]:
+                add_edge(u, v)
+    add_edge(4, 11)  # bridge
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    out = {
+        r.suppkey: r.community
+        for r in label_propagation_communities(spark, sf).collect()
+    }
+    assert {out[u] for u in cliq_a} == {1}
+    assert {out[u] for u in cliq_b} == {11}
+
+
+def test_head_mass_concentration_ordering(spark, tmp_path):
+    """A one-token source has all mass in its top-10; a flat source's
+    top-10 share equals exactly 10/vocab of the mass; cumulative
+    monotonicity holds."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        token_head_mass,
+    )
+
+    flat = " ".join(f"w{i}" for i in range(50))  # 50 tokens, each once
+    rows = [
+        (1, "spam " * 30, "head"),
+        (2, flat, "flat"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.source: r for r in token_head_mass(spark, sf).collect()}
+    h = out["head"]
+    assert h.vocab_size == 1 and h.top10_permille == 1000
+    f = out["flat"]
+    assert f.vocab_size == 50 and f.n_tokens_total == 50
+    assert f.top10_permille == 10 * 1000 // 50
+    for r in out.values():
+        assert (
+            r.top10_permille
+            <= r.top100_permille
+            <= r.top1000_permille
+            <= 1000
+        )
