@@ -37,7 +37,12 @@ def auc_by_ranksum(
     auc_micro = (2U * MICRO) div (2 * n_pos * n_neg), where
     2U = sum over score buckets of n_pos_b * (2*cum_below + n_b + 1)
          - n_pos * (n_pos + 1): the doubled-rank trick keeps mid-ranks
-    integral for even tie groups, so no fraction ever materializes."""
+    integral for even tie groups, so no fraction ever materializes.
+
+    A single-class input (n_pos = 0 or n_neg = 0 — e.g. a one-row or
+    one-label batch) emits NULL auc_micro, undefined by definition —
+    the same contract the sliced ``auc_by_ranksum_grouped`` already
+    carried (r08 single-row sweep)."""
     buckets = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col(label_col).cast("long")).alias("__np"),
@@ -58,8 +63,9 @@ def auc_by_ranksum(
         "n_pos",
         "n_neg",
         F.expr(
+            f"CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE "
             f"((__two_mid - n_pos * (n_pos + 1)) * {MICRO})"
-            " div (2 * n_pos * n_neg)"
+            f" div (2 * n_pos * n_neg) END"
         ).alias("auc_micro"),
     )
 

@@ -193,10 +193,11 @@ def dq_orders_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b)
     SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
            CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
-           CAST(((SUM(np * (2 * cum + n + 1))
-                  - SUM(np) * (SUM(np) + 1)) * 1000000)
-                // (2 * SUM(np) * (SUM(n) - SUM(np))) AS BIGINT)
-             AS auc_micro
+           CAST(CASE WHEN SUM(np) = 0 OR SUM(n) = SUM(np) THEN NULL
+                ELSE ((SUM(np * (2 * cum + n + 1))
+                       - SUM(np) * (SUM(np) + 1)) * 1000000)
+                     // (2 * SUM(np) * (SUM(n) - SUM(np))) END
+                AS BIGINT) AS auc_micro
     FROM r
     """,
 )

@@ -383,6 +383,8 @@ def _corr_oracle() -> str:
     for a in names:
         sums.append(f"SUM({a}) AS s_{a}")
         sums.append(f"SUM({a} * {a}) AS ss_{a}")
+        sums.append(f"MIN({a}) AS mn_{a}")
+        sums.append(f"MAX({a}) AS mx_{a}")
     pair_sums = []
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
@@ -398,9 +400,12 @@ def _corr_oracle() -> str:
                 f"    * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
                 f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
             )
+            guard = f"mn_{a} = mx_{a} OR mn_{b} = mx_{b}"
             selects.append(
                 f"SELECT '{a}' AS x_col, '{b}' AS y_col,"
-                f" CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS corr_micro"
+                f" CAST(CASE WHEN {guard} THEN NULL"
+                f" ELSE ROUND(({expr}) * 1000000) END AS BIGINT)"
+                f" AS corr_micro"
                 f" FROM s"
             )
     union = "\n    UNION ALL ".join(selects)
@@ -427,6 +432,11 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands. At 10¹²-row scale Σx² outgrows the 2^53-exact window —
     switch the sums to DECIMAL(38) there (same shape, same oracle).
 
+    A zero-variance column (single-row batch, constant measure) makes
+    the correlation undefined: the pair emits NULL corr_micro, guarded
+    by an exact min = max test (overflow-free, rides the same
+    aggregate) in both engines (r08 single-row sweep).
+
     Plan: ONE aggregate (no Expand, no per-pair scans — 15 sums ride one
     partial/final HashAggregate), then a width-6 projection of the
     1-row frame."""
@@ -438,6 +448,8 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in names:
         aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
         aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+        aggs.append(F.min(F.col(a)).alias(f"mn_{a}"))
+        aggs.append(F.max(F.col(a)).alias(f"mx_{a}"))
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
@@ -453,12 +465,14 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"    * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
                 f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
             )
+            guard = f"mn_{a} = mx_{a} OR mn_{b} = mx_{b}"
             pairs.append(
                 F.struct(
                     F.lit(a).alias("x_col"),
                     F.lit(b).alias("y_col"),
                     F.expr(
-                        f"CAST(ROUND(({expr}) * 1000000) AS BIGINT)"
+                        f"CAST(CASE WHEN {guard} THEN NULL"
+                        f" ELSE ROUND(({expr}) * 1000000) END AS BIGINT)"
                     ).alias("corr_micro"),
                 )
             )
