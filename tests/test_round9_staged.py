@@ -295,3 +295,116 @@ def test_head_mass_concentration_ordering(spark, tmp_path):
             <= r.top1000_permille
             <= 1000
         )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_lpa_matches_bruteforce_python(spark, tmp_path, seed):
+    """Independent python reimplementation of 3-round synchronous LPA
+    (same count-DESC/label-ASC vote) on a random graph must agree
+    exactly — catches a formula error the unrolled-CTE oracle could
+    share with the query (the quality_nb_scores pattern)."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        _LPA_ITERS,
+        label_propagation_communities,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(1, 13))
+    edges = set()
+    for u in nodes:
+        for v in nodes:
+            if u < v and rng.random() < 0.25:
+                edges.add((u, v))
+    if not edges:
+        edges.add((1, 2))
+
+    rows = []
+    order = 0
+    for u, v in sorted(edges):
+        for _ in range(20):
+            rows.append((order, u))
+            rows.append((order, v))
+            order += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {
+        r.suppkey: r.community
+        for r in label_propagation_communities(spark, sf).collect()
+    }
+
+    # brute force: synchronous rounds over the undirected edge set
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            nxt[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    assert got == labels
+
+
+def test_sq8_error_matches_bruteforce_python(spark, tmp_path):
+    """Independent python reimplementation of quantize -> SQ8 code ->
+    reconstruct -> per-dim |error| stats must agree EXACTLY (all
+    integer arithmetic)."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        sq8_reconstruction_error,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    # brute force from the PARQUET bytes (float32, like the engines)
+    import duckdb
+
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet/*.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    q = [
+        [round(float(x) * 1_000_000) for x in emb] for (emb,) in vecs
+    ]
+    d = len(q[0])
+    expect = {}
+    for j in range(d):
+        col = [v[j] for v in q]
+        mn, mx = min(col), max(col)
+        errs = []
+        for x in col:
+            if mx == mn:
+                rec = mn
+            else:
+                code = (x - mn) * 255 // (mx - mn)
+                rec = mn + code * (mx - mn) // 255
+            errs.append(abs(x - rec))
+        expect[j] = (
+            len(errs),
+            max(errs),
+            sum(errs),
+            sum(errs) * 1_000_000 // len(errs),
+        )
+
+    got = {
+        r.d: (r.n_vecs, r.max_abs_err, r.sum_abs_err, r.mean_abs_err_micro)
+        for r in sq8_reconstruction_error(spark, sf).collect()
+    }
+    assert got == expect
