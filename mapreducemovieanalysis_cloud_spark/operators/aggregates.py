@@ -847,3 +847,116 @@ def percentile_bands(
             .alias("p99_x100"),
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds on a 32-bit uniform: T[k] =
+# floor(P(X <= k) * 2^32) for k = 0..7; the replica weight is the count
+# of thresholds at or below the draw (so P(w = k) is exactly Poisson(1)
+# at 32-bit resolution, with the ~1e-5 tail mass lumped into w = 8).
+# Identical literals are baked into the DuckDB oracle — the weights are
+# a pure integer function of (id, replica) in both engines.
+POISSON1_T32 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Per-group mean of integer ``value_col`` with a deterministic
+    Poisson-bootstrap confidence band — the resampling scheme that
+    actually distributes: a classic multinomial bootstrap needs a
+    corpus-wide draw per replica (global coordination), while Poisson
+    bootstrap gives every row an independent Poisson(1) replica weight,
+    so all B replicas ride ONE scan as map-side conditional partials
+    (the Google-style large-scale bootstrap).
+
+    Determinism: the weight of row ``id`` in replica ``r`` is a pure
+    function of md5(salt:id:r) against the POISSON1_T32 thresholds —
+    stable across engines, partitionings, and retries; replica means
+    are integer micro-ratios and the CI bounds are order statistics
+    (rank 2 and rank ceil(0.95 * B) of B, replica id as tie-break), so
+    the whole output is engine-exact.
+
+    Scale: the B-way explode is map-side CPU only — the (group,
+    replica) partial aggregate combines before the shuffle, so shuffle
+    volume is |groups| x B partial rows regardless of corpus size; the
+    rank window orders B rows per group.  A replica that draws weight
+    0 everywhere (only plausible on near-empty groups) contributes
+    mean 0 rather than NULL so the rank positions stay fixed.
+
+    Output: (group..., n_rows, mean_micro, ci_lo_micro, ci_hi_micro).
+    """
+    lo_rank = 2 if b >= 20 else 1
+    hi_rank = -(-95 * b // 100)  # ceil(0.95 * b)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    F.col("__r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for t in POISSON1_T32:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    rep = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(value_col).alias("__x"),
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r"),
+    ).select(
+        *group_cols,
+        "__r",
+        "__x",
+        w.alias("__w"),
+    )
+    per_rep = rep.groupBy(*group_cols, "__r").agg(
+        F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+        F.sum("__w").alias("__n"),
+    ).select(
+        *group_cols,
+        "__r",
+        F.expr(
+            "CAST(CASE WHEN __n = 0 THEN 0"
+            " ELSE __s * 1000000 DIV __n END AS BIGINT)"
+        ).alias("__m"),
+    )
+    rk_w = Window.partitionBy(*group_cols).orderBy("__m", "__r")
+    ranked = per_rep.withColumn("__rk", F.row_number().over(rk_w))
+    ci = ranked.groupBy(*group_cols).agg(
+        F.max(
+            F.when(F.col("__rk") == lo_rank, F.col("__m"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("__rk") == hi_rank, F.col("__m"))
+        ).alias("ci_hi_micro"),
+    )
+    base = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"CAST(SUM({value_col}) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return base.join(ci, group_cols)

@@ -1,0 +1,212 @@
+"""Round-10 REGISTRY CANDIDATES — implemented, oracle-backed,
+pytest-verified, NOT registered: round 8's driver window is
+rotation-only and round 9's 50 slots are already fully committed
+(36 r04 rows + the 8 round8_staged + the 6 round9_staged candidates,
+SURVEY.md round-8 ledger item 7), so this wave queues for round 10.
+Same contract as every staging wave: ready-to-promote (query_fn,
+oracle_sql) pairs; ``tests/test_round10_staged.py`` runs the
+driver-identical Spark-vs-DuckDB parity.
+
+What the wave adds:
+
+* ``bootstrap_mean_chars_ci`` — deterministic POISSON bootstrap
+  confidence bands (the resampling scheme that actually distributes:
+  per-row Poisson(1) replica weights instead of a coordinated
+  corpus-wide draw), the uncertainty tier the statistics family
+  lacked — every mean/ratio report so far is a point estimate.
+* ``decontaminate_span_report`` — span-level benchmark scrub: instead
+  of decontaminate's drop-the-whole-doc verdict, locate the maximal
+  contaminated token runs and report how much of each document
+  survives (the GPT-3/PaLM-style n-gram scrub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+STAGED_ORACLES: dict[str, str] = {}
+STAGED_QUERIES: dict = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- Poisson-bootstrap confidence bands -------------------------------------
+
+_BOOT_B = 32
+
+
+def _bootstrap_oracle(b: int = _BOOT_B) -> str:
+    """Identical Poisson(1) thresholds and md5 draw as the operator —
+    the weights are a pure integer function of (doc_id, replica) in
+    both engines."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        POISSON1_T32,
+    )
+
+    w_expr = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in POISSON1_T32
+    )
+    lo_rank = 2
+    hi_rank = -(-95 * b // 100)
+    return f"""
+    WITH rep AS (SELECT source, doc_id, n_chars, r
+                 FROM documents,
+                      unnest(generate_series(0, {b - 1})) AS g(r)),
+    u AS (SELECT source, r, n_chars,
+                 CAST(('0x' || substr(md5('boot:'
+                        || CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+          FROM rep),
+    wt AS (SELECT source, r, n_chars, {w_expr} AS w FROM u),
+    per AS (SELECT source, r,
+                   CAST(CASE WHEN SUM(w) = 0 THEN 0
+                        ELSE SUM(w * n_chars) * 1000000 // SUM(w) END
+                        AS BIGINT) AS m
+            FROM wt GROUP BY 1, 2),
+    rk AS (SELECT source, m, ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY m, r) AS rk FROM per),
+    ci AS (SELECT source,
+                  MAX(CASE WHEN rk = {lo_rank} THEN m END)
+                    AS ci_lo_micro,
+                  MAX(CASE WHEN rk = {hi_rank} THEN m END)
+                    AS ci_hi_micro
+           FROM rk GROUP BY source),
+    base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT)
+                      AS mean_micro
+             FROM documents GROUP BY source)
+    SELECT b.source, b.n_rows, b.mean_micro,
+           ci.ci_lo_micro, ci.ci_hi_micro
+    FROM base b JOIN ci USING (source)
+    """
+
+
+@_staged("bootstrap_mean_chars_ci", oracle=_bootstrap_oracle())
+def bootstrap_mean_chars_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean document length with a deterministic
+    Poisson-bootstrap 90% confidence band (B = {b} replicas) — the
+    uncertainty tier the statistics family lacked: every report so far
+    (quality means, PSI, drift, calibration) is a point estimate, and
+    a mixing/gating decision between two sources needs to know whether
+    their difference exceeds the resampling noise.
+
+    Poisson bootstrap is the scheme that actually distributes: the
+    classic multinomial bootstrap needs a coordinated corpus-wide draw
+    per replica, while a per-row Poisson(1) weight (independent across
+    rows AND replicas) lets all B replicas ride one scan as map-side
+    conditional partials — the large-scale-bootstrap standard.
+
+    Determinism: weights are a pure integer function of
+    md5(boot:doc_id:replica) against baked-in 32-bit inverse-CDF
+    thresholds (operators/aggregates.POISSON1_T32 — identical literals
+    in the oracle); replica means are integer micro-ratios; the CI
+    bounds are order statistics with the replica id as tie-break.
+    Engine-exact end to end.
+
+    Scale: the B-way explode is map-side CPU only — the (source,
+    replica) partial aggregate combines before the shuffle, so shuffle
+    volume is |sources| x B rows regardless of corpus size; the rank
+    window orders B rows per source."""
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return poisson_bootstrap_mean_ci(
+        docs, ["source"], "n_chars", "doc_id", b=_BOOT_B
+    )
+
+
+bootstrap_mean_chars_ci.__doc__ = bootstrap_mean_chars_ci.__doc__.format(
+    b=_BOOT_B
+)
+
+
+# ---- span-level decontamination ---------------------------------------------
+
+_BATCH_SRCS = ["src0", "src1", "src2", "src3", "src4"]
+
+_SPAN_ORACLE = r"""
+    WITH bt AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+                WHERE source IN ('src0','src1','src2','src3','src4')),
+    sz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM bt),
+    bg AS (SELECT doc_id, i - 1 AS pos,
+                  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+           FROM bt, unnest(generate_series(1, len(t) - 2)) AS g(i)
+           WHERE len(t) >= 3),
+    rt AS (SELECT string_split_regex(trim(text), '\s+') AS t
+           FROM documents
+           WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+    rg AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+           FROM rt, unnest(generate_series(1, len(t) - 2)) AS g(i)
+           WHERE len(t) >= 3),
+    hits AS (SELECT bg.doc_id, bg.pos FROM bg JOIN rg USING (gram)),
+    flg AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos > lag(pos) OVER w + 2
+                        THEN 1 ELSE 0 END AS ns
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl AS (SELECT doc_id, pos,
+                   SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS span_id
+            FROM flg),
+    spans AS (SELECT doc_id, span_id,
+                     MAX(pos) - MIN(pos) + 3 AS covered
+              FROM isl GROUP BY 1, 2),
+    per AS (SELECT doc_id, COUNT(*) AS n_spans,
+                   SUM(covered) AS n_cont
+            FROM spans GROUP BY 1)
+    SELECT sz.doc_id, sz.n_tokens,
+           CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(per.n_cont, 0) AS BIGINT)
+             AS n_contaminated_tokens,
+           CAST(sz.n_tokens - COALESCE(per.n_cont, 0) AS BIGINT)
+             AS n_clean_tokens,
+           CAST((sz.n_tokens - COALESCE(per.n_cont, 0)) * 1000
+                // GREATEST(sz.n_tokens, 1) AS BIGINT)
+             AS clean_permille
+    FROM sz LEFT JOIN per USING (doc_id)
+    """
+
+
+@_staged("decontaminate_span_report", oracle=_SPAN_ORACLE)
+def decontaminate_span_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level benchmark scrub over the decontaminate_batch split
+    (src0-4 = incoming batch, the rest = reference): per batch doc,
+    the maximal contaminated token runs (exact 3-grams occurring
+    anywhere in the reference, merged when their token intervals
+    touch) and the surviving clean-token budget — the verdict that
+    keeps a mostly-clean document instead of dropping it for one
+    quoted line, and the input a scrub-then-train pipeline feeds to
+    chunking (operators/dedup.decontaminate_spans).
+
+    Scale posture in the operator docstring: reference collapses to
+    DISTINCT grams pre-join; span merging windows over matched
+    positions PER DOC only; clean docs get their row via the doc-keyed
+    LEFT join. All-integer interval arithmetic — engine-exact."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source").isin(_BATCH_SRCS))
+    reference = docs.where(~F.col("source").isin(_BATCH_SRCS))
+    return decontaminate_spans(batch, reference, n=3)

@@ -1,0 +1,158 @@
+"""Parity + contracts for the round-10 registry candidates
+(queries/round10_staged.py): driver-identical Spark-vs-DuckDB parity,
+the not-registered freeze contract (round 9's window is already fully
+committed), plan hygiene, planted-corpus behavioral checks, and
+independent python brute-force replays."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_matches_oracle(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, oracle_sf_dir),
+        STAGED_ORACLES[name],
+        oracle_sf_dir,
+    )
+
+
+def test_staged_not_registered():
+    """Round 9's 50 slots are fully committed (36 r04 + 8 round8 + 6
+    round9 staged); this wave queues for round 10 and must not be
+    live yet."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
+
+
+def test_staged_plan_hygiene(spark, sf_dir):
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    for name, fn in STAGED_QUERIES.items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bootstrap_ci_constant_and_bounded(spark, tmp_path):
+    """A constant-valued source has a degenerate CI (lo = mean = hi
+    exactly — every replica's weighted mean of a constant is that
+    constant whenever any weight lands); a spread source's CI stays
+    within [min, max] of the data."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        bootstrap_mean_chars_ci,
+    )
+
+    rows = [(i, "t", "const", 500) for i in range(40)] + [
+        (100 + i, "t", "spread", 100 + 37 * i) for i in range(40)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.source: r for r in bootstrap_mean_chars_ci(spark, sf).collect()}
+    c = out["const"]
+    assert c.mean_micro == 500 * 1_000_000
+    assert c.ci_lo_micro == c.ci_hi_micro == c.mean_micro
+    s = out["spread"]
+    vals = [100 + 37 * i for i in range(40)]
+    assert s.ci_lo_micro <= s.mean_micro <= s.ci_hi_micro
+    assert min(vals) * 1_000_000 <= s.ci_lo_micro
+    assert s.ci_hi_micro <= max(vals) * 1_000_000
+
+
+def test_bootstrap_matches_bruteforce_python(spark, tmp_path):
+    """Python replay of the md5 -> Poisson weight -> replica mean ->
+    order-statistic pipeline must agree EXACTLY (all integer
+    arithmetic) — independent of both the operator and the oracle."""
+    import hashlib
+
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        POISSON1_T32,
+    )
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        _BOOT_B,
+        bootstrap_mean_chars_ci,
+    )
+
+    rows = [(i, "t", "s", 50 + 13 * (i % 7)) for i in range(25)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = bootstrap_mean_chars_ci(spark, sf).collect()[0]
+
+    def weight(doc_id: int, r: int) -> int:
+        u = int(
+            hashlib.md5(f"boot:{doc_id}:{r}".encode()).hexdigest()[:8], 16
+        )
+        return sum(1 for t in POISSON1_T32 if u >= t)
+
+    means = []
+    for r in range(_BOOT_B):
+        s = n = 0
+        for doc_id, _, _, x in rows:
+            w = weight(doc_id, r)
+            s += w * x
+            n += w
+        means.append((s * 1_000_000 // n if n else 0, r))
+    means.sort()
+    lo = means[2 - 1][0]
+    hi = means[-(-95 * _BOOT_B // 100) - 1][0]
+    total = sum(x for *_, x in rows)
+    assert got.n_rows == 25
+    assert got.mean_micro == total * 1_000_000 // 25
+    assert got.ci_lo_micro == lo
+    assert got.ci_hi_micro == hi
+
+
+def test_span_report_planted_quotes(spark, tmp_path):
+    """A batch doc quoting a 5-token reference run is contaminated on
+    exactly those 5 tokens (the three overlapping 3-grams merge into
+    one span); a clean doc and a 2-token doc report fully clean; two
+    separated quotes make two spans."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        decontaminate_span_report,
+    )
+
+    bench = "alpha beta gamma delta epsilon"
+    rows = [
+        # batch (src0): 10 tokens, quotes bench tokens 0-4 at pos 2..6
+        (1, f"x1 x2 {bench} y1 y2 y3", "src0"),
+        (2, "clean words only here now", "src0"),
+        (3, "too short", "src0"),
+        # two separated quotes of 3-token runs -> two spans
+        (4, "alpha beta gamma q1 q2 q3 q4 gamma delta epsilon", "src0"),
+        # reference
+        (100, f"intro {bench} outro", "src9"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.doc_id: r for r in decontaminate_span_report(spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    r1 = out[1]
+    assert r1.n_tokens == 10
+    assert r1.n_spans == 1
+    assert r1.n_contaminated_tokens == 5
+    assert r1.n_clean_tokens == 5 and r1.clean_permille == 500
+    assert out[2].n_spans == 0 and out[2].clean_permille == 1000
+    assert out[3].n_tokens == 2 and out[3].clean_permille == 1000
+    r4 = out[4]
+    assert r4.n_spans == 2
+    assert r4.n_contaminated_tokens == 6
+    assert r4.n_clean_tokens == 4

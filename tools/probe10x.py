@@ -59,8 +59,11 @@ def main() -> None:
     from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
         STAGED_QUERIES as _R9,
     )
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        STAGED_QUERIES as _R10,
+    )
 
-    for staged in (_R7, _R8, _R9):
+    for staged in (_R7, _R8, _R9, _R10):
         for k, v in staged.items():
             qs.setdefault(k, v)
     for name in names:
