@@ -1,0 +1,79 @@
+"""Partitioning-independence pin for the float-determinism contract.
+
+The repo-wide claim behind every micro-rounded column is that results
+are A VALUE OF THE DATA, not of the execution: summation order changes
+with shuffle partitioning, so any query whose floats weren't
+quantized-at-the-leaves or exactly-associative would flip its value
+hash between a 2-partition and a 32-partition run. The oracle diff
+can't see this (DuckDB always sums in its own order) — this module
+pins it directly by executing the most summation-sensitive registered
+queries under both extremes and requiring bit-identical canonical
+rows.
+
+At 100 TB this is the difference between "the nightly report moved
+because the cluster resized" and determinism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# The float-bearing families: ordered folds (EWMA), log-space sums
+# (LM scores, DSIR, CCNet terciles), closed-form regression/corr/PCA,
+# centroid updates (k-means), duration-weighted means (TWAP), Gini,
+# plus the A-Res samplers whose ln() priorities gate top-k membership.
+SENSITIVE = [
+    "ewma_user_value",
+    "ngram_lm_scores",
+    "ccnet_lm_buckets",
+    "dsir_weights_en",
+    "trigram_lm_score",
+    "corr_matrix_lineitem",
+    "pca_gram",
+    "kmeans_embeddings",
+    "regr_price_on_qty_by_brand",
+    "gini_revenue_by_nation",
+    "twap_user_value",
+    "weighted_sample_docs",
+    "quality_classifier",
+    "classifier_auc",
+]
+
+_QUERIES = entry_mod.queries()
+
+
+def _canon(rows) -> list[tuple]:
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(row.asDict()):
+            v = row[c]
+            if isinstance(v, float):
+                assert not math.isnan(v)
+                vals.append(("f", v.hex()))
+            elif isinstance(v, list):
+                vals.append(("a", str(v)))
+            else:
+                vals.append((type(v).__name__[:1], str(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_identical_across_partitionings(name, spark, sf_dir):
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "2")
+        a = _canon(_QUERIES[name](spark, sf_dir).collect())
+        conf.set("spark.sql.shuffle.partitions", "32")
+        b = _canon(_QUERIES[name](spark, sf_dir).collect())
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
+    assert a, f"{name}: empty result at sf0.001 — pin is vacuous"
