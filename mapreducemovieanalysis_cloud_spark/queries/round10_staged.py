@@ -18,6 +18,9 @@ What the wave adds:
   of decontaminate's drop-the-whole-doc verdict, locate the maximal
   contaminated token runs and report how much of each document
   survives (the GPT-3/PaLM-style n-gram scrub).
+* ``source_repeat_schedule`` — the token-budget repeat planner
+  (data-constrained scaling: uniform source slices under a 4-epoch
+  repeat cap, with the binding constraint surfaced per source).
 """
 
 from __future__ import annotations
@@ -210,3 +213,108 @@ def decontaminate_span_report(
     batch = docs.where(F.col("source").isin(_BATCH_SRCS))
     reference = docs.where(~F.col("source").isin(_BATCH_SRCS))
     return decontaminate_spans(batch, reference, n=3)
+
+
+# ---- token-budget repeat schedule -------------------------------------------
+
+_BUDGET_X_MILLI = 2000  # token budget = 2.0x the corpus total
+_MAX_EPOCHS_MILLI = 4000  # per-source repeat cap = 4.0 epochs
+
+_REPEAT_ORACLE = rf"""
+    WITH per AS (SELECT source,
+                        CAST(SUM(len(string_split_regex(trim(text),
+                             '\s+'))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t, COUNT(*) AS n_sources FROM per),
+    plan AS (SELECT p.source, p.n_tokens,
+                    CAST(p.n_tokens * 1000000 // tot.t AS BIGINT)
+                      AS share_ppm,
+                    -- uniform-weight request: every source gets an
+                    -- equal slice of the budget (upsamples small
+                    -- sources), then the epoch cap binds
+                    CAST((tot.t * {_BUDGET_X_MILLI} // 1000)
+                         // tot.n_sources AS BIGINT) AS requested,
+                    CAST(LEAST(
+                         (tot.t * {_BUDGET_X_MILLI} // 1000)
+                           // tot.n_sources,
+                         p.n_tokens * {_MAX_EPOCHS_MILLI} // 1000)
+                         AS BIGINT) AS allocated
+             FROM per p CROSS JOIN tot)
+    SELECT source, n_tokens, share_ppm, requested, allocated,
+           CAST(allocated * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+             AS epochs_milli,
+           CAST(requested - allocated AS BIGINT) AS shortfall,
+           CAST(CASE WHEN requested > allocated THEN 1 ELSE 0 END
+                AS INT) AS cap_bound
+    FROM plan
+    """
+
+
+@_staged("source_repeat_schedule", oracle=_REPEAT_ORACLE)
+def source_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget repeat planner: given a training budget of
+    {bx:.1f}x the corpus and a {me:.1f}-epoch per-source repeat cap
+    (the data-constrained-scaling rule of thumb — repeating beyond ~4
+    epochs stops buying loss), allocate tokens per source under
+    uniform source weights (equal budget slices upsample small
+    sources) and report each source's resulting epoch count, its
+    shortfall against the request, and whether the CAP was the
+    binding constraint — the table a mixing decision reads to see
+    which sources are repeat-limited (need more data, not more
+    budget) before anyone launches a run.
+
+    Exactness: token counts are integers; every share/epoch is an
+    integer milli/ppm division — engine-identical.
+
+    Scale: one tokenize-count aggregate (|sources| rows), a 1-row
+    totals broadcast, map-side arithmetic. The planner itself costs
+    one corpus scan regardless of budget."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.text import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    plan = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 DIV t AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr(
+            f"CAST((t * {_BUDGET_X_MILLI} DIV 1000) DIV n_sources"
+            " AS BIGINT)"
+        ).alias("requested"),
+        F.expr(
+            f"CAST(LEAST((t * {_BUDGET_X_MILLI} DIV 1000) DIV n_sources,"
+            f" n_tokens * {_MAX_EPOCHS_MILLI} DIV 1000) AS BIGINT)"
+        ).alias("allocated"),
+    )
+    return plan.select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        "requested",
+        "allocated",
+        F.expr(
+            "CAST(allocated * 1000 DIV GREATEST(n_tokens, 1) AS BIGINT)"
+        ).alias("epochs_milli"),
+        F.expr("CAST(requested - allocated AS BIGINT)").alias("shortfall"),
+        F.expr(
+            "CAST(CASE WHEN requested > allocated THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("cap_bound"),
+    )
+
+
+source_repeat_schedule.__doc__ = source_repeat_schedule.__doc__.format(
+    bx=_BUDGET_X_MILLI / 1000, me=_MAX_EPOCHS_MILLI / 1000
+)

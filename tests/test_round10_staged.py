@@ -38,10 +38,16 @@ def test_staged_not_registered():
 def test_staged_plan_hygiene(spark, sf_dir):
     from mapreducemovieanalysis_cloud_spark import plans
 
+    BNLJ_BY_DESIGN = {
+        # 1-row corpus-totals broadcast into the per-source plan —
+        # the standard bounded-broadcast whitelist justification
+        "source_repeat_schedule",
+    }
     for name, fn in STAGED_QUERIES.items():
         plan = plans.executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in BNLJ_BY_DESIGN:
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_bootstrap_ci_constant_and_bounded(spark, tmp_path):
@@ -156,3 +162,33 @@ def test_span_report_planted_quotes(spark, tmp_path):
     assert r4.n_spans == 2
     assert r4.n_contaminated_tokens == 6
     assert r4.n_clean_tokens == 4
+
+
+def test_repeat_schedule_cap_binds_small_source(spark, tmp_path):
+    """Small source hits the 4-epoch cap (allocated = 4x its tokens,
+    cap_bound = 1, shortfall positive); large source takes its full
+    uniform slice (cap_bound = 0). Exact integer arithmetic on a
+    hand-computed fixture."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        source_repeat_schedule,
+    )
+
+    ten = "a b c d e f g h i j"
+    rows = [(1, ten, "small")] + [
+        (10 + i, ten, "large") for i in range(10)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.source: r for r in source_repeat_schedule(spark, sf).collect()}
+    # totals: 110 tokens, budget 2.0x = 220, 2 sources -> 110 requested each
+    s = out["small"]
+    assert s.n_tokens == 10 and s.requested == 110
+    assert s.allocated == 40 and s.cap_bound == 1
+    assert s.epochs_milli == 4000 and s.shortfall == 70
+    l = out["large"]
+    assert l.n_tokens == 100 and l.requested == 110
+    assert l.allocated == 110 and l.cap_bound == 0
+    assert l.epochs_milli == 1100 and l.shortfall == 0
