@@ -192,3 +192,75 @@ def test_repeat_schedule_cap_binds_small_source(spark, tmp_path):
     assert l.n_tokens == 100 and l.requested == 110
     assert l.allocated == 110 and l.cap_bound == 0
     assert l.epochs_milli == 1100 and l.shortfall == 0
+
+
+@pytest.mark.parametrize("seed", [3, 17, 44])
+def test_span_report_matches_bruteforce_python(spark, tmp_path, seed):
+    """Python replay of gram-match -> interval-merge -> span stats on
+    random corpora must agree exactly — pins the merge boundary
+    (p2 <= p1 + n - 1 merges, p2 = p1 + n does not) independently of
+    the oracle."""
+    import random
+
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        decontaminate_span_report,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(12):
+        ln = rng.randint(1, 20)
+        text = " ".join(rng.choice(vocab) for _ in range(ln))
+        src = "src0" if i % 2 == 0 else "src9"
+        rows.append((i, text, src))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.n_spans,
+            r.n_contaminated_tokens,
+            r.n_clean_tokens,
+            r.clean_permille,
+        )
+        for r in decontaminate_span_report(spark, sf).collect()
+    }
+
+    n = 3
+    ref_grams = set()
+    for _, text, src in rows:
+        if src == "src0":
+            continue
+        t = text.split()
+        for p in range(len(t) - n + 1):
+            ref_grams.add(" ".join(t[p : p + n]))
+    expect = {}
+    for doc_id, text, src in rows:
+        if src != "src0":
+            continue
+        t = text.split()
+        hits = sorted(
+            p
+            for p in range(len(t) - n + 1)
+            if " ".join(t[p : p + n]) in ref_grams
+        )
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + n - 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        cont = sum(last - first + n for first, last in spans)
+        nt = len(t)
+        expect[doc_id] = (
+            nt,
+            len(spans),
+            cont,
+            nt - cont,
+            (nt - cont) * 1000 // max(nt, 1),
+        )
+    assert got == expect
