@@ -191,3 +191,83 @@ def ngram_perplexity_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def incremental_ngram_append(
+    batch_docs: DataFrame,
+    store: str,
+    batch_id: int | str,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Index a NEW batch of documents into a persistent n-gram count
+    store without touching already-counted history — the LM twin of
+    the incremental dedup/IVF stores: n-gram and context counts merge
+    by plain addition and the vocabulary by set union, so the model is
+    maintainable at O(batch), and the stored state is COUNT TABLES
+    (Heaps-law sublinear), never text.
+
+    Layout: ``<store>/{ngram,context,tokens}/batch=<id>`` via the
+    shared idempotent epoch write (sources.writers.write_epoch — a
+    retried batch rewrites its own directory, exactly-once at the
+    batch level, same protocol as the fingerprint store).  The tokens
+    table stores each batch's DISTINCT unigrams (not just a count):
+    distinct-counts don't merge, distinct SETS do.
+    """
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    occ = _occurrences(batch_docs, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    write_epoch(
+        occ.groupBy("ngram").agg(F.count(F.lit(1)).alias("c")),
+        f"{store}/ngram",
+        batch_id,
+    )
+    write_epoch(
+        occ.groupBy("context").agg(F.count(F.lit(1)).alias("ctx")),
+        f"{store}/context",
+        batch_id,
+    )
+    write_epoch(
+        batch_docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t")
+        ).distinct(),
+        f"{store}/tokens",
+        batch_id,
+    )
+
+
+def incremental_ngram_model(
+    spark, store: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The merged model over every committed batch in ``store`` —
+    EXACTLY the model a full rebuild over the union of the batches
+    would train (counts add, vocab unions; pinned by test/oracle):
+    the ``(ngram_counts, context_counts, vocab)`` tuple
+    ``score_documents`` consumes.
+
+    Scale: reads count tables only (no text rescans, ever); the merge
+    is one groupBy per table over batch-count rows."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    ngram_counts = (
+        read_epochs(spark, f"{store}/ngram")
+        .groupBy("ngram")
+        .agg(F.sum("c").alias("c"))
+    )
+    context_counts = (
+        read_epochs(spark, f"{store}/context")
+        .groupBy("context")
+        .agg(F.sum("ctx").alias("ctx"))
+    )
+    vocab = (
+        read_epochs(spark, f"{store}/tokens")
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return ngram_counts, context_counts, vocab

@@ -21,6 +21,9 @@ What the wave adds:
 * ``source_repeat_schedule`` — the token-budget repeat planner
   (data-constrained scaling: uniform source slices under a 4-epoch
   repeat cap, with the binding constraint surfaced per source).
+* ``incremental_lm_scores`` — the n-gram LM joins the incremental
+  stores (counts add, vocab unions: merged model == full rebuild,
+  same oracle, O(batch) maintenance).
 """
 
 from __future__ import annotations
@@ -318,3 +321,64 @@ def source_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 source_repeat_schedule.__doc__ = source_repeat_schedule.__doc__.format(
     bx=_BUDGET_X_MILLI / 1000, me=_MAX_EPOCHS_MILLI / 1000
 )
+
+
+# ---- incremental n-gram LM store --------------------------------------------
+
+
+def _incremental_lm_oracle() -> str:
+    """The registered ngram_lm_scores oracle VERBATIM: the incremental
+    store's merged model must equal a full-corpus rebuild exactly
+    (counts add, vocab unions), so the strongest possible oracle is
+    the full-rebuild scoring itself."""
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        _NGRAM_LM_ORACLE,
+    )
+
+    return _NGRAM_LM_ORACLE
+
+
+@_staged("incremental_lm_scores", oracle=_incremental_lm_oracle())
+def incremental_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scores every document against an INCREMENTALLY-maintained
+    bigram add-1 LM: the corpus arrives as two batches (doc_id
+    parity), each appended to a persistent count store at O(batch)
+    (operators/ngram_lm.incremental_ngram_append — the idempotent
+    epoch layout the fingerprint store uses), and scoring reads the
+    merged model.  Because n-gram/context counts merge by addition
+    and the vocabulary by set union, the merged model is EXACTLY the
+    full-corpus rebuild — same oracle as the registered
+    ngram_lm_scores, no weaker tier — while the maintenance cost of
+    a new ingest day is its own token count, never a history rescan.
+
+    Scale: stored state is count tables (Heaps-law sublinear in
+    corpus bytes); the merge is one groupBy per table over batch-count
+    rows; scoring is the registered score_documents kernel
+    unchanged."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "documents")
+    store = os.path.join(
+        tempfile.gettempdir(), "spark_graft_lm_inc", leaf, f"v1-{fp}"
+    )
+    # build-if-absent keyed on the LAST batch's epoch dir (per-batch
+    # overwrites make a half-done build self-healing on retry)
+    if not os.path.exists(os.path.join(store, "tokens", "batch=b1")):
+        ngram_lm.incremental_ngram_append(
+            docs.where(F.col("doc_id") % 2 == 0), store, "b0"
+        )
+        ngram_lm.incremental_ngram_append(
+            docs.where(F.col("doc_id") % 2 == 1), store, "b1"
+        )
+    model = ngram_lm.incremental_ngram_model(spark, store)
+    return ngram_lm.score_documents(docs, model)

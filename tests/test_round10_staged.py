@@ -42,6 +42,10 @@ def test_staged_plan_hygiene(spark, sf_dir):
         # 1-row corpus-totals broadcast into the per-source plan —
         # the standard bounded-broadcast whitelist justification
         "source_repeat_schedule",
+        # 1-row vocab-size scalar broadcast inside score_documents —
+        # the registered ngram_lm_scores whitelist justification
+        # (identical kernel, merged-store model)
+        "incremental_lm_scores",
     }
     for name, fn in STAGED_QUERIES.items():
         plan = plans.executed_plan(fn(spark, sf_dir))
@@ -264,3 +268,47 @@ def test_span_report_matches_bruteforce_python(spark, tmp_path, seed):
             (nt - cont) * 1000 // max(nt, 1),
         )
     assert got == expect
+
+
+def test_incremental_lm_append_is_idempotent_and_equals_rebuild(
+    spark, tmp_path
+):
+    """Retrying an already-applied batch (same batch_id) must not
+    double counts (the epoch overwrite contract), and the merged
+    model's count tables must equal a full rebuild's exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b"),
+            (1, "b c d"),
+            (2, "a b c"),
+            (3, "d e"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "lm_store")
+    ngram_lm.incremental_ngram_append(
+        docs.where(F.col("doc_id") < 2), store, "b0"
+    )
+    ngram_lm.incremental_ngram_append(
+        docs.where(F.col("doc_id") >= 2), store, "b1"
+    )
+    # retry batch b1: the epoch dir is overwritten, never appended
+    ngram_lm.incremental_ngram_append(
+        docs.where(F.col("doc_id") >= 2), store, "b1"
+    )
+
+    inc_ng, inc_ctx, inc_v = ngram_lm.incremental_ngram_model(spark, store)
+    full_ng, full_ctx, full_v = ngram_lm.ngram_model(docs)
+
+    def tbl(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert tbl(inc_ng, ["ngram", "c"]) == tbl(full_ng, ["ngram", "c"])
+    assert tbl(inc_ctx, ["context", "ctx"]) == tbl(
+        full_ctx, ["context", "ctx"]
+    )
+    assert inc_v.collect()[0].v == full_v.collect()[0].v == 5
