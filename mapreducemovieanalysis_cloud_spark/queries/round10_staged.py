@@ -24,6 +24,12 @@ What the wave adds:
 * ``incremental_lm_scores`` — the n-gram LM joins the incremental
   stores (counts add, vocab unions: merged model == full rebuild,
   same oracle, O(batch) maintenance).
+* ``embedding_batch_drift`` — per-label centroid cosine/L2 between a
+  reference and a current embedding window: the re-embedding
+  regression alarm upstream of every stored ANN index.
+* ``ab_uplift_ci`` — hash-split A/B uplift with a paired
+  Poisson-bootstrap CI on the difference, the experimentation
+  primitive for recipe changes.
 """
 
 from __future__ import annotations
@@ -382,3 +388,316 @@ def incremental_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     model = ngram_lm.incremental_ngram_model(spark, store)
     return ngram_lm.score_documents(docs, model)
+
+
+# ---- embedding batch drift --------------------------------------------------
+
+_DRIFT_ORACLE = """
+    WITH q AS (SELECT vec_id, label, vec_id % 2 AS b,
+                      [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       FOR x IN embedding] AS mv
+               FROM embeddings),
+    cell AS (SELECT label, b, i AS d, mv[i] AS x
+             FROM q, unnest(generate_series(1, len(mv))) AS g(i)),
+    cent AS (SELECT label, b, d,
+                    SUM(x) // COUNT(*) AS m
+             FROM cell GROUP BY 1, 2, 3),
+    n AS (SELECT label, b, COUNT(*) AS n FROM q GROUP BY 1, 2),
+    pair AS (SELECT c0.label, c0.d, c0.m AS m0, c1.m AS m1
+             FROM cent c0 JOIN cent c1
+               ON c1.label = c0.label AND c1.d = c0.d
+              AND c0.b = 0 AND c1.b = 1),
+    dots AS (SELECT label,
+                    SUM(m0 * m1) AS dot,
+                    SUM(m0 * m0) AS n0,
+                    SUM(m1 * m1) AS n1,
+                    SUM((m0 - m1) * (m0 - m1)) AS l2sq
+             FROM pair GROUP BY label)
+    SELECT d.label,
+           CAST(na.n AS BIGINT) AS n_ref,
+           CAST(nb.n AS BIGINT) AS n_cur,
+           CAST(CASE WHEN d.n0 = 0 OR d.n1 = 0 THEN NULL
+                ELSE ROUND(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(d.n0 AS DOUBLE))
+                        * sqrt(CAST(d.n1 AS DOUBLE))) * 1000000) END
+                AS BIGINT) AS centroid_cosine_micro,
+           CAST(d.l2sq AS BIGINT) AS centroid_l2sq_milli
+    FROM dots d
+    JOIN n na ON na.label = d.label AND na.b = 0
+    JOIN n nb ON nb.label = d.label AND nb.b = 1
+    """
+
+
+@_staged("embedding_batch_drift", oracle=_DRIFT_ORACLE)
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the vectors into a reference and
+    a current window (vec_id parity stands in for yesterday/today) and
+    report, per label, the cosine between the two windows' centroids
+    plus their exact squared L2 gap — the check that catches a
+    re-embedding model change or an upstream feature regression BEFORE
+    the ANN indexes silently degrade (a stored IVF/PQ index built on
+    yesterday's geometry misroutes today's queries).
+
+    Exactness: per-dim centroid means are integer MILLI floor-divided
+    sums — bounded by the milli quantization (|m| <= ~1000·scale)
+    regardless of window size, so the dot/norm sums stay far inside
+    int64 at ANY corpus scale; the single double expression
+    dot/(sqrt·sqrt) runs on identical exact integers in both engines
+    (the corr_matrix pattern) and a degenerate all-zero centroid
+    yields NULL, not DIVIDE_BY_ZERO.
+
+    Scale: one posexplode aggregate to (label, window, dim) cells —
+    d-bounded output — then d-row arithmetic; no corpus-sized join
+    anywhere."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("b"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("mv"),
+    )
+    n = q.groupBy("label", "b").agg(F.count(F.lit(1)).alias("n"))
+    cent = (
+        q.select("label", "b", F.posexplode("mv").alias("d", "x"))
+        .groupBy("label", "b", "d")
+        .agg(F.expr("SUM(x) DIV COUNT(*)").alias("m"))
+    )
+    c0 = cent.where(F.col("b") == 0).select(
+        "label", "d", F.col("m").alias("m0")
+    )
+    c1 = cent.where(F.col("b") == 1).select(
+        "label", "d", F.col("m").alias("m1")
+    )
+    dots = (
+        c0.join(c1, ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("m0") * F.col("m1")).alias("dot"),
+            F.sum(F.col("m0") * F.col("m0")).alias("n0"),
+            F.sum(F.col("m1") * F.col("m1")).alias("n1"),
+            F.sum(
+                (F.col("m0") - F.col("m1"))
+                * (F.col("m0") - F.col("m1"))
+            ).alias("l2sq"),
+        )
+    )
+    na = n.where(F.col("b") == 0).select(
+        "label", F.col("n").alias("n_ref")
+    )
+    nb = n.where(F.col("b") == 1).select(
+        "label", F.col("n").alias("n_cur")
+    )
+    return (
+        dots.join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            F.col("n_ref").cast("long"),
+            F.col("n_cur").cast("long"),
+            F.expr(
+                "CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL"
+                " ELSE ROUND(CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE)))"
+                " * 1000000) END AS BIGINT)"
+            ).alias("centroid_cosine_micro"),
+            F.col("l2sq").cast("long").alias("centroid_l2sq_milli"),
+        )
+    )
+
+
+# ---- deterministic A/B uplift with bootstrap CI ------------------------------
+
+
+def _ab_oracle(b: int = _BOOT_B) -> str:
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        POISSON1_T32,
+    )
+
+    w_expr = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in POISSON1_T32
+    )
+    hi_rank = -(-95 * b // 100)
+    return f"""
+    WITH arms AS (SELECT doc_id, n_chars,
+                         CAST(('0x' || substr(md5('ab:'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 2 AS arm
+                  FROM documents),
+    rep AS (SELECT doc_id, n_chars, arm, r
+            FROM arms, unnest(generate_series(0, {b - 1})) AS g(r)),
+    wt AS (SELECT arm, r, n_chars, {w_expr} AS w
+           FROM (SELECT arm, r, n_chars,
+                        CAST(('0x' || substr(md5('abboot:'
+                            || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT)
+                          AS u
+                 FROM rep)),
+    per AS (SELECT r,
+                   CAST(CASE WHEN SUM(CASE WHEN arm = 0 THEN w
+                                      ELSE 0 END) = 0 THEN 0
+                        ELSE SUM(CASE WHEN arm = 0 THEN w * n_chars
+                                 ELSE 0 END) * 1000000
+                             // SUM(CASE WHEN arm = 0 THEN w
+                                    ELSE 0 END) END AS BIGINT)
+                   - CAST(CASE WHEN SUM(CASE WHEN arm = 1 THEN w
+                                        ELSE 0 END) = 0 THEN 0
+                          ELSE SUM(CASE WHEN arm = 1 THEN w * n_chars
+                                   ELSE 0 END) * 1000000
+                               // SUM(CASE WHEN arm = 1 THEN w
+                                      ELSE 0 END) END AS BIGINT)
+                     AS diff
+            FROM wt GROUP BY r),
+    rk AS (SELECT diff, ROW_NUMBER() OVER (ORDER BY diff, r) AS rk
+           FROM (SELECT r, diff FROM per)),
+    base AS (SELECT
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b,
+               CAST(SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)
+                    * 1000000
+                    // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mean_a_micro,
+               CAST(SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)
+                    * 1000000
+                    // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mean_b_micro
+             FROM arms)
+    SELECT base.n_a, base.n_b, base.mean_a_micro, base.mean_b_micro,
+           CAST(base.mean_a_micro - base.mean_b_micro AS BIGINT)
+             AS diff_micro,
+           (SELECT CAST(MAX(CASE WHEN rk = 2 THEN diff END) AS BIGINT)
+            FROM rk) AS ci_lo_micro,
+           (SELECT CAST(MAX(CASE WHEN rk = {hi_rank} THEN diff END)
+                   AS BIGINT) FROM rk) AS ci_hi_micro
+    FROM base
+    """
+
+
+@_staged("ab_uplift_ci", oracle=_ab_oracle())
+def ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B readout: md5-hash documents into two arms,
+    report each arm's mean metric and the uplift (A - B) with a
+    Poisson-bootstrap 90% CI on the DIFFERENCE — the experimentation
+    primitive behind "did the new cleaning recipe change doc quality
+    beyond resampling noise".  A hash split is the production shape
+    (stable under reruns and appends, no coordination), and
+    bootstrapping the per-replica difference — both arms resampled
+    inside the same replica — is the correct paired procedure.
+
+    Determinism: arm membership and replica weights are pure integer
+    functions of md5 draws (POISSON1_T32 thresholds, identical
+    literals in the oracle); replica means and their difference are
+    integer micro-ratios; CI bounds are order statistics with the
+    replica id as tie-break.
+
+    Scale: the one-row verdict aggregates (arm, replica) partials
+    that combine map-side — shuffle is 2 x B partial rows at any
+    corpus size (the bootstrap_mean_chars_ci posture)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        POISSON1_T32,
+    )
+
+    b = _BOOT_B
+    hi_rank = -(-95 * b // 100)
+    arms = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("ab"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("abboot"),
+                    F.col("doc_id").cast("string"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for t in POISSON1_T32:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    rep = arms.select(
+        "doc_id",
+        "n_chars",
+        "arm",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+    ).select("arm", "r", "n_chars", w.alias("w"))
+    per = rep.groupBy("r").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("w") * F.col("n_chars")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("w")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w") * F.col("n_chars")).otherwise(0)).alias("sb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w")).otherwise(0)).alias("nb"),
+    ).select(
+        "r",
+        F.expr(
+            "CAST(CASE WHEN na = 0 THEN 0"
+            " ELSE sa * 1000000 DIV na END AS BIGINT)"
+            " - CAST(CASE WHEN nb = 0 THEN 0"
+            " ELSE sb * 1000000 DIV nb END AS BIGINT)"
+        ).alias("diff"),
+    )
+    from pyspark.sql import Window
+
+    rk_w = Window.orderBy("diff", "r")
+    ci = (
+        per.withColumn("rk", F.row_number().over(rk_w))
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("diff"))).alias(
+                "ci_lo_micro"
+            ),
+            F.max(F.when(F.col("rk") == hi_rank, F.col("diff"))).alias(
+                "ci_hi_micro"
+            ),
+        )
+    )
+    base = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)"
+            " * 1000000 DIV SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("mean_a_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)"
+            " * 1000000 DIV SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("mean_b_micro"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_a",
+        "n_b",
+        "mean_a_micro",
+        "mean_b_micro",
+        F.expr("CAST(mean_a_micro - mean_b_micro AS BIGINT)").alias(
+            "diff_micro"
+        ),
+        "ci_lo_micro",
+        "ci_hi_micro",
+    )

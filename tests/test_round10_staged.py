@@ -46,6 +46,9 @@ def test_staged_plan_hygiene(spark, sf_dir):
         # the registered ngram_lm_scores whitelist justification
         # (identical kernel, merged-store model)
         "incremental_lm_scores",
+        # the 1-row point-estimate frame x the 1-row CI frame — a
+        # 1x1 join by construction
+        "ab_uplift_ci",
     }
     for name, fn in STAGED_QUERIES.items():
         plan = plans.executed_plan(fn(spark, sf_dir))
@@ -312,3 +315,68 @@ def test_incremental_lm_append_is_idempotent_and_equals_rebuild(
         full_ctx, ["context", "ctx"]
     )
     assert inc_v.collect()[0].v == full_v.collect()[0].v == 5
+
+
+def test_embedding_drift_planted_directions(spark, tmp_path):
+    """Identical windows -> cosine exactly 1.0 and zero L2 gap;
+    opposite windows (v vs -v) -> cosine exactly -1.0."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        embedding_batch_drift,
+    )
+
+    v = [0.5, -0.25, 0.125, 1.0]
+    neg = [-x for x in v]
+    rows = []
+    for i in range(8):  # label 1: same direction in both windows
+        rows.append((i, v, 1))
+    for i in range(8):  # label 2: parity windows point opposite ways
+        rows.append((100 + i, v if i % 2 == 0 else neg, 2))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = {r.label: r for r in embedding_batch_drift(spark, sf).collect()}
+    same = out[1]
+    assert same.n_ref == same.n_cur == 4
+    assert same.centroid_cosine_micro == 1_000_000
+    assert same.centroid_l2sq_milli == 0
+    # label 2: vec_id parity puts all +v in window 0 and all -v in 1
+    flip = out[2]
+    assert flip.centroid_cosine_micro == -1_000_000
+    assert flip.centroid_l2sq_milli > 0
+
+
+def test_ab_uplift_constant_metric_is_exact_zero(spark, tmp_path):
+    """A constant metric makes both arms' means equal and every
+    bootstrap replica's difference exactly zero — point estimate and
+    both CI bounds must be 0; arm sizes must partition the corpus."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        ab_uplift_ci,
+    )
+
+    rows = [(i, "t", "s", 250) for i in range(60)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    r = ab_uplift_ci(spark, sf).collect()[0]
+    assert r.n_a + r.n_b == 60 and r.n_a > 0 and r.n_b > 0
+    assert r.mean_a_micro == r.mean_b_micro == 250 * 1_000_000
+    assert r.diff_micro == 0
+    assert r.ci_lo_micro == r.ci_hi_micro == 0
+
+
+def test_ab_uplift_internal_consistency(spark, oracle_sf_dir):
+    """On real data: diff = mean_a - mean_b exactly, CI ordered, and
+    the CI brackets the point estimate (paired replicas center on
+    it)."""
+    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
+        ab_uplift_ci,
+    )
+
+    r = ab_uplift_ci(spark, oracle_sf_dir).collect()[0]
+    assert r.diff_micro == r.mean_a_micro - r.mean_b_micro
+    assert r.ci_lo_micro <= r.ci_hi_micro
+    assert r.ci_lo_micro <= r.diff_micro <= r.ci_hi_micro
