@@ -70,7 +70,22 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    qs, oracles = e.queries(), e.oracle_sql()
+    qs, oracles = dict(e.queries()), dict(e.oracle_sql())
+    # Explicitly-named staged candidates resolve too (never part of a
+    # first_n/full sweep — those stay registry-only, like the driver),
+    # so a promotion round can preflight its wave in this exact flow.
+    if only:
+        for mod in ("round8_staged", "round9_staged", "round10_staged"):
+            try:
+                m = __import__(
+                    f"mapreducemovieanalysis_cloud_spark.queries.{mod}",
+                    fromlist=["STAGED_QUERIES", "STAGED_ORACLES"],
+                )
+            except ImportError:
+                continue
+            for k in m.STAGED_QUERIES:
+                qs.setdefault(k, m.STAGED_QUERIES[k])
+                oracles.setdefault(k, m.STAGED_ORACLES[k])
     names = only or (list(qs)[:first_n] if first_n else list(qs))
     failed = []
     for i, name in enumerate(names):
