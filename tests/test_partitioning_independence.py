@@ -68,12 +68,19 @@ def _canon(rows) -> list[tuple]:
 def test_result_identical_across_partitionings(name, spark, sf_dir):
     conf = spark.conf
     orig = conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = conf.get("spark.sql.adaptive.enabled")
+    # vary BOTH execution knobs that reorder partial aggregation: few
+    # fat partitions with AQE's runtime coalescing vs many thin static
+    # ones — two maximally different association orders
     try:
         conf.set("spark.sql.shuffle.partitions", "2")
+        conf.set("spark.sql.adaptive.enabled", "true")
         a = _canon(_QUERIES[name](spark, sf_dir).collect())
         conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.adaptive.enabled", "false")
         b = _canon(_QUERIES[name](spark, sf_dir).collect())
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
+        conf.set("spark.sql.adaptive.enabled", orig_aqe)
     assert a == b, f"{name}: result depends on shuffle partitioning"
     assert a, f"{name}: empty result at sf0.001 — pin is vacuous"
