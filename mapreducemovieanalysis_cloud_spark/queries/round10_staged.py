@@ -558,22 +558,28 @@ def _ab_oracle(b: int = _BOOT_B) -> str:
                  AS n_a,
                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_b,
-               CAST(SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)
-                    * 1000000
-                    // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS mean_a_micro,
-               CAST(SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)
-                    * 1000000
-                    // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS mean_b_micro
+               CAST(CASE WHEN SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         = 0 THEN NULL
+                    ELSE SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)
+                         * 1000000
+                         // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS mean_a_micro,
+               CAST(CASE WHEN SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         = 0 THEN NULL
+                    ELSE SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)
+                         * 1000000
+                         // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS mean_b_micro
              FROM arms)
     SELECT base.n_a, base.n_b, base.mean_a_micro, base.mean_b_micro,
            CAST(base.mean_a_micro - base.mean_b_micro AS BIGINT)
              AS diff_micro,
-           (SELECT CAST(MAX(CASE WHEN rk = 2 THEN diff END) AS BIGINT)
-            FROM rk) AS ci_lo_micro,
-           (SELECT CAST(MAX(CASE WHEN rk = {hi_rank} THEN diff END)
-                   AS BIGINT) FROM rk) AS ci_hi_micro
+           CAST(CASE WHEN base.n_a = 0 OR base.n_b = 0 THEN NULL
+                ELSE (SELECT MAX(CASE WHEN rk = 2 THEN diff END)
+                      FROM rk) END AS BIGINT) AS ci_lo_micro,
+           CAST(CASE WHEN base.n_a = 0 OR base.n_b = 0 THEN NULL
+                ELSE (SELECT MAX(CASE WHEN rk = {hi_rank} THEN diff END)
+                      FROM rk) END AS BIGINT) AS ci_hi_micro
     FROM base
     """
 
@@ -676,18 +682,25 @@ def ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # an empty arm (tiny/degenerate corpus) makes the uplift undefined:
+    # NULL means/diff/CI, never DIVIDE_BY_ZERO or a fabricated 0 (the
+    # classifier_auc / corr_matrix convention; r08 staged tiny sweep)
     base = arms.agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
         F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
         F.expr(
-            "CAST(SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)"
+            "CAST(CASE WHEN SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) = 0"
+            " THEN NULL"
+            " ELSE SUM(CASE WHEN arm = 0 THEN n_chars ELSE 0 END)"
             " * 1000000 DIV SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("mean_a_micro"),
         F.expr(
-            "CAST(SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)"
+            "CAST(CASE WHEN SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) = 0"
+            " THEN NULL"
+            " ELSE SUM(CASE WHEN arm = 1 THEN n_chars ELSE 0 END)"
             " * 1000000 DIV SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("mean_b_micro"),
     )
     return base.crossJoin(F.broadcast(ci)).select(
@@ -698,6 +711,12 @@ def ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(mean_a_micro - mean_b_micro AS BIGINT)").alias(
             "diff_micro"
         ),
-        "ci_lo_micro",
-        "ci_hi_micro",
+        F.expr(
+            "CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " ELSE ci_lo_micro END AS BIGINT)"
+        ).alias("ci_lo_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " ELSE ci_hi_micro END AS BIGINT)"
+        ).alias("ci_hi_micro"),
     )

@@ -30,7 +30,17 @@ TABLES = (
 # requires input rows; "it crashes" is a bug to fix, not an exclusion.
 EXCLUDED: dict[str, str] = {}
 
-_QUERIES = entry_mod.queries()
+_QUERIES = dict(entry_mod.queries())
+# staged candidates obey the same boundary contract BEFORE promotion,
+# so a wave cannot ship an empty/degenerate-input crash into a future
+# registration round
+for _mod in ("round8_staged", "round9_staged", "round10_staged"):
+    _m = __import__(
+        f"mapreducemovieanalysis_cloud_spark.queries.{_mod}",
+        fromlist=["STAGED_QUERIES"],
+    )
+    for _k, _v in _m.STAGED_QUERIES.items():
+        _QUERIES.setdefault(_k, _v)
 
 
 @pytest.fixture(scope="module")
