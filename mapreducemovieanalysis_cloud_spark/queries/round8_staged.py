@@ -1,19 +1,23 @@
-"""Round-8 REGISTRY CANDIDATES — implemented, oracle-backed, pytest-
-verified, but NOT registered until the round-8 freeze decision: the
-round-7 verdict's rotation plan dedicates round 8's 50-slot window to
-the 36 r03-latest + 14 oldest-r04 rows (SURVEY.md round-7 ledger item
-10), and a new registry entry would enter the driver window at the
-head, displacing a planned rotation slot.  Same contract as the
-round-6 staging wave: each entry is a ready-to-promote (query_fn,
-oracle_sql) pair in the exact shape ``registry.query`` expects;
-``tests/test_round8_staged.py`` runs the same Spark-vs-DuckDB parity
-the driver would, so promotion is a mechanical flip.
+"""Round-8 query wave — REGISTERED as of round 9 (the freeze lifted).
+
+History: these were built and oracle-parity-tested during round 8 while
+the driver window was dedicated to rotation debt (36 r03-latest + 14
+oldest-r04 rows per the round-7 ledger item 10; a new registry entry
+would have displaced a planned rotation slot).  Round 9 promoted them
+per the committed round-8 ledger plan: every ``_staged`` entry now ALSO
+registers through ``registry.query``, so the driver's correctness gate
+covers them directly.  The STAGED_QUERIES/STAGED_ORACLES dicts remain
+as the module's index (the parity tests iterate them) —
+``tests/test_round8_staged.py::test_staged_are_registered`` pins that
+every entry is live in the registry with the identical callable and
+oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -24,7 +28,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

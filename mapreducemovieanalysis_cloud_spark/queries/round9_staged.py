@@ -1,13 +1,16 @@
-"""Round-9 REGISTRY CANDIDATES, second wave — implemented,
-oracle-backed, pytest-verified, NOT registered: the round-7 verdict
-dedicates round 8's driver window entirely to rotation (36 r03 + 14
-r04 rows) and pre-plans round 9 as "remaining 36 r04 rows + the 8
-round8_staged candidates + 6 slack".  These entries are sized for that
-slack: each is a ready-to-promote (query_fn, oracle_sql) pair in the
-exact shape ``registry.query`` expects, same contract as the round-6/7
-staging waves; ``tests/test_round9_staged.py`` runs the same
-Spark-vs-DuckDB parity the driver would, so promotion is a mechanical
-flip.
+"""Round-9 query wave, second wave — REGISTERED as of round 9 (the
+freeze lifted).
+
+History: built and oracle-parity-tested during round 8 for round 9's
+six slack slots (the round-7 verdict pre-planned round 9 as "remaining
+36 r04 rows + the 8 round8_staged candidates + 6 slack").  Round 9
+promoted them per the committed round-8 ledger plan: every ``_staged``
+entry now ALSO registers through ``registry.query``, so the driver's
+correctness gate covers them directly.  The STAGED_QUERIES/
+STAGED_ORACLES dicts remain as the module's index (the parity tests
+iterate them) — ``tests/test_round9_staged.py::
+test_staged_are_registered`` pins that every entry is live in the
+registry with the identical callable and oracle.
 
 What the wave adds (gaps in the measured-pipeline story, not new
 frameworks):
@@ -34,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -44,7 +48,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

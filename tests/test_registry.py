@@ -98,6 +98,18 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # broadcast query-set x candidate-cell scoring — same design as
         # the ann_ivf entry above
         "ann_ivf_incremental",
+        # round-9 promotions (justifications unchanged from the staged
+        # sweeps they graduated from):
+        # 1-row vocab-size scalar + n_sources-row base-term broadcasts
+        # into the smoothing terms (the ngram_lm_scores justification)
+        "quality_nb_scores",
+        # broadcast query-sample x corpus scoring for the exact-L2
+        # ground truth (the ann_bruteforce whitelist justification)
+        "ann_recall_pq",
+        # the d-row per-dim min/max stats broadcast into the encoder —
+        # the ann_sq8 whitelist justification, via the same
+        # sq8_reconstructed kernel
+        "sq8_reconstruction_error",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in registry.queries().items():
@@ -143,11 +155,12 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
 
 
 def test_registry_count_pinned():
-    """Exactly 236 registered queries (round-7 unfreeze: 213 + 23).
-    A smaller count means a query module silently vanished (the
-    failure mode the unconditional _load_all imports exist to
-    prevent); a larger one means an unplanned registration jumped the
-    rotation queue — both need a deliberate update HERE plus a
-    rotation regeneration, never an accident."""
-    assert len(registry.queries()) == 236
-    assert len(registry.oracle_sql()) == 236
+    """Exactly 250 registered queries (round-9 promotion: 236 + the 8
+    round8_staged + 6 round9_staged candidates, per the committed
+    round-8 ledger plan).  A smaller count means a query module
+    silently vanished (the failure mode the unconditional _load_all
+    imports exist to prevent); a larger one means an unplanned
+    registration jumped the rotation queue — both need a deliberate
+    update HERE plus a rotation regeneration, never an accident."""
+    assert len(registry.queries()) == 250
+    assert len(registry.oracle_sql()) == 250

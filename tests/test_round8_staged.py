@@ -26,17 +26,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered_while_rotation_pending():
-    """The round-8 freeze contract (SURVEY.md round-7 ledger item 10):
-    these candidates must NOT appear in the live registry until the
-    r03/r04 rotation debt clears — a new entry would displace one of
-    round 8's planned 50 rotation slots.  The promotion round flips
-    this to assert presence (the round-7 pattern)."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-8 freeze test per
+    the committed round-8 ledger plan): every round-8 entry must be
+    live in the registry with the IDENTICAL callable and oracle — the
+    driver's correctness gate now covers them directly, and a drift
+    between the module index and the registry would mean the parity
+    tests exercise something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_plan_hygiene(spark, sf_dir):

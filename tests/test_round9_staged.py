@@ -26,16 +26,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered_while_rotation_pending():
-    """Freeze contract: round 8's window is rotation-only and round 9's
-    head slots belong to the remaining r04 rows + the round8_staged
-    wave (round-7 verdict item 2); this wave fills round 9's slack, so
-    it must not be in the live registry yet."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-9 freeze test per
+    the committed round-8 ledger plan): every second-wave entry must be
+    live in the registry with the IDENTICAL callable and oracle — the
+    driver's correctness gate now covers them directly, and a drift
+    between the module index and the registry would mean the parity
+    tests exercise something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_plan_hygiene(spark, sf_dir):
