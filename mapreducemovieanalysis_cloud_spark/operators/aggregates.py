@@ -898,8 +898,20 @@ def poisson_bootstrap_mean_ci(
     mean 0 rather than NULL so the rank positions stay fixed.
 
     Output: (group..., n_rows, mean_micro, ci_lo_micro, ci_hi_micro).
+
+    Precondition: ``b >= 20``.  The CI uses the FIXED order statistics
+    rank 2 (lower) and ceil(0.95 * b) (upper); both consumers' oracles
+    (_bootstrap_oracle, _ab_oracle) hardcode rank 2, so an adaptive
+    lower rank for small b would silently diverge from them (r09
+    advisor item) — the operator now rejects b < 20 outright instead
+    of adapting.
     """
-    lo_rank = 2 if b >= 20 else 1
+    if b < 20:
+        raise ValueError(
+            "poisson_bootstrap_mean_ci requires b >= 20: the CI's "
+            f"lower bound is the fixed rank-2 order statistic (got b={b})"
+        )
+    lo_rank = 2
     hi_rank = -(-95 * b // 100)  # ceil(0.95 * b)
     u = F.conv(
         F.substring(

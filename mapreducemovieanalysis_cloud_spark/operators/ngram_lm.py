@@ -39,6 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Behavior version of the incremental count-store (n-gram definition,
+# tokenization, epoch layout).  Cache keys that address a persistent
+# store built by incremental_ngram_append MUST include this constant:
+# bump it whenever a change here would make previously-written counts
+# stale, so cached stores are invalidated by the code change itself
+# rather than by someone remembering to flush /tmp (r09 advisor item).
+INCREMENTAL_STORE_VERSION = "lm2"
+
 __all__ = ["ngram_model", "score_documents", "ngram_perplexity_buckets"]
 
 

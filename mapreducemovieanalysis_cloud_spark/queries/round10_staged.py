@@ -362,7 +362,9 @@ def incremental_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; scoring is the registered score_documents kernel
     unchanged."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from pyspark.sql import functions as F
 
@@ -374,18 +376,33 @@ def incremental_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     leaf = os.path.basename(os.path.normpath(sf_dir))
     fp = table_fingerprint(sf_dir, "documents")
+    # cache key = data fingerprint + the operator-owned behavior
+    # version, so a change to incremental_ngram_append (n,
+    # tokenization, layout) invalidates cached counts by construction
+    # (r09 advisor item)
     store = os.path.join(
-        tempfile.gettempdir(), "spark_graft_lm_inc", leaf, f"v1-{fp}"
+        tempfile.gettempdir(),
+        "spark_graft_lm_inc",
+        leaf,
+        f"{ngram_lm.INCREMENTAL_STORE_VERSION}-{fp}",
     )
-    # build-if-absent keyed on the LAST batch's epoch dir (per-batch
-    # overwrites make a half-done build self-healing on retry)
-    if not os.path.exists(os.path.join(store, "tokens", "batch=b1")):
+    if not os.path.exists(store):
+        # build into a process-unique dir, then publish with one atomic
+        # rename: a concurrent process can never read a half-built
+        # store, and a lost rename race just discards the duplicate
+        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         ngram_lm.incremental_ngram_append(
-            docs.where(F.col("doc_id") % 2 == 0), store, "b0"
+            docs.where(F.col("doc_id") % 2 == 0), build, "b0"
         )
         ngram_lm.incremental_ngram_append(
-            docs.where(F.col("doc_id") % 2 == 1), store, "b1"
+            docs.where(F.col("doc_id") % 2 == 1), build, "b1"
         )
+        try:
+            os.rename(build, store)
+        except OSError:
+            if not os.path.exists(store):  # real failure, not a race
+                raise
+            shutil.rmtree(build, ignore_errors=True)
     model = ngram_lm.incremental_ngram_model(spark, store)
     return ngram_lm.score_documents(docs, model)
 
@@ -421,7 +438,7 @@ _DRIFT_ORACLE = """
                      / (sqrt(CAST(d.n0 AS DOUBLE))
                         * sqrt(CAST(d.n1 AS DOUBLE))) * 1000000) END
                 AS BIGINT) AS centroid_cosine_micro,
-           CAST(d.l2sq AS BIGINT) AS centroid_l2sq_milli
+           CAST(d.l2sq AS BIGINT) AS centroid_l2sq_micro
     FROM dots d
     JOIN n na ON na.label = d.label AND na.b = 0
     JOIN n nb ON nb.label = d.label AND nb.b = 1
@@ -444,7 +461,10 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 at ANY corpus scale; the single double expression
     dot/(sqrt·sqrt) runs on identical exact integers in both engines
     (the corr_matrix pattern) and a degenerate all-zero centroid
-    yields NULL, not DIVIDE_BY_ZERO.
+    yields NULL, not DIVIDE_BY_ZERO.  Units: centroids are MILLI, so
+    the squared-L2 sum is milli² = MICRO — the column is named
+    centroid_l2sq_micro accordingly (r09 advisor item: the earlier
+    _milli name would have read 1000x off).
 
     Scale: one posexplode aggregate to (label, window, dim) cells —
     d-bounded output — then d-row arithmetic; no corpus-sized join
@@ -504,7 +524,7 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / (sqrt(CAST(n0 AS DOUBLE)) * sqrt(CAST(n1 AS DOUBLE)))"
                 " * 1000000) END AS BIGINT)"
             ).alias("centroid_cosine_micro"),
-            F.col("l2sq").cast("long").alias("centroid_l2sq_milli"),
+            F.col("l2sq").cast("long").alias("centroid_l2sq_micro"),
         )
     )
 

@@ -293,7 +293,18 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-associative double SUM) as flaky at .5-micro boundaries on
     larger corpora.  Quantizing the term instead of the sum shifts
     each doc score by at most n_d half-micro — noise for a
-    classifier, in exchange for provable cross-engine equality.
+    classifier — and makes the score summation-ORDER-invariant within
+    an engine.  It does NOT make the per-term value platform-exact:
+    each term still depends on one libm ln (JVM Math.log vs C log can
+    differ in the last ulp) and on the engine's rounding mode at an
+    exact .5-micro boundary (Spark F.round is HALF_UP, Python round is
+    banker's), so an independent replay may differ by up to 1 micro
+    per term; the brute-force test asserts |diff| <= n_terms and
+    margin-guarded argmax stability accordingly (r09 advisor item).
+    The DuckDB oracle is unaffected: both engines round the same
+    ROUND(x * 1e6) expression over the same join, and any residual
+    divergence would surface as a driver hash mismatch, not a silent
+    wrong answer.
 
     Scale: the (source, token) class-count table is vocabulary x
     n_sources (Heaps-law sublinear), built by one token-keyed partial

@@ -340,11 +340,11 @@ def test_embedding_drift_planted_directions(spark, tmp_path):
     same = out[1]
     assert same.n_ref == same.n_cur == 4
     assert same.centroid_cosine_micro == 1_000_000
-    assert same.centroid_l2sq_milli == 0
+    assert same.centroid_l2sq_micro == 0
     # label 2: vec_id parity puts all +v in window 0 and all -v in 1
     flip = out[2]
     assert flip.centroid_cosine_micro == -1_000_000
-    assert flip.centroid_l2sq_milli > 0
+    assert flip.centroid_l2sq_micro > 0
 
 
 def test_ab_uplift_constant_metric_is_exact_zero(spark, tmp_path):

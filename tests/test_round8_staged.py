@@ -216,11 +216,17 @@ def test_novelty_matches_bruteforce_property(spark, tmp_path):
 def test_nb_scores_match_bruteforce_python(spark, tmp_path):
     """Independent reimplementation (python floats, same add-1 formula,
     same quantize-the-term-then-sum-exactly shape) must agree with the
-    distributed NB EXACTLY on every (doc, own/pred) score and on
-    pred_source — since r08 each ln term is micro-rounded to int
-    BEFORE summation, the score is pure integer arithmetic and any
-    difference at all is a formula error the hand-written oracle could
-    share with the query."""
+    distributed NB within +/-1 micro PER TOKEN TERM on every
+    (doc, own/pred) score — the quantization makes each score
+    summation-order-invariant, but a replay on a different libm
+    (JVM Math.log vs C log, 1 ulp) or rounding mode (Spark HALF_UP vs
+    Python banker's at an exact .5-micro boundary) can shift a rounded
+    term by one micro, scaled by the token's count (r09 advisor item:
+    exactness here would convert that vanishingly-rare divergence into
+    a spurious failure).  pred_source is asserted whenever the
+    brute-force margin exceeds twice the bound — i.e. whenever the
+    argmax is provably stable — which on this fixture is every doc; a
+    formula error still trips the tolerance by orders of magnitude."""
     import math
 
     from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
@@ -262,8 +268,17 @@ def test_nb_scores_match_bruteforce_python(spark, tmp_path):
         scores = {s: score(text, s) for s in cls}
         pred = min(scores, key=lambda s: (-scores[s], s))
         r = got[did]
-        assert r.score_own_micro == scores[src]
-        assert r.score_pred_micro == scores[pred]
+        # +/-1 micro per rounded term, scaled by the token's count:
+        # the doc-level bound is its total token count (matched terms
+        # and the absent-token lp0 mass partition exactly that total)
+        tol = len(text.split())
+        assert abs(r.score_own_micro - scores[src]) <= tol
+        assert abs(r.score_pred_micro - scores[pred]) <= tol
+        ranked = sorted(scores.values(), reverse=True)
+        # fixture strength: every doc's margin must clear the bound so
+        # the argmax assertion actually fires for all rows (a fixture
+        # edit that shrank a margin would void the check silently)
+        assert ranked[0] - ranked[1] > 2 * tol
         assert r.pred_source == pred
 
 
