@@ -388,3 +388,185 @@ def personalized_pagerank(
             ).alias("rank"),
         )
     return ranks.select("node", F.col("rank").cast("long").alias("rank"))
+
+
+def adamic_adar_scores(
+    edges: DataFrame, deg_cap: int = 64, topk: int = 100
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over undirected canonical
+    ``edges(u < v)``: for every NON-edge pair with at least one common
+    neighbor, score = Σ_{v ∈ common} 1/ln(deg(v)) — the classic
+    common-neighbor predictor with hub down-weighting, the similarity
+    tier between "shares an edge" (the graph itself) and "reachable"
+    (bfs/two-hop): which missing edges look most like existing ones.
+
+    Determinism: each neighbor's weight is micro-rounded to BIGINT
+    BEFORE summation (round(1e6 / ln(deg)) — one shared double
+    expression on the integer degree, the quality_nb_scores pattern),
+    so pair scores are exact integer sums under any partitioning or
+    summation order.  A common neighbor has deg >= 2 by construction
+    (it touches both endpoints), so ln(deg) > 0 — no division guard
+    needed.
+
+    Scale: wedge volume is Σ_v C(deg(v), 2) — quadratic in HUB degree,
+    the same exposure triangle counting bounds by orientation.  AA
+    needs every wedge at its apex so orientation doesn't apply;
+    instead apexes with deg > ``deg_cap`` are excluded — principled,
+    not just a bound: 1/ln(deg) already says high-degree hubs carry
+    almost no link-prediction signal (the stopword-node argument), and
+    the cap makes wedge volume <= n·deg_cap² regardless of skew.  The
+    cap is part of the operator's CONTRACT (identical in the oracle),
+    not a silent truncation.  Output is a deterministic top-k
+    (TakeOrderedAndProject).
+    """
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # apex weight table: one row per eligible common-neighbor node
+    apex = (
+        deg.where((F.col("deg") >= 2) & (F.col("deg") <= deg_cap))
+        .select(
+            "node",
+            F.expr(
+                "CAST(ROUND(1000000 / LN(CAST(deg AS DOUBLE))) AS BIGINT)"
+            ).alias("w_micro"),
+        )
+    )
+    wedges = (
+        adj.join(apex, "node")
+        .select(F.col("node").alias("apex"), "nbr", "w_micro")
+    )
+    a = wedges.select("apex", F.col("nbr").alias("x"), "w_micro")
+    b = wedges.select("apex", F.col("nbr").alias("y"))
+    pairs = (
+        a.join(b, "apex")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.sum("w_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    non_edges = pairs.join(
+        edges.withColumnRenamed("u", "x").withColumnRenamed("v", "y"),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(
+            F.col("score_micro").desc(), F.col("x"), F.col("y")
+        )
+        .limit(topk)
+        .select(
+            F.col("x").alias("u"),
+            F.col("y").alias("v"),
+            "score_micro",
+            F.col("n_common").cast("long").alias("n_common"),
+        )
+    )
+
+
+ANF_BIT_CAP = 20
+
+
+def anf_reach(
+    edges: DataFrame,
+    hops: int = 3,
+    registers: int = 16,
+    salt: str = "anf",
+) -> DataFrame:
+    """Approximate neighborhood function (ANF, Palmer et al.) over
+    undirected canonical ``edges(u < v)``: for every node and hop
+    h = 1..``hops``, a Flajolet-Martin estimate of |N(node, h)| — the
+    sketch tier of the graph family (bfs_hops/two_hop_reach are the
+    exact tiers; those materialize the frontier SET per node, which at
+    100 TB is the one thing you cannot do — ANF's per-node state is
+    ``registers`` fixed-width bitmasks, and neighborhood union becomes
+    bitwise OR, which is idempotent, associative, and
+    partial-aggregatable map-side).
+
+    Determinism: node n's register r seeds bit ``1 << min(tz(h), 20)``
+    where h = md5(salt:r:n) (32-bit slice, the bootstrap draw pattern)
+    and tz = trailing zeros — a pure integer function of (node, r) in
+    both engines.  Each hop is one join + one bit_or aggregate; the
+    estimate's register sum (lowest-unset-bit positions, the exact
+    integer column ``b_sum``) feeds one shared double expression
+    ``2^(b_sum/R)/0.77351`` milli-rounded at the end.
+
+    Scale: per hop the adjacency joins the (node x registers) sketch
+    table — shuffle is R rows per edge endpoint, NOT frontier-sized;
+    state never grows with reach.  Lineage: each hop's sketch is
+    localCheckpointed so hop h+1 does not replay hop h's OR tree.
+    """
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+    nodes = adj.select("node").distinct()
+    regs = nodes.crossJoin(
+        F.broadcast(
+            edges.sparkSession.range(registers).select(
+                F.col("id").cast("int").alias("r")
+            )
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("r").cast("string"),
+                    F.col("node").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sketch = regs.withColumn("__h", h).select(
+        "node",
+        "r",
+        F.expr(
+            f"CAST(1 AS BIGINT) << CASE WHEN __h = 0 THEN {ANF_BIT_CAP}"
+            f" ELSE LEAST(bit_count((__h & -__h) - 1), {ANF_BIT_CAP}) END"
+        ).alias("m"),
+    ).localCheckpoint(eager=False)
+    out = []
+    cur = sketch
+    for hop in range(1, hops + 1):
+        nbr_or = (
+            adj.join(
+                cur.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "r")
+            .agg(F.expr("bit_or(m)").alias("m"))
+        )
+        cur = (
+            cur.unionByName(nbr_or)
+            .groupBy("node", "r")
+            .agg(F.expr("bit_or(m)").alias("m"))
+            .localCheckpoint(eager=False)
+        )
+        est = cur.groupBy("node").agg(
+            F.expr(
+                "CAST(SUM(bit_count(m & (m ^ (m + 1)))) AS BIGINT)"
+            ).alias("b_sum")
+        ).select(
+            "node",
+            F.lit(hop).cast("int").alias("hop"),
+            "b_sum",
+            F.expr(
+                f"CAST(ROUND(POW(2.0, CAST(b_sum AS DOUBLE) / {registers})"
+                " / 0.77351 * 1000) AS BIGINT)"
+            ).alias("est_reach_milli"),
+        )
+        out.append(est)
+    res = out[0]
+    for e in out[1:]:
+        res = res.unionByName(e)
+    return res

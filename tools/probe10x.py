@@ -62,8 +62,11 @@ def main() -> None:
     from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
         STAGED_QUERIES as _R10,
     )
+    from mapreducemovieanalysis_cloud_spark.queries.round11_staged import (
+        STAGED_QUERIES as _R11,
+    )
 
-    for staged in (_R7, _R8, _R9, _R10):
+    for staged in (_R7, _R8, _R9, _R10, _R11):
         for k, v in staged.items():
             qs.setdefault(k, v)
     for name in names:
