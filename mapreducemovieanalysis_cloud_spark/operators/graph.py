@@ -570,3 +570,81 @@ def anf_reach(
     for e in out[1:]:
         res = res.unionByName(e)
     return res
+
+
+# Behavior version of the incremental co-occurrence store (pair
+# definition, distinct rule, epoch layout).  Cache keys addressing a
+# persistent store built by incremental_cooccurrence_append MUST
+# include this constant — bump it whenever a change here would make
+# previously-written pair counts stale (the ngram_lm
+# INCREMENTAL_STORE_VERSION rule).
+COOC_STORE_VERSION = "g1"
+
+
+def incremental_cooccurrence_append(
+    batch_items: DataFrame,
+    store: str,
+    batch_id: int | str,
+    group_col: str,
+    node_col: str,
+) -> None:
+    """Index a NEW batch of (group, node) memberships into a persistent
+    co-occurrence pair-count store without touching already-counted
+    history — the graph twin of the incremental dedup/LM/IVF stores.
+    Every registered supplier-graph query (triangles, k-core, BFS,
+    two-hop, LPA, PageRank, Adamic-Adar, ANF) re-derives its edge list
+    with a group-keyed self-join over the FULL fact table; at 100 TB
+    that derivation dominates the query, and this store makes it an
+    O(batch) append instead: per-batch pair counts merge by plain
+    ADDITION, so the merged edge list equals a full rebuild exactly.
+
+    CONTRACT: a batch must contain COMPLETE groups (an ingest day
+    closes its orders) — a group split across batches would undercount
+    its cross-batch pairs, because pair generation is within-batch.
+    This is the natural ingest boundary for order-shaped data and is
+    pinned by the batch-split-invariance test.
+
+    Layout: ``<store>/pairs/batch=<id>`` via the shared idempotent
+    epoch write (retry overwrites, never doubles — the write_epoch
+    protocol).  Stored rows are (u, v, cnt) partials: pair-count-sized
+    (bounded by Σ_groups C(members, 2)), never raw memberships.
+    """
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    g = batch_items.select(
+        F.col(group_col).alias("__g"), F.col(node_col).alias("u")
+    ).distinct()
+    pairs = (
+        g.join(g.select(F.col("__g"), F.col("u").alias("v")), "__g")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    write_epoch(pairs, f"{store}/pairs", batch_id)
+
+
+def incremental_cooccurrence_edges(
+    spark, store: str, min_shared: int = 1
+) -> DataFrame:
+    """The merged co-occurrence edge list over every committed batch in
+    ``store`` — EXACTLY the edges a full rebuild over the union of the
+    batches would derive (pair counts add; pinned by test): (u, v,
+    shared) with shared >= ``min_shared``.
+
+    Scale: reads pair-count partials only (no fact-table rescan,
+    ever); the merge is one (u, v)-keyed groupBy over batch-count
+    rows, and the min_shared filter prunes BEFORE any downstream
+    traversal, exactly like cooccurrence_edges."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    return (
+        read_epochs(spark, f"{store}/pairs")
+        .groupBy("u", "v")
+        .agg(F.sum("cnt").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select("u", "v", F.col("shared").cast("long").alias("shared"))
+    )

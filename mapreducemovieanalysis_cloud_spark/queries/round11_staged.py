@@ -37,6 +37,11 @@ What the wave adds (new capabilities, not variants):
   two_hop_reach materialize frontier SETS, the thing you cannot do at
   100 TB; ANF's state is 16 bitmasks per node and neighborhood union is
   a bitwise OR, idempotent and partial-aggregatable).
+* ``incremental_graph_edges`` — the co-occurrence edge list served from
+  an incrementally-maintained pair-count store: the graph family joins
+  the incremental-store posture (counts add => merged edges == full
+  rebuild, same oracle; a new ingest day appends its own orders' pairs
+  and never rescans history).
 """
 
 from __future__ import annotations
@@ -696,3 +701,87 @@ def anf_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 anf_reach_suppliers.__doc__ = anf_reach_suppliers.__doc__.format(
     h=_ANF_HOPS, r=_ANF_R
 )
+
+
+# ---- incremental co-occurrence graph store -------------------------------------
+
+_INC_GRAPH_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pr AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS shared
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2)
+    SELECT u, v, CAST(shared AS BIGINT) AS shared
+    FROM pr WHERE shared >= 20
+    """
+
+
+@_staged("incremental_graph_edges", oracle=_INC_GRAPH_ORACLE)
+def incremental_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier co-occurrence edge list served from an INCREMENTALLY
+    maintained pair-count store: the fact table arrives as two batches
+    (l_orderkey parity — complete orders per batch, the store's
+    contract), each appended at O(batch) cost
+    (operators/graph.incremental_cooccurrence_append — the idempotent
+    epoch layout the fingerprint/LM/IVF stores use), and the edge list
+    is the merged counts filtered at min_shared=20.  Because
+    within-group pair counts merge by ADDITION, the merged edges equal
+    a full-corpus rebuild EXACTLY — the oracle is the full-rebuild
+    derivation, no weaker tier.
+
+    This is the graph family's 100 TB posture made storable: every
+    registered supplier-graph query (triangles, k-core, BFS, two-hop,
+    LPA, Adamic-Adar, ANF) pays the group-keyed self-join over the
+    FULL fact table on every run — the 10x probes show that derivation
+    dominating both round-11 graph candidates — while a new ingest day
+    appends only its own orders' pairs and never rescans history.
+
+    Scale: stored state is pair-count partials (Σ_groups C(members, 2)
+    rows per batch, group-size-bounded); the merge is one (u, v)-keyed
+    groupBy over batch-count rows; min_shared prunes before any
+    traversal.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, "lineitem")
+    # cache key = data fingerprint + the operator-owned behavior
+    # version; build into a process-unique dir, publish with one atomic
+    # rename (the incremental_lm_scores protocol — no half-built
+    # concurrent reads, stale-on-code-change)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_graph_inc",
+        leaf,
+        f"{graph.COOC_STORE_VERSION}-{fp}",
+    )
+    if not os.path.exists(store):
+        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        graph.incremental_cooccurrence_append(
+            li.where(F.col("l_orderkey") % 2 == 0), build, "b0",
+            group_col="l_orderkey", node_col="l_suppkey",
+        )
+        graph.incremental_cooccurrence_append(
+            li.where(F.col("l_orderkey") % 2 == 1), build, "b1",
+            group_col="l_orderkey", node_col="l_suppkey",
+        )
+        try:
+            os.rename(build, store)
+        except OSError:
+            if not os.path.exists(store):  # real failure, not a race
+                raise
+            shutil.rmtree(build, ignore_errors=True)
+    return graph.incremental_cooccurrence_edges(
+        spark, store, min_shared=20
+    )

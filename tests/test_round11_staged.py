@@ -483,3 +483,86 @@ def test_anf_saturates_on_complete_graph(spark):
         )
     assert all(len(v) == 1 for v in by_hop.values())  # identical per hop
     assert by_hop[1] == by_hop[2] == by_hop[3]
+
+
+# ---- incremental co-occurrence graph store ---------------------------------
+
+
+def test_incremental_graph_batch_split_invariance(spark, tmp_path):
+    """The store's core claim: appending complete-group batches in any
+    split yields EXACTLY the full-rebuild edge list — one batch, two
+    batches, and the direct cooccurrence_edges derivation must agree
+    row for row (counts add)."""
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        cooccurrence_edges,
+        incremental_cooccurrence_append,
+        incremental_cooccurrence_edges,
+    )
+
+    rows = [
+        (g, s)
+        for g in range(20)
+        for s in ([1, 2, 3] if g % 3 == 0 else [2, 3, 4])
+    ]
+    items = spark.createDataFrame(rows, "g long, s long")
+
+    def build(store, splits):
+        for i, pred in enumerate(splits):
+            incremental_cooccurrence_append(
+                items.where(pred), store, f"b{i}",
+                group_col="g", node_col="s",
+            )
+        return sorted(
+            (r.u, r.v, r.shared)
+            for r in incremental_cooccurrence_edges(
+                spark, store, min_shared=3
+            ).collect()
+        )
+
+    one = build(str(tmp_path / "one"), [F.lit(True)])
+    two = build(
+        str(tmp_path / "two"),
+        [F.col("g") % 2 == 0, F.col("g") % 2 == 1],
+    )
+    want = sorted(
+        (r.u, r.v, r.shared)
+        for r in cooccurrence_edges(
+            items, group_col="g", node_col="s", min_shared=3
+        )
+        .join(
+            incremental_cooccurrence_edges(
+                spark, str(tmp_path / "one"), min_shared=3
+            ).select("u", "v", "shared"),
+            ["u", "v"],
+        )
+        .select("u", "v", "shared")
+        .collect()
+    )
+    assert one == two
+    assert one == want
+    assert one  # non-vacuous
+
+
+def test_incremental_graph_retry_idempotence(spark, tmp_path):
+    """A retried batch append overwrites its own epoch instead of
+    doubling its pair counts (the write_epoch exactly-once contract)."""
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        incremental_cooccurrence_append,
+        incremental_cooccurrence_edges,
+    )
+
+    items = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "g long, s long"
+    )
+    store = str(tmp_path / "store")
+    incremental_cooccurrence_append(
+        items, store, "b0", group_col="g", node_col="s"
+    )
+    once = incremental_cooccurrence_edges(spark, store).collect()
+    # the retry: same batch id, same data
+    incremental_cooccurrence_append(
+        items, store, "b0", group_col="g", node_col="s"
+    )
+    twice = incremental_cooccurrence_edges(spark, store).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    assert sorted(map(tuple, once)) == [(10, 11, 2)]
