@@ -75,6 +75,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= thr).
 
@@ -96,8 +97,20 @@ def jaccard_pairs(
     Lossless: the bound is an upper bound on the true overlap, so only
     pairs that cannot qualify are cut, and the result set is identical
     to the brute-force join the oracle runs.
+
+    Pass a ``shingles`` frame to avoid re-tokenizing when the caller
+    already derived the shingle sets (the minhash_signatures pattern —
+    lsh_recall_vs_exact shares one shingle pass across truth AND
+    banding sides); callers must localCheckpoint a shared frame
+    themselves, since this function fans it out to three consumers.
     """
-    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(docs, n, id_col, text_col).localCheckpoint(
+            eager=False
+        )
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
     # Required overlap is ceil(t·size) in EXACT arithmetic: the float product

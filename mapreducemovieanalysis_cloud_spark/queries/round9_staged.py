@@ -138,7 +138,7 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(docs, 3).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     truth = (
-        jaccard_pairs(docs, n=3, threshold=0.5)
+        jaccard_pairs(docs, n=3, threshold=0.5, shingles=sh)
         .join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("n").alias("sa")
