@@ -79,6 +79,7 @@ def pairwise_overlap(
     text_col: str = "text",
     n: int = 3,
     k: int = 64,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """Bottom-k Jaccard estimate for every unordered group pair sharing
     at least one sketch hash.
@@ -90,8 +91,17 @@ def pairwise_overlap(
     no shared sketch hash are ABSENT (their estimate is 0); a pair can
     appear with ``n_both = 0`` when its shared hashes rank below the
     union's bottom-k cut.
+
+    Pass ``sketches`` — a (grp, h) frame shaped like
+    ``bottomk_sketches`` output, e.g. the merged incremental store —
+    to skip sketch construction entirely (``docs``/``text_col``/``n``
+    are then unused).
     """
-    sk = bottomk_sketches(docs, group_col, text_col, n=n, k=k)
+    sk = (
+        sketches
+        if sketches is not None
+        else bottomk_sketches(docs, group_col, text_col, n=n, k=k)
+    )
     sk = sk.localCheckpoint()
 
     cand = (
@@ -141,4 +151,65 @@ def pairwise_overlap(
                 "CAST(n_both * 1000000 div n_union_used AS BIGINT)"
             ).alias("jaccard_est_micro"),
         )
+    )
+
+
+# Behavior version of the incremental KMV store (shingle n, hash, k
+# semantics, epoch layout) — the ngram_lm INCREMENTAL_STORE_VERSION
+# rule: cache keys addressing a persistent store built by
+# incremental_kmv_append MUST include this constant.
+KMV_STORE_VERSION = "kmv1"
+
+
+def incremental_kmv_append(
+    batch_docs: DataFrame,
+    store: str,
+    batch_id: int | str,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+) -> None:
+    """Append one batch's bottom-k sketches to a persistent KMV store
+    at O(batch) cost: ``<store>/sketch/batch=<id>`` via the shared
+    idempotent epoch write.  Bottom-k merges by union-then-re-rank —
+    BK(A ∪ B) = BK(BK(A) ∪ BK(B)) — which is associative AND
+    idempotent, so row-level batch splits are safe (a shingle seen in
+    two batches lands in both batch sketches and dedups at merge) and
+    the merged sketch equals the full-corpus sketch exactly.  Stored
+    rows are <= |groups-in-batch| x k hashes — never shingles."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    write_epoch(
+        bottomk_sketches(batch_docs, group_col, text_col, n=n, k=k),
+        f"{store}/sketch",
+        batch_id,
+    )
+
+
+def incremental_kmv_sketches(
+    spark, store: str, k: int = 64
+) -> DataFrame:
+    """The merged (grp, h) bottom-k sketches over every committed batch
+    in ``store`` — EXACTLY the full-corpus ``bottomk_sketches`` output
+    (union, DISTINCT on (grp, h) — the same hash in two batches must
+    count once — then one per-group bottom-k re-rank; pinned by the
+    batch-split-invariance test).  Feed to ``pairwise_overlap(...,
+    sketches=...)``."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    merged = (
+        read_epochs(spark, f"{store}/sketch")
+        .select("grp", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        merged.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("grp", "h")
     )

@@ -1,0 +1,162 @@
+"""Mergeable distinct-count sketches (Flajolet-Martin probabilistic
+counting) with a persistent incremental store.
+
+``approx_distinct`` (registered) is Spark's built-in HLL++ — fine for a
+one-shot answer, but its sketch state is engine-private: it cannot be
+stored, merged across ingest days, or replicated by the DuckDB oracle.
+This module is the STORED tier: register masks are plain BIGINT bitmaps
+built from md5 draws (the ANF construction — operators/graph.anf_reach
+uses the identical seed/estimate math over graph frontiers), so
+
+* merge is bitwise OR — associative, idempotent, partial-aggregatable
+  map-side, retry-safe (a re-ORed batch changes nothing);
+* state per group is ``registers`` fixed-width integers, regardless of
+  cardinality;
+* the whole pipeline is engine-exact: the estimate's register sum is an
+  exact integer the driver hash pins, and the final 2^(b/R)/0.77351 is
+  one shared double expression on that integer.
+
+At 100 TB this is how "distinct users per <group> to date" stays a
+per-day O(batch) append instead of a history rescan: exact distinct
+needs every id ever seen; the FM store needs R longs per group.
+
+Row-level batch splits are SAFE here (unlike the co-occurrence pair
+store's complete-group contract): OR-merge is idempotent per id, so an
+id appearing in many batches lands on the same bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FM_BIT_CAP = 20
+FM_PHI = 0.77351  # Flajolet-Martin bias correction
+
+# Behavior version of the incremental FM store (seed hash, register
+# count default, bit cap, epoch layout).  Cache keys addressing a
+# persistent store built by incremental_fm_append MUST include this
+# constant — bump it whenever a change here would make previously
+# written masks stale (the ngram_lm INCREMENTAL_STORE_VERSION rule).
+FM_STORE_VERSION = "fm1"
+
+
+def _seed_mask(id_col: str, salt: str) -> F.Column:
+    """BIGINT with exactly one bit set: position = trailing zeros of the
+    32-bit md5 slice of (salt:register:id), capped at FM_BIT_CAP — a
+    pure integer function of (id, register) in any engine."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("r").cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.expr(
+        f"CAST(1 AS BIGINT) << CASE WHEN __h = 0 THEN {FM_BIT_CAP}"
+        f" ELSE LEAST(bit_count((__h & -__h) - 1), {FM_BIT_CAP}) END"
+    ), h
+
+
+def fm_register_masks(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    registers: int = 16,
+    salt: str = "fmd",
+) -> DataFrame:
+    """(group..., r, m): one OR-merged register mask per (group,
+    register) over the input's ids.  The registers explode is map-side
+    CPU; the bit_or aggregate combines map-side, so shuffle volume is
+    |groups| x registers rows at any input size."""
+    regs = df.select(*group_cols, F.col(id_col)).crossJoin(
+        F.broadcast(
+            df.sparkSession.range(registers).select(
+                F.col("id").cast("int").alias("r")
+            )
+        )
+    )
+    mask, h = _seed_mask(id_col, salt)
+    return (
+        regs.withColumn("__h", h)
+        .select(*group_cols, "r", mask.alias("m"))
+        .groupBy(*group_cols, "r")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+
+
+def fm_estimate(
+    masks: DataFrame, group_cols: list[str], registers: int = 16
+) -> DataFrame:
+    """(group..., b_sum, est_distinct_milli) from merged register
+    masks: b_sum is the exact-integer sum of lowest-unset-bit positions
+    (the driver-pinnable column); the milli estimate is one shared
+    double expression on it."""
+    return masks.groupBy(*group_cols).agg(
+        F.expr("CAST(SUM(bit_count(m & (m ^ (m + 1)))) AS BIGINT)").alias(
+            "b_sum"
+        )
+    ).select(
+        *group_cols,
+        "b_sum",
+        F.expr(
+            f"CAST(ROUND(POW(2.0, CAST(b_sum AS DOUBLE) / {registers})"
+            f" / {FM_PHI} * 1000) AS BIGINT)"
+        ).alias("est_distinct_milli"),
+    )
+
+
+def incremental_fm_append(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int | str,
+    group_cols: list[str],
+    id_col: str,
+    registers: int = 16,
+    salt: str = "fmd",
+) -> None:
+    """Append one batch's register masks to a persistent FM store at
+    O(batch) cost: ``<store>/masks/batch=<id>`` via the shared
+    idempotent epoch write (retry overwrites, never doubles).  Stored
+    rows are |groups-in-batch| x registers masks — never ids."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    write_epoch(
+        fm_register_masks(batch_df, group_cols, id_col, registers, salt),
+        f"{store}/masks",
+        batch_id,
+    )
+
+
+def incremental_fm_distinct(
+    spark,
+    store: str,
+    group_cols: list[str],
+    registers: int = 16,
+) -> DataFrame:
+    """Distinct-count estimates over every committed batch in ``store``
+    — EXACTLY what a full rebuild over the union of the batches would
+    estimate (bit_or is associative and idempotent; pinned by the
+    batch-split-invariance test).  Reads mask partials only; the merge
+    is one (group, r)-keyed bit_or over batch-count rows."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    merged = (
+        read_epochs(spark, f"{store}/masks")
+        .groupBy(*group_cols, "r")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    return fm_estimate(merged, group_cols, registers)

@@ -741,6 +741,23 @@ def incremental_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over batch-count rows; min_shared prunes before any
     traversal.
     """
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    return graph.incremental_cooccurrence_edges(
+        spark, cooc_store_path(spark, sf_dir), min_shared=20
+    )
+
+
+def cooc_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the supplier co-occurrence pair-count store for
+    ``sf_dir`` and return its path — shared by every stored-graph
+    consumer (incremental_graph_edges here, the round-12 staged
+    triangle consumer), so they all read ONE store per corpus.
+
+    Cache key = data fingerprint + the operator-owned behavior version;
+    built in a process-unique dir, published with one atomic rename
+    (the incremental_lm_scores protocol — no half-built concurrent
+    reads, stale-on-code-change)."""
     import os
     import shutil
     import tempfile
@@ -756,10 +773,6 @@ def incremental_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leaf = os.path.basename(os.path.normpath(sf_dir))
     fp = table_fingerprint(sf_dir, "lineitem")
-    # cache key = data fingerprint + the operator-owned behavior
-    # version; build into a process-unique dir, publish with one atomic
-    # rename (the incremental_lm_scores protocol — no half-built
-    # concurrent reads, stale-on-code-change)
     store = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_graph_inc",
@@ -782,6 +795,4 @@ def incremental_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.exists(store):  # real failure, not a race
                 raise
             shutil.rmtree(build, ignore_errors=True)
-    return graph.incremental_cooccurrence_edges(
-        spark, store, min_shared=20
-    )
+    return store

@@ -1,0 +1,283 @@
+"""Round-12 REGISTRY CANDIDATES — implemented, oracle-backed,
+pytest-verified, NOT registered: rounds 10 and 11 are fully planned
+(round10_staged + the 44 oldest r05 rows; round11_staged + the 43
+stalest after that), so this wave queues for round 12.  Same contract
+as every staging wave: ready-to-promote (query_fn, oracle_sql) pairs;
+``tests/test_round12_staged.py`` runs the driver-identical
+Spark-vs-DuckDB parity plus batch-split-invariance, retry-idempotence,
+and python brute-force replays.
+
+The wave's theme: the INCREMENTAL-STORE family closes over sketches
+and consumers.  The engine already maintains incremental stores for
+exact fingerprints, MinHash signatures, n-gram LM counts, IVF cells,
+and (round 11) co-occurrence pair counts; this wave adds the two
+mergeable-sketch tiers and the first stored-graph CONSUMER — all three
+answering with a truth the registry already trusts:
+
+* ``stored_graph_triangles`` — triangle counts served from the round-11
+  pair-count store: the SAME ``graph.triangle_counts`` kernel over the
+  stored edge list, against the registered
+  ``triangle_counts_suppliers`` oracle VERBATIM.  The store is only
+  worth shipping if existing algorithms answer identically from it —
+  this is that proof, the consumer-tested-store pattern (cf. the
+  round-8 skew alarm→remedy loop).
+* ``incremental_distinct_users`` — per-type distinct-user estimates
+  from a persistent Flajolet-Martin register store
+  (operators/sketches.py): register masks are plain BIGINTs, merge is
+  bitwise OR (associative, idempotent — ROW-level batch splits are
+  safe), stored state is 16 longs per group regardless of cardinality.
+  The stored/mergeable tier ``approx_distinct`` (engine-private HLL++
+  state) cannot provide.
+* ``incremental_source_overlap`` — the cross-source duplication matrix
+  served from a persistent bottom-k (KMV) sketch store
+  (operators/corpus_overlap.incremental_kmv_*): bottom-k merges by
+  union-then-re-rank (BK(A∪B) = BK(BK(A)∪BK(B))), so the merged
+  sketch equals the full-corpus sketch exactly and the oracle is the
+  registered ``source_overlap_bottomk`` SQL VERBATIM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+
+STAGED_ORACLES: dict[str, str] = {}
+STAGED_QUERIES: dict = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _store_path(spark, sf_dir: str, family: str, version: str,
+                table: str, build_fn) -> str:
+    """Build-if-absent a fingerprint+version-keyed store under the
+    system temp dir and return its path — the shared incremental-store
+    cache protocol (process-unique build dir, one atomic rename, so a
+    concurrent process can never read a half-built store, and a code
+    change bumps the version constant rather than requiring a /tmp
+    flush)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mapreducemovieanalysis_cloud_spark.sources.readers import (
+        table_fingerprint,
+    )
+
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    fp = table_fingerprint(sf_dir, table)
+    store = os.path.join(
+        tempfile.gettempdir(), family, leaf, f"{version}-{fp}"
+    )
+    if not os.path.exists(store):
+        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        build_fn(build)
+        try:
+            os.rename(build, store)
+        except OSError:
+            if not os.path.exists(store):  # real failure, not a race
+                raise
+            shutil.rmtree(build, ignore_errors=True)
+    return store
+
+
+# ---- stored-graph consumer: triangles from the pair-count store ---------------
+
+
+def _stored_triangle_oracle() -> str:
+    """The registered triangle_counts_suppliers oracle VERBATIM: a
+    stored edge list is only trustworthy if existing algorithms answer
+    identically from it."""
+    from mapreducemovieanalysis_cloud_spark.queries.scale_queries import (
+        _TRIANGLE_ORACLE,
+    )
+
+    return _TRIANGLE_ORACLE
+
+
+@_staged("stored_graph_triangles", oracle=_stored_triangle_oracle())
+def stored_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts served from the INCREMENTALLY
+    maintained co-occurrence pair-count store (round11_staged's
+    cooc_store_path — one store per corpus, shared with
+    incremental_graph_edges): the identical ``graph.triangle_counts``
+    kernel the registered query runs, with only the edge SOURCE
+    swapped from a full fact-table derivation to a store read.  The
+    oracle is the registered triangle oracle verbatim — merged counts
+    equal the rebuild, so the triangles must too.
+
+    This is the store's consumer proof: at 100 TB the win is that
+    EVERY downstream graph algorithm (triangles here; k-core, BFS,
+    LPA, PageRank, Adamic-Adar, ANF identically) skips the distinct +
+    group-keyed self-join over the fact table — the probes show that
+    derivation dominating every graph query — and starts from
+    pair-count partials an ingest day maintains at O(batch)."""
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+    from mapreducemovieanalysis_cloud_spark.queries.round11_staged import (
+        cooc_store_path,
+    )
+
+    edges = graph.incremental_cooccurrence_edges(
+        spark, cooc_store_path(spark, sf_dir), min_shared=20
+    ).select("u", "v")
+    return graph.triangle_counts(edges, topk=50).select(
+        F.col("node"), "n_triangles"
+    )
+
+
+# ---- incremental FM distinct store ---------------------------------------------
+
+_FM_R = 16
+
+
+def _fm_oracle(registers: int = _FM_R) -> str:
+    from mapreducemovieanalysis_cloud_spark.operators.sketches import (
+        FM_BIT_CAP,
+        FM_PHI,
+    )
+
+    return f"""
+    WITH ids AS (SELECT DISTINCT event_type, user_id FROM events),
+    regs AS (SELECT event_type, user_id, r
+             FROM ids, unnest(generate_series(0, {registers - 1}))
+                  AS gg(r)),
+    h0 AS (SELECT event_type, r,
+                  CAST(('0x' || substr(md5('fmd:' || CAST(r AS VARCHAR)
+                        || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS hv
+           FROM regs),
+    s0 AS (SELECT event_type, r,
+                  bit_or(CAST(1 AS BIGINT) <<
+                    CASE WHEN hv = 0 THEN {FM_BIT_CAP}
+                         ELSE LEAST(bit_count((hv & -hv) - 1),
+                                    {FM_BIT_CAP}) END) AS m
+           FROM h0 GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(SUM(bit_count(m & xor(m, m + 1))) AS BIGINT) AS b_sum,
+           CAST(ROUND(POW(2.0,
+                CAST(SUM(bit_count(m & xor(m, m + 1))) AS DOUBLE)
+                / {registers}) / {FM_PHI} * 1000) AS BIGINT)
+               AS est_distinct_milli
+    FROM s0 GROUP BY 1
+    """
+
+
+@_staged("incremental_distinct_users", oracle=_fm_oracle())
+def incremental_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type distinct-user estimates served from a persistent
+    Flajolet-Martin register store (operators/sketches.py): the event
+    stream arrives as two batches (event_id parity — ROW-level splits
+    are safe, OR-merge is idempotent per user), each appended at
+    O(batch) cost, and the estimate reads the OR-merged masks.  The
+    merged sketch is EXACTLY the full-corpus sketch (bit_or is
+    associative and idempotent), so the oracle replicates the whole
+    construction from scratch and must agree bit-for-bit on the
+    integer register sums.
+
+    This is the stored tier the registered ``approx_distinct`` (Spark
+    HLL++) cannot provide: HLL++ sketch state is engine-private —
+    unstorable, unmergeable across days, invisible to the oracle.
+    "Distinct users per type TO DATE" becomes a per-day O(batch)
+    append over 16 longs per group instead of a history rescan.
+
+    Scale: the registers explode is map-side; the bit_or partial
+    aggregate ships |groups| x 16 rows per batch regardless of event
+    volume; the store holds masks, never ids."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+
+    def build(path: str) -> None:
+        sketches.incremental_fm_append(
+            ev.where(F.col("event_id") % 2 == 0), path, "b0",
+            group_cols=["event_type"], id_col="user_id",
+            registers=_FM_R,
+        )
+        sketches.incremental_fm_append(
+            ev.where(F.col("event_id") % 2 == 1), path, "b1",
+            group_cols=["event_type"], id_col="user_id",
+            registers=_FM_R,
+        )
+
+    store = _store_path(
+        spark, sf_dir, "spark_graft_fm_inc",
+        sketches.FM_STORE_VERSION, "events", build,
+    )
+    return sketches.incremental_fm_distinct(
+        spark, store, group_cols=["event_type"], registers=_FM_R
+    )
+
+
+# ---- incremental KMV overlap store ----------------------------------------------
+
+
+def _kmv_oracle() -> str:
+    """The registered source_overlap_bottomk oracle VERBATIM: a stored
+    sketch must answer the overlap matrix identically to the
+    from-scratch sketch."""
+    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
+        _BOTTOMK_ORACLE,
+    )
+
+    return _BOTTOMK_ORACLE
+
+
+@_staged("incremental_source_overlap", oracle=_kmv_oracle())
+def incremental_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cross-source duplication matrix served from a persistent
+    bottom-k (KMV) sketch store: documents arrive as two batches
+    (doc_id parity — row-level splits are safe: bottom-k merges by
+    union-then-re-rank, BK(A ∪ B) = BK(BK(A) ∪ BK(B)), associative and
+    idempotent), each appended at O(batch) cost
+    (operators/corpus_overlap.incremental_kmv_append), and the pair
+    estimator runs on the merged sketches via ``pairwise_overlap(...,
+    sketches=...)`` — the registered kernel unchanged.  Because the
+    merged sketch equals the full-corpus sketch exactly, the oracle is
+    the registered ``source_overlap_bottomk`` SQL VERBATIM.
+
+    At 100 TB: the overlap audit re-shingles the whole corpus today on
+    every run; with the store, an ingest day shingles only itself and
+    the audit reads <= |sources| x k hashes of state.
+
+    Scale: stored rows are sketch-sized (k=64 hashes per source per
+    batch); the merge is one distinct + one per-group bottom-k window
+    over batch-count rows; pair enumeration stays equi-join-driven."""
+    from mapreducemovieanalysis_cloud_spark.operators import corpus_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def build(path: str) -> None:
+        corpus_overlap.incremental_kmv_append(
+            docs.where(F.col("doc_id") % 2 == 0), path, "b0",
+            group_col="source", n=3, k=64,
+        )
+        corpus_overlap.incremental_kmv_append(
+            docs.where(F.col("doc_id") % 2 == 1), path, "b1",
+            group_col="source", n=3, k=64,
+        )
+
+    store = _store_path(
+        spark, sf_dir, "spark_graft_kmv_inc",
+        corpus_overlap.KMV_STORE_VERSION, "documents", build,
+    )
+    sk = corpus_overlap.incremental_kmv_sketches(spark, store, k=64)
+    return corpus_overlap.pairwise_overlap(
+        None, k=64, sketches=sk
+    )

@@ -488,9 +488,10 @@ def dsir_weights_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_log_weights(docs, F.col("lang") == "en")
 
 
-@_staged(
-    "source_overlap_bottomk",
-    oracle=r"""
+# named so the round-12 staged incremental-KMV consumer can reuse the
+# SAME truth verbatim (a stored sketch must answer the overlap matrix
+# identically to the from-scratch sketch)
+_BOTTOMK_ORACLE = r"""
     WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
                   FROM documents),
     sh AS (SELECT DISTINCT source,
@@ -524,8 +525,10 @@ def dsir_weights_en(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(in_a * in_b) * 1000000 // COUNT(*) AS BIGINT)
                AS jaccard_est_micro
     FROM rk WHERE r <= 64 GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@_staged("source_overlap_bottomk", oracle=_BOTTOMK_ORACLE)
 def source_overlap_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix via bottom-k (KMV) shingle
     sketches — the audit that decides whether two sources double-count

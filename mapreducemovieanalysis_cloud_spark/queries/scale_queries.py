@@ -268,9 +268,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ann_pq_topk(emb, queries, topk=10, m=4, k=16, iters=2, dim=64)
 
 
-@query(
-    "triangle_counts_suppliers",
-    oracle="""
+# named so the round-12 staged stored-graph consumer can reuse the
+# SAME truth verbatim (an incrementally-stored edge list must answer
+# triangle counts identically to the from-scratch derivation)
+_TRIANGLE_ORACLE = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     pr AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS shared
            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -298,8 +299,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                UNION ALL SELECT c FROM tri) GROUP BY 1)
     SELECT node, n_triangles FROM pern
     ORDER BY n_triangles DESC, node ASC LIMIT 50
-    """,
-)
+    """
+
+
+@query("triangle_counts_suppliers", oracle=_TRIANGLE_ORACLE)
 def triangle_counts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation in the supplier co-occurrence graph (edge =
     two suppliers sharing >= 20 orders), degree-ordered wedge counting."""

@@ -1,0 +1,281 @@
+"""Parity + contracts for the round-12 registry candidates
+(queries/round12_staged.py): the driver-identical Spark-vs-DuckDB
+parity, the not-registered freeze contract (rounds 10 and 11 are fully
+planned), the staged plan-hygiene sweep, batch-split-invariance and
+retry-idempotence pins for both new sketch stores, and an independent
+python replay of the FM construction."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.queries.round12_staged import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+from tests.oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_matches_oracle(spark, oracle_sf_dir, name):
+    assert_matches_oracle(
+        STAGED_QUERIES[name](spark, oracle_sf_dir),
+        STAGED_ORACLES[name],
+        oracle_sf_dir,
+    )
+
+
+def test_staged_not_registered():
+    """Freeze contract: round 10's window is committed to the
+    round10_staged wave + the 44 oldest r05 rows, and round 11's to the
+    round11_staged wave + the next 43 — this wave must NOT be in the
+    live registry yet.  The round-12 promotion flips this to assert
+    presence."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
+
+
+def test_staged_oracles_are_the_registered_truths():
+    """Two of the three candidates claim "same oracle as the registered
+    query, VERBATIM" — pin the strings byte-identical so the claim
+    cannot drift."""
+    from mapreducemovieanalysis_cloud_spark import registry
+
+    live = registry.oracle_sql()
+    assert (
+        STAGED_ORACLES["stored_graph_triangles"]
+        == live["triangle_counts_suppliers"]
+    )
+    assert (
+        STAGED_ORACLES["incremental_source_overlap"]
+        == live["source_overlap_bottomk"]
+    )
+
+
+def test_staged_plan_hygiene(spark, sf_dir):
+    """No CartesianProduct ever; BroadcastNestedLoopJoin only for the
+    deliberate bounded broadcasts listed here."""
+    from mapreducemovieanalysis_cloud_spark import plans
+
+    BNLJ_BY_DESIGN = {
+        # 16-row register table broadcast onto the id stream (the
+        # anf_reach_suppliers whitelist justification)
+        "incremental_distinct_users",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in STAGED_QUERIES.items():
+        plan = plans.executed_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in BNLJ_BY_DESIGN
+        ):
+            offenders_bnlj.append(name)
+    assert not offenders_cart, offenders_cart
+    assert not offenders_bnlj, offenders_bnlj
+
+
+# ---- FM distinct store ----------------------------------------------------------
+
+
+def _fm_python(ids, registers=16, cap=20, salt="fmd"):
+    b_sum = 0
+    for r in range(registers):
+        m = 0
+        for u in ids:
+            h = int(
+                hashlib.md5(f"{salt}:{r}:{u}".encode()).hexdigest()[:8],
+                16,
+            )
+            tz = (h & -h).bit_length() - 1 if h else cap
+            m |= 1 << min(tz, cap)
+        b = 0
+        while m & (1 << b):
+            b += 1
+        b_sum += b
+    est = round(2 ** (b_sum / registers) / 0.77351 * 1000)
+    return b_sum, est
+
+
+def test_fm_matches_bruteforce_python(spark):
+    """Exact replay of the md5 seeding, OR merge, and lowest-unset-bit
+    estimate — register sums and milli estimates agree exactly, and
+    duplicate ids change nothing (idempotence of OR)."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    rows = [("a", i % 7) for i in range(100)] + [
+        ("b", i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    got = {
+        r.g: (r.b_sum, r.est_distinct_milli)
+        for r in sketches.fm_estimate(
+            sketches.fm_register_masks(df, ["g"], "uid"), ["g"]
+        ).collect()
+    }
+    assert got["a"] == _fm_python(set(i % 7 for i in range(100)))
+    assert got["b"] == _fm_python(set(range(50)))
+
+
+def test_fm_store_batch_split_invariance(spark, tmp_path):
+    """One batch, two row-split batches, and the direct (storeless)
+    computation must produce identical register sums — OR merge is
+    associative and idempotent, and a row-level split (ids straddling
+    batches) is explicitly safe."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    rows = [("t0", i % 13) for i in range(60)] + [
+        ("t1", i % 29) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    df = df.withColumn("row_id", F.monotonically_increasing_id())
+
+    def build(store, preds):
+        for i, p in enumerate(preds):
+            sketches.incremental_fm_append(
+                df.where(p), store, f"b{i}",
+                group_cols=["g"], id_col="uid",
+            )
+        return sorted(
+            map(
+                tuple,
+                sketches.incremental_fm_distinct(
+                    spark, store, group_cols=["g"]
+                ).collect(),
+            )
+        )
+
+    one = build(str(tmp_path / "one"), [F.lit(True)])
+    two = build(
+        str(tmp_path / "two"),
+        [F.col("uid") % 2 == 0, F.col("uid") % 2 == 1],
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sketches.fm_estimate(
+                sketches.fm_register_masks(df, ["g"], "uid"), ["g"]
+            ).collect(),
+        )
+    )
+    assert one == two == direct
+    assert one  # non-vacuous
+
+
+def test_fm_store_retry_idempotence(spark, tmp_path):
+    """A retried batch append overwrites its own epoch; OR-merging the
+    same masks again changes nothing."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("t", i) for i in range(20)], "g string, uid long"
+    )
+    store = str(tmp_path / "s")
+    sketches.incremental_fm_append(
+        df, store, "b0", group_cols=["g"], id_col="uid"
+    )
+    once = sketches.incremental_fm_distinct(
+        spark, store, group_cols=["g"]
+    ).collect()
+    sketches.incremental_fm_append(
+        df, store, "b0", group_cols=["g"], id_col="uid"
+    )
+    twice = sketches.incremental_fm_distinct(
+        spark, store, group_cols=["g"]
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+# ---- KMV store ------------------------------------------------------------------
+
+
+def test_kmv_store_batch_split_invariance(spark, tmp_path):
+    """Merged batch sketches must equal the full-corpus sketch exactly
+    (BK(A ∪ B) = BK(BK(A) ∪ BK(B))) — including when a shingle appears
+    in BOTH batches (the distinct-at-merge rule)."""
+    from mapreducemovieanalysis_cloud_spark.operators import (
+        corpus_overlap,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    # two sources, overlapping text; docs share shingles across batches
+    rows = []
+    for d in range(8):
+        text = " ".join(words[d : d + 20])
+        rows.append((d, "s0" if d < 4 else "s1", text))
+        # a duplicated doc in the other parity class: same shingles in
+        # both batches
+        rows.append((d + 100, "s0" if d < 4 else "s1", text))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+    def build(store, preds):
+        for i, p in enumerate(preds):
+            corpus_overlap.incremental_kmv_append(
+                docs.where(p), store, f"b{i}", group_col="source",
+                n=3, k=16,
+            )
+        return sorted(
+            map(
+                tuple,
+                corpus_overlap.incremental_kmv_sketches(
+                    spark, store, k=16
+                ).collect(),
+            )
+        )
+
+    one = build(str(tmp_path / "one"), [F.lit(True)])
+    two = build(
+        str(tmp_path / "two"),
+        [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
+    )
+    direct = sorted(
+        map(
+            tuple,
+            corpus_overlap.bottomk_sketches(
+                docs, "source", "text", n=3, k=16
+            ).collect(),
+        )
+    )
+    assert one == two == direct
+    assert one  # non-vacuous
+
+
+def test_kmv_store_overlap_consumer(spark, tmp_path):
+    """The estimator over merged stored sketches equals the registered
+    kernel over from-scratch sketches — and a planted full-duplicate
+    source pair estimates jaccard 1.0 exactly."""
+    from mapreducemovieanalysis_cloud_spark.operators import (
+        corpus_overlap,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(0, "a", text), (1, "b", text)],
+        "doc_id long, source string, text string",
+    )
+    store = str(tmp_path / "s")
+    corpus_overlap.incremental_kmv_append(
+        docs.where(F.col("doc_id") == 0), store, "b0",
+        group_col="source", n=3, k=16,
+    )
+    corpus_overlap.incremental_kmv_append(
+        docs.where(F.col("doc_id") == 1), store, "b1",
+        group_col="source", n=3, k=16,
+    )
+    sk = corpus_overlap.incremental_kmv_sketches(spark, store, k=16)
+    [r] = corpus_overlap.pairwise_overlap(
+        None, k=16, sketches=sk
+    ).collect()
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.n_both == r.n_union_used  # identical shingle sets
+    assert r.jaccard_est_micro == 1_000_000
