@@ -160,3 +160,94 @@ def incremental_fm_distinct(
         .agg(F.expr("bit_or(m)").alias("m"))
     )
     return fm_estimate(merged, group_cols, registers)
+
+
+def fm_pairwise_overlap(
+    masks: DataFrame,
+    group_col: str,
+    registers: int = 16,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups, computed
+    PURELY from merged FM register masks — the sketch-algebra payoff:
+    the union of two groups' id sets is estimated by OR-ing their
+    stored masks register-by-register (FM sketches are closed under
+    union), and the intersection follows by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| - |A∪B| — all without touching a single id.
+
+    Input: (group, r, m) merged masks (fm_register_masks output or the
+    incremental store's merge).  Output per unordered pair (a < b):
+    the three exact-integer register sums (the driver-pinnable
+    columns) plus milli estimates and the inclusion-exclusion
+    intersection estimate.  ``inter_est_milli`` can be negative on
+    near-disjoint sets (estimator noise exceeding the true overlap) —
+    reported raw, a consumer clamps if it wants a count.
+
+    Scale: the pair join keys on the register index — |groups|² x R
+    rows only if EVERY pair is compared, which is the point of the
+    audit (groups = a bounded catalog like event types, never user
+    ids); everything downstream is pair x R sized."""
+    a = masks.select(
+        F.col(group_col).alias("ga"), "r", F.col("m").alias("ma")
+    )
+    b = masks.select(
+        F.col(group_col).alias("gb"), "r", F.col("m").alias("mb")
+    )
+    pair_regs = a.join(b, "r").where(F.col("ga") < F.col("gb"))
+    # the lowest-unset-bit must apply to the UNION mask u = ma | mb —
+    # project u first so no operator-precedence mistake can sneak into
+    # the bit expression
+    union_b = (
+        pair_regs.select(
+            "ga", "gb", (F.col("ma").bitwiseOR(F.col("mb"))).alias("u")
+        )
+        .groupBy("ga", "gb")
+        .agg(
+            F.expr(
+                "CAST(SUM(bit_count(u & (u ^ (u + 1)))) AS BIGINT)"
+            ).alias("b_sum_union")
+        )
+    )
+    per = fm_estimate(masks, [group_col], registers).select(
+        F.col(group_col).alias("__g"),
+        F.col("b_sum").alias("__bs"),
+        F.col("est_distinct_milli").alias("__est"),
+    )
+    est = F.expr(
+        f"CAST(ROUND(POW(2.0, CAST(b_sum_union AS DOUBLE) / {registers})"
+        f" / {FM_PHI} * 1000) AS BIGINT)"
+    )
+    return (
+        union_b.join(
+            per.select(
+                F.col("__g").alias("ga"),
+                F.col("__bs").alias("b_sum_a"),
+                F.col("__est").alias("est_a_milli"),
+            ),
+            "ga",
+        )
+        .join(
+            per.select(
+                F.col("__g").alias("gb"),
+                F.col("__bs").alias("b_sum_b"),
+                F.col("__est").alias("est_b_milli"),
+            ),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "b_sum_a",
+            "b_sum_b",
+            "b_sum_union",
+            "est_a_milli",
+            "est_b_milli",
+            est.alias("est_union_milli"),
+            (
+                F.col("est_a_milli")
+                + F.col("est_b_milli")
+                - est
+            )
+            .cast("long")
+            .alias("inter_est_milli"),
+        )
+    )

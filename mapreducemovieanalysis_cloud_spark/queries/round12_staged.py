@@ -34,6 +34,11 @@ answering with a truth the registry already trusts:
   union-then-re-rank (BK(A∪B) = BK(BK(A)∪BK(B))), so the merged
   sketch equals the full-corpus sketch exactly and the oracle is the
   registered ``source_overlap_bottomk`` SQL VERBATIM.
+* ``fm_audience_overlap`` — sketch ALGEBRA on the same FM store: FM
+  sketches are closed under union (bitwise OR of stored masks), so
+  cross-type audience overlap follows by inclusion-exclusion from R
+  longs per type — zero additional corpus scans, composable across any
+  group pair after the fact.
 """
 
 from __future__ import annotations
@@ -280,4 +285,113 @@ def incremental_source_overlap(
     sk = corpus_overlap.incremental_kmv_sketches(spark, store, k=64)
     return corpus_overlap.pairwise_overlap(
         None, k=64, sketches=sk
+    )
+
+
+# ---- sketch algebra: cross-type audience overlap from the SAME store ------------
+
+
+def _fm_overlap_oracle(registers: int = _FM_R) -> str:
+    from mapreducemovieanalysis_cloud_spark.operators.sketches import (
+        FM_BIT_CAP,
+        FM_PHI,
+    )
+
+    est = (
+        "CAST(ROUND(POW(2.0, CAST({b} AS DOUBLE) / "
+        f"{registers}) / {FM_PHI} * 1000) AS BIGINT)"
+    )
+    return f"""
+    WITH ids AS (SELECT DISTINCT event_type, user_id FROM events),
+    regs AS (SELECT event_type, user_id, r
+             FROM ids, unnest(generate_series(0, {registers - 1}))
+                  AS gg(r)),
+    h0 AS (SELECT event_type, r,
+                  CAST(('0x' || substr(md5('fmd:' || CAST(r AS VARCHAR)
+                        || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS hv
+           FROM regs),
+    s0 AS (SELECT event_type, r,
+                  bit_or(CAST(1 AS BIGINT) <<
+                    CASE WHEN hv = 0 THEN {FM_BIT_CAP}
+                         ELSE LEAST(bit_count((hv & -hv) - 1),
+                                    {FM_BIT_CAP}) END) AS m
+           FROM h0 GROUP BY 1, 2),
+    per AS (SELECT event_type,
+                   SUM(bit_count(m & xor(m, m + 1))) AS bs
+            FROM s0 GROUP BY 1),
+    u AS (SELECT a.event_type AS ga, b.event_type AS gb,
+                 SUM(bit_count((a.m | b.m)
+                     & xor(a.m | b.m, (a.m | b.m) + 1))) AS bu
+          FROM s0 a JOIN s0 b
+            ON a.r = b.r AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT u.ga AS group_a, u.gb AS group_b,
+           CAST(pa.bs AS BIGINT) AS b_sum_a,
+           CAST(pb.bs AS BIGINT) AS b_sum_b,
+           CAST(u.bu AS BIGINT) AS b_sum_union,
+           {est.format(b="pa.bs")} AS est_a_milli,
+           {est.format(b="pb.bs")} AS est_b_milli,
+           {est.format(b="u.bu")} AS est_union_milli,
+           CAST({est.format(b="pa.bs")} + {est.format(b="pb.bs")}
+                - {est.format(b="u.bu")} AS BIGINT) AS inter_est_milli
+    FROM u JOIN per pa ON pa.event_type = u.ga
+           JOIN per pb ON pb.event_type = u.gb
+    """
+
+
+@_staged("fm_audience_overlap", oracle=_fm_overlap_oracle())
+def fm_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type audience overlap estimated PURELY from the stored FM
+    register masks — the sketch-algebra payoff on top of
+    incremental_distinct_users (it reads the SAME store, zero
+    additional corpus scans): FM sketches are closed under union, so
+    |users(A) ∪ users(B)| is one bitwise OR of stored masks, and the
+    shared-audience size follows by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| - |A∪B|.  The question a funnel or campaign
+    audit asks ("do viewers and purchasers overlap, or are they
+    disjoint populations?") answered from R longs per type — no id
+    lists, no re-scan, composable across any group pair after the
+    fact.
+
+    Determinism: the three register sums per pair are exact integers
+    (the driver-pinnable columns); the milli estimates are the shared
+    double expression on them.  ``inter_est_milli`` can be negative on
+    near-disjoint pairs (estimator noise) — reported raw by contract.
+
+    Scale: pair enumeration keys the register index over a bounded
+    type catalog (|types|² x R rows); the store read is |types| x R
+    masks.  Nothing touches event volume."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+
+    def build(path: str) -> None:
+        sketches.incremental_fm_append(
+            ev.where(F.col("event_id") % 2 == 0), path, "b0",
+            group_cols=["event_type"], id_col="user_id",
+            registers=_FM_R,
+        )
+        sketches.incremental_fm_append(
+            ev.where(F.col("event_id") % 2 == 1), path, "b1",
+            group_cols=["event_type"], id_col="user_id",
+            registers=_FM_R,
+        )
+
+    store = _store_path(
+        spark, sf_dir, "spark_graft_fm_inc",
+        sketches.FM_STORE_VERSION, "events", build,
+    )
+    merged = (
+        read_epochs(spark, f"{store}/masks")
+        .groupBy("event_type", "r")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    return sketches.fm_pairwise_overlap(
+        merged, "event_type", registers=_FM_R
     )

@@ -279,3 +279,30 @@ def test_kmv_store_overlap_consumer(spark, tmp_path):
     assert (r.source_a, r.source_b) == ("a", "b")
     assert r.n_both == r.n_union_used  # identical shingle sets
     assert r.jaccard_est_micro == 1_000_000
+
+
+def test_fm_pairwise_overlap_algebra(spark):
+    """Identical audiences: union mask == each group's mask, so all
+    three register sums coincide and the intersection estimate equals
+    the per-group estimate.  Disjoint audiences: the union estimate
+    strictly exceeds each side (more bits set => more low bits
+    occupied, b_sum can only grow under OR)."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    same = spark.createDataFrame(
+        [(g, i) for g in ("x", "y") for i in range(40)],
+        "g string, uid long",
+    )
+    masks = sketches.fm_register_masks(same, ["g"], "uid")
+    [r] = sketches.fm_pairwise_overlap(masks, "g").collect()
+    assert r.b_sum_a == r.b_sum_b == r.b_sum_union
+    assert r.inter_est_milli == r.est_a_milli
+
+    disj = spark.createDataFrame(
+        [("x", i) for i in range(40)] + [("y", i + 1000) for i in range(40)],
+        "g string, uid long",
+    )
+    masks2 = sketches.fm_register_masks(disj, ["g"], "uid")
+    [r2] = sketches.fm_pairwise_overlap(masks2, "g").collect()
+    assert r2.b_sum_union >= max(r2.b_sum_a, r2.b_sum_b)
+    assert r2.est_union_milli > max(r2.est_a_milli, r2.est_b_milli)
