@@ -306,3 +306,56 @@ def test_fm_pairwise_overlap_algebra(spark):
     [r2] = sketches.fm_pairwise_overlap(masks2, "g").collect()
     assert r2.b_sum_union >= max(r2.b_sum_a, r2.b_sum_b)
     assert r2.est_union_milli > max(r2.est_a_milli, r2.est_b_milli)
+
+
+def test_fm_streaming_sink_matches_batch(spark, tmp_path):
+    """The streaming appender (streaming/fm.fm_distinct_sink) must leave
+    the store in a state whose merged estimate equals a one-shot batch
+    computation over the same rows — after the first micro-batch AND
+    after a late second file arrives (OR-merge makes any micro-batch
+    partitioning equivalent)."""
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+    from mapreducemovieanalysis_cloud_spark.streaming import fm
+
+    rows1 = [("t0", i) for i in range(30)] + [("t1", i % 5) for i in range(20)]
+    rows2 = [("t0", i + 15) for i in range(30)] + [("t1", 99)]
+    schema = "g string, uid long"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = fm.fm_distinct_sink(
+        stream, store, group_cols=["g"], id_col="uid",
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(
+            map(tuple, sketches.incremental_fm_distinct(
+                spark, store, group_cols=["g"]).collect())
+        )
+        want1 = sorted(
+            map(tuple, sketches.fm_estimate(
+                sketches.fm_register_masks(b1, ["g"], "uid"), ["g"]
+            ).collect())
+        )
+        assert got1 == want1
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+        got2 = sorted(
+            map(tuple, sketches.incremental_fm_distinct(
+                spark, store, group_cols=["g"]).collect())
+        )
+        want2 = sorted(
+            map(tuple, sketches.fm_estimate(
+                sketches.fm_register_masks(
+                    b1.unionByName(b2), ["g"], "uid"), ["g"]
+            ).collect())
+        )
+        assert got2 == want2
+        assert got1 != got2  # the late file actually moved the estimate
+    finally:
+        q.stop()
