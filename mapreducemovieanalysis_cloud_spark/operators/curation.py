@@ -350,6 +350,114 @@ def tokenize_with_vocab(
     )
 
 
+# 15% masking rate as a 32-bit md5 threshold: floor(0.15 * 2^32) — a
+# baked integer literal shared with the oracle (the POISSON1_T32 /
+# BENFORD_MICRO rule: no float rate compare at query time)
+MASK_THRESHOLD_U32 = 644_245_094
+MASK_ID = -2
+IGNORE_LABEL = -100
+
+
+def masked_lm_dataset(
+    df: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mask",
+) -> DataFrame:
+    """BERT-style masked-LM training pairs, constructed deterministically
+    in one distributed pass: tokenize against the corpus-trained
+    top-``vocab_size`` vocabulary (the ``tokenize_with_vocab`` encode),
+    mask each position independently with probability 15% — the
+    decision is a pure integer function of (doc, 1-based position):
+    md5(salt:doc:pos) 32-bit slice < MASK_THRESHOLD_U32, so the SAME
+    document yields the SAME mask set in every engine, run, and
+    partitioning — and emit the (input_ids, labels) pair every masked-LM
+    trainer consumes: masked inputs read MASK_ID (-2), labels carry the
+    original id at masked positions and IGNORE_LABEL (-100) elsewhere.
+
+    Simplification by contract: all selected positions become [MASK]
+    (no BERT 80/10/10 random/keep split — the 10% random-token arm
+    would need a corpus-order-dependent draw that no oracle could
+    replay; pipelines that want it apply it at trainer time).
+
+    Scale: identical posture to tokenize_with_vocab — vocab-sized sort,
+    broadcast encode join, one doc-keyed re-assembly; the mask draw is
+    map-side expression work on rows that already exist.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    freq = (
+        toked.select(F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    wv = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = freq.select(
+        "token", (F.row_number().over(wv) - 1).cast("long").alias("tok_id")
+    )
+    pos = toked.select(
+        F.col(id_col), F.posexplode("__t").alias("pos", "token")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(id_col).cast("string"),
+                    (F.col("pos") + 1).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    encoded = (
+        pos.join(F.broadcast(vocab), "token", "left")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+            (draw < F.lit(MASK_THRESHOLD_U32)).alias("masked"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.when(F.col("masked"), F.lit(MASK_ID))
+            .otherwise(F.col("tok_id"))
+            .alias("in_id"),
+            F.when(F.col("masked"), F.col("tok_id"))
+            .otherwise(F.lit(IGNORE_LABEL))
+            .alias("label"),
+            F.col("masked").cast("long").alias("m"),
+        )
+    )
+
+    def _csv(field: str) -> Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col(field).alias("v")))
+                ),
+                lambda s: s.v.cast("string"),
+            ),
+            ",",
+        )
+
+    return encoded.groupBy(id_col).agg(
+        _csv("in_id").alias("input_ids_csv"),
+        _csv("label").alias("labels_csv"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("m").alias("n_masked"),
+    )
+
+
 def ares_priority(
     weight_col: str, id_col: str = "doc_id", salt: str = "ares"
 ) -> Column:

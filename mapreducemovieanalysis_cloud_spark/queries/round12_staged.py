@@ -39,6 +39,11 @@ answering with a truth the registry already trusts:
   cross-type audience overlap follows by inclusion-exclusion from R
   longs per type — zero additional corpus scans, composable across any
   group pair after the fact.
+* ``masked_lm_dataset`` — BERT-style (input_ids, labels) construction
+  with a deterministic md5 mask draw (baked 15% threshold literal):
+  the dataset-construction step the pipeline family was missing
+  (tokenize_to_ids encodes, chunk/pack shape, this one produces the
+  training objective's supervision).
 """
 
 from __future__ import annotations
@@ -394,4 +399,74 @@ def fm_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sketches.fm_pairwise_overlap(
         merged, "event_type", registers=_FM_R
+    )
+
+
+# ---- masked-LM dataset construction ----------------------------------------------
+
+
+def _mlm_oracle() -> str:
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        IGNORE_LABEL,
+        MASK_ID,
+        MASK_THRESHOLD_U32,
+    )
+
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, i, t[i] AS token
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+             ORDER BY freq DESC, token ASC LIMIT 40),
+    vocab AS (SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+                          - 1 AS BIGINT) AS tok_id
+              FROM freq),
+    enc AS (SELECT tok.doc_id, tok.i, COALESCE(v.tok_id, -1) AS tok_id,
+                   CAST(('0x' || substr(md5('mask:'
+                        || CAST(tok.doc_id AS VARCHAR) || ':'
+                        || CAST(tok.i AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < {MASK_THRESHOLD_U32} AS masked
+            FROM tok LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           string_agg(CAST(CASE WHEN masked THEN {MASK_ID}
+                           ELSE tok_id END AS VARCHAR),
+                      ',' ORDER BY i) AS input_ids_csv,
+           string_agg(CAST(CASE WHEN masked THEN tok_id
+                           ELSE {IGNORE_LABEL} END AS VARCHAR),
+                      ',' ORDER BY i) AS labels_csv,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked
+    FROM enc GROUP BY doc_id
+    """
+
+
+@_staged("masked_lm_dataset", oracle=_mlm_oracle())
+def masked_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM training pairs over the corpus-trained
+    top-40 vocabulary: per document, the (input_ids, labels) CSV pair a
+    masked-LM trainer consumes — inputs read MASK_ID (-2) at the ~15%
+    deterministically-selected positions, labels carry the original
+    token id there and IGNORE_LABEL (-100) everywhere else.  The
+    dataset-CONSTRUCTION step the pipeline family was missing:
+    tokenize_to_ids encodes, chunk/pack shape, this one produces the
+    actual training objective's supervision.
+
+    Determinism: the mask decision is md5(mask:doc:pos) 32-bit slice
+    < floor(0.15 * 2^32) — a baked integer literal shared with the
+    oracle (the POISSON1_T32 rule), a pure function of (doc, position):
+    same doc => same mask set under any partitioning, engine, or retry.
+    The 80/10/10 random-token arm is deliberately out of contract
+    (documented in operators/curation.masked_lm_dataset).
+
+    Scale: identical posture to the registered tokenize_to_ids —
+    vocab-sized sort, broadcast encode join, one doc-keyed re-assembly;
+    the mask draw is map-side expression work."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    return curation.masked_lm_dataset(
+        load_table(spark, sf_dir, "documents"), vocab_size=40
     )

@@ -359,3 +359,54 @@ def test_fm_streaming_sink_matches_batch(spark, tmp_path):
         assert got1 != got2  # the late file actually moved the estimate
     finally:
         q.stop()
+
+
+def test_masked_lm_planted_consistency(spark, tmp_path):
+    """On a planted corpus: input/label columns are complementary
+    (input == MASK_ID exactly where label != IGNORE_LABEL), unmasked
+    inputs equal the plain tokenize encoding, masked labels carry the
+    original id, and the mask set matches an exact python replay of the
+    md5 draw."""
+    import hashlib as _h
+
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        IGNORE_LABEL,
+        MASK_ID,
+        MASK_THRESHOLD_U32,
+        masked_lm_dataset,
+        tokenize_with_vocab,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (d, " ".join(words[(d + i) % 4] for i in range(50)))
+        for d in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in masked_lm_dataset(docs, 4).collect()}
+    plain = {
+        r.doc_id: r.ids_csv.split(",")
+        for r in tokenize_with_vocab(docs, 4).collect()
+    }
+    n_masked_total = 0
+    for d, r in got.items():
+        ins = r.input_ids_csv.split(",")
+        labs = r.labels_csv.split(",")
+        assert len(ins) == len(labs) == r.n_tokens == 50
+        for i, (x, y, orig) in enumerate(zip(ins, labs, plain[d]), 1):
+            draw = int(
+                _h.md5(f"mask:{d}:{i}".encode()).hexdigest()[:8], 16
+            )
+            masked = draw < MASK_THRESHOLD_U32
+            if masked:
+                assert x == str(MASK_ID) and y == orig
+                n_masked_total += 1
+            else:
+                assert x == orig and y == str(IGNORE_LABEL)
+        assert r.n_masked == sum(
+            1
+            for i in range(1, 51)
+            if int(_h.md5(f"mask:{d}:{i}".encode()).hexdigest()[:8], 16)
+            < MASK_THRESHOLD_U32
+        )
+    assert n_masked_total > 0  # the 15% draw actually fires
