@@ -11,18 +11,22 @@ python brute-force replays.
 
 What the wave adds (new capabilities, not variants):
 
-* ``chisq_lang_source`` — Pearson chi-square independence audit of the
-  lang x source contingency (with per-cell standardized contributions):
-  the mix-health question "is language distribution independent of
-  source?" that PSI/KS (single-variable drift) cannot answer.
-* ``benford_price_audit`` — leading-digit distribution vs Benford's law
-  per order priority with total-variation distance: the classic
-  fabricated/synthetic-data forensic for numeric columns.
-* ``cusum_changepoint_events`` — CUSUM drift statistic over the hourly
-  event-rate series per type, with the argmax |S| hour as the
-  changepoint candidate: the sequential-drift alarm the point-in-time
-  outlier family (z/MAD) cannot see (a slow level shift never trips a
-  per-point threshold).
+* ``chisq_lang_source`` — extends the registered chi-square family
+  (``chi2_cells_type_hod``) to the corpus-mix contingency AND adds the
+  global statistic + degrees of freedom on every row (the registered
+  query emits cells only — a consumer still had to sum and count);
+  over documents it answers "is language mix independent of source?",
+  which PSI/KS (single-variable drift) cannot.
+* ``benford_price_audit`` — extends the registered Benford profile
+  (``benford_totalprice``, corpus-global) to per-segment audits with a
+  decision-ready per-segment total-variation distance: WHICH order
+  priority deviates, by how much mass — the slice-localized forensic.
+* ``cusum_changepoint_events`` — extends the registered CUSUM family
+  (``cusum_user_value``, max excursion magnitude per user's value
+  series) to the dense hourly RATE grid per type and reports the
+  located changepoint HOUR (argmax |S|), not just the excursion size:
+  the sequential-drift alarm the point-in-time outlier family (z/MAD)
+  cannot see.
 * ``seasonal_hour_decompose`` — classical additive decomposition of the
   hourly rate series (25-hour centered-MA trend, hour-of-day seasonal
   means, residual): the deseasonalized residual is what anomaly
@@ -100,8 +104,10 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence-expected count, and the cell's chi-square contribution
     (the standardized residual's square — WHICH cells drive the
     dependence), plus the global statistic and degrees of freedom on
-    every row.  The corpus-mix question PSI and KS cannot answer: those
-    compare one variable across two slices; this tests whether two
+    every row.  Extends the registered ``chi2_cells_type_hod``
+    (round4g — cells only, events modality) with the rolled-up
+    chi2_micro/dof a consumer otherwise had to compute, applied to the
+    corpus-mix question PSI and KS cannot answer: whether two
     categorical variables are associated at all — a source whose
     language mix diverges from the corpus-wide mix lights up its row of
     cells.
@@ -222,8 +228,10 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benford expectation, and per priority the total-variation distance
     — the classic numeric-column forensic (organically-generated
     magnitudes follow log-uniform leading digits; synthetic, capped, or
-    fabricated values don't), here as a data-quality screen over any
-    numeric fact column.
+    fabricated values don't).  Extends the registered
+    ``benford_totalprice`` (round4g — one corpus-global digit profile)
+    to SLICED audits with a per-segment TVD summary: which slice
+    deviates and by how much mass, the decision-ready form.
 
     Determinism: pure integer arithmetic end to end — digit extraction
     is string slicing of an exact BIGINT floor, shares are integer
@@ -376,10 +384,13 @@ def cusum_changepoint_events(
     S_i = Σ_{j<=i} (c_j - mean), and the hour where |S| peaks — the
     classic single-changepoint locator (S drifts monotonically while
     the level differs from the overall mean, so its extremum IS the
-    most likely shift point).  The sequential-drift alarm the
-    point-in-time outlier family (outliers_value_z / _mad) cannot see:
-    a slow 10% level shift never trips a per-point threshold but
-    accumulates linearly in S.
+    most likely shift point).  Extends the registered
+    ``cusum_user_value`` (round4h — max excursion MAGNITUDE per user's
+    value series) to the dense hourly rate grid per type, and reports
+    the located changepoint HOUR, not just the excursion size.  The
+    sequential-drift alarm the point-in-time outlier family
+    (outliers_value_z / _mad) cannot see: a slow 10% level shift never
+    trips a per-point threshold but accumulates linearly in S.
 
     Determinism: counts are exact integers, the mean is an integer
     micro floor-division, deviations and cumulative sums are pure
