@@ -380,3 +380,94 @@ def extract_features(media: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+def frame_dedup_pairs(
+    media: DataFrame, every_n_bytes: int = 64
+) -> DataFrame:
+    """Cross-media near-duplicate pairs via EXACT frame fingerprints —
+    the video-dedup staple: two assets are near-dups when they share
+    sampled frames, detected by equi-joining per-frame content hashes
+    (never by comparing payloads pairwise).  Per unordered media pair
+    sharing at least one frame hash: the distinct-frame counts of both
+    sides, the shared count, and containment_bp = shared * 10000 //
+    min(|A|, |B|) — 10000 means the smaller asset's every sampled
+    frame appears in the other (a clip-of or re-encode relationship).
+
+    Shape: one map-side pass slices each payload at the frame_sample
+    offsets and hashes it IN THE SAME projection, so payload bytes
+    never shuffle — only (media_id, 16-byte hash) rows do; the pair
+    join keys on the hash (frame-content-blocked, the LSH-band
+    posture: candidate volume is driven by real duplication, never
+    |media|²); per-pair rollups and the containment arithmetic are
+    pure integers.
+
+    The byte-slice here and the character-slice in the DuckDB oracle
+    agree because the synthetic payloads are ASCII — the same
+    byte≡char equivalence the registered multimodal_frames /
+    multimodal_blockhash oracles already rely on (a real binary
+    corpus keeps the Spark side unchanged; only the oracle is
+    text-bound).
+    """
+    fr = (
+        media.select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.length("data") / every_n_bytes).cast("int")
+                        - 1,
+                        F.lit(0),
+                    ),
+                )
+            ).alias("i"),
+            F.col("data"),
+        )
+        .select(
+            "media_id",
+            F.md5(
+                F.expr(
+                    f"substring(data, i * {every_n_bytes} + 1,"
+                    f" {every_n_bytes})"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    fr = fr.localCheckpoint(eager=False)  # feeds sizes + both join sides
+    sizes = fr.groupBy("media_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fr.select(F.col("media_id").alias("media_a"), "h")
+    b = fr.select(F.col("media_id").alias("media_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("media_id").alias("media_a"),
+                F.col("nf").alias("nf_a"),
+            ),
+            "media_a",
+        )
+        .join(
+            sizes.select(
+                F.col("media_id").alias("media_b"),
+                F.col("nf").alias("nf_b"),
+            ),
+            "media_b",
+        )
+        .select(
+            "media_a",
+            "media_b",
+            F.col("nf_a").cast("long"),
+            F.col("nf_b").cast("long"),
+            F.col("n_shared").cast("long"),
+            F.expr(
+                "CAST(n_shared * 10000 DIV LEAST(nf_a, nf_b) AS BIGINT)"
+            ).alias("containment_bp"),
+        )
+    )

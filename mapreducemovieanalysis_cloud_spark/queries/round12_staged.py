@@ -44,6 +44,11 @@ answering with a truth the registry already trusts:
   the dataset-construction step the pipeline family was missing
   (tokenize_to_ids encodes, chunk/pack shape, this one produces the
   training objective's supervision).
+* ``multimodal_frame_dedup`` — cross-media near-dup pairs via exact
+  frame fingerprints (the video-dedup staple): blockhash/phash compare
+  whole payloads, this detects clip-of / re-encode / shared-segment
+  relationships by equi-joining sampled-frame hashes, payloads never
+  shuffling.
 """
 
 from __future__ import annotations
@@ -470,3 +475,54 @@ def masked_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.masked_lm_dataset(
         load_table(spark, sf_dir, "documents"), vocab_size=40
     )
+
+
+# ---- multimodal: cross-media frame dedup ------------------------------------------
+
+_FRAME_DEDUP_ORACLE = """
+    WITH m AS (SELECT doc_id AS media_id, text,
+                      greatest(CAST(floor(length(text) / 64.0) AS INT) - 1,
+                               0) AS mb
+               FROM documents WHERE length(text) > 0),
+    fr AS (SELECT DISTINCT media_id,
+                  md5(substr(text, i * 64 + 1, 64)) AS h
+           FROM m, unnest(generate_series(0, mb)) AS g(i)),
+    sz AS (SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY 1),
+    p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 COUNT(*) AS n_shared
+          FROM fr a JOIN fr b ON a.h = b.h AND a.media_id < b.media_id
+          GROUP BY 1, 2)
+    SELECT p.media_a, p.media_b,
+           CAST(sa.nf AS BIGINT) AS nf_a, CAST(sb.nf AS BIGINT) AS nf_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_shared * 10000 // LEAST(sa.nf, sb.nf) AS BIGINT)
+             AS containment_bp
+    FROM p JOIN sz sa ON sa.media_id = p.media_a
+           JOIN sz sb ON sb.media_id = p.media_b
+    """
+
+
+@_staged("multimodal_frame_dedup", oracle=_FRAME_DEDUP_ORACLE)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media near-duplicate pairs via exact frame fingerprints
+    (operators/multimodal.frame_dedup_pairs) — the video-dedup staple
+    the multimodal family was missing: blockhash/phash compare WHOLE
+    payloads; this detects the clip-of / re-encode / shared-segment
+    relationship by equi-joining sampled-frame content hashes, with
+    containment_bp = shared * 10000 // min(|A|, |B|) as the verdict
+    column (10000 = every sampled frame of the smaller asset appears
+    in the other).
+
+    Scale: payload bytes never shuffle (slice + hash in one map-side
+    projection); the pair join keys on the 16-byte frame hash, so
+    candidate volume is driven by real duplication — the LSH-band
+    posture, never |media|²; rollups are pure integers.
+    """
+    from mapreducemovieanalysis_cloud_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents").where(
+            F.length("text") > 0
+        )
+    )
+    return multimodal.frame_dedup_pairs(media, every_n_bytes=64)

@@ -410,3 +410,43 @@ def test_masked_lm_planted_consistency(spark, tmp_path):
             < MASK_THRESHOLD_U32
         )
     assert n_masked_total > 0  # the 15% draw actually fires
+
+
+def test_frame_dedup_planted_relationships(spark):
+    """Planted relationships: an exact copy shares every frame
+    (containment 10000 with nf_a == nf_b == n_shared); a clip (the
+    first half of a longer asset, frame-aligned) is fully contained
+    (10000 with n_shared == its own frame count); unrelated payloads
+    share nothing (pair absent)."""
+    from mapreducemovieanalysis_cloud_spark.operators.multimodal import (
+        documents_as_media,
+        frame_dedup_pairs,
+    )
+    from pyspark.sql import functions as F2
+
+    base = "".join(chr(ord("a") + (i % 26)) for i in range(256))
+    rows = [
+        (0, base, "en", "s", 1),
+        (1, base, "en", "s", 1),          # exact copy
+        (2, base[:128], "en", "s", 1),    # frame-aligned clip
+        (3, "Z" * 256, "en", "s", 1),     # unrelated
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r.media_a, r.media_b): r
+        for r in frame_dedup_pairs(
+            documents_as_media(docs.where(F2.length("text") > 0))
+        ).collect()
+    }
+    copy = got[(0, 1)]
+    assert copy.containment_bp == 10000
+    assert copy.nf_a == copy.nf_b == copy.n_shared == 4  # 256/64 frames
+    clip_pairs = [got[(0, 2)], got[(1, 2)]]
+    for c in clip_pairs:
+        assert c.containment_bp == 10000
+        assert c.n_shared == 2 and c.nf_b == 2  # 128/64 frames
+    assert all(3 not in k for k in got)
