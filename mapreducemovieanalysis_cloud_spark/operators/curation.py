@@ -713,3 +713,162 @@ def gopher_doc_flags(
         (F.col("__n_stop") < 2).cast("long").alias("f_sw"),
         (F.col("__max_len") > 20).cast("long").alias("f_mx"),
     )
+
+
+# 5% span-START rate as a 32-bit md5 threshold: floor(0.05 * 2^32); with
+# fixed span length 3 the expected corruption rate is ~15%, matching the
+# masked-LM rate
+SPAN_START_THRESHOLD_U32 = 214_748_364
+SPAN_LEN = 3
+SENTINEL_BASE = -200  # span k reads sentinel -(200 + k)
+
+
+def span_corruption_dataset(
+    df: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "span",
+) -> DataFrame:
+    """T5-style span-corruption training pairs, deterministic end to
+    end: tokenize against the corpus-trained top-``vocab_size``
+    vocabulary, start a corruption span (fixed length {L}) at each
+    position independently with probability 5% — the start decision is
+    md5(salt:doc:pos) 32-bit slice < SPAN_START_THRESHOLD_U32, a pure
+    function of (doc, 1-based position) — merge overlapping/adjacent
+    coverage, and emit the T5 pair: inputs keep uncorrupted tokens and
+    collapse each span to ONE sentinel id -(200 + k); targets list,
+    per span in order, its sentinel followed by the original ids.
+
+    A position i is covered iff ANY of the starts i, i-1, i-2 fired —
+    recomputable per position from the pure draw, so coverage needs no
+    ordered scan; span BOUNDARIES (covered and predecessor uncovered)
+    come from one lag over the doc's positions and the sentinel index
+    from one cumulative sum — the gaps-and-islands shape the
+    decontaminate span merge already uses.
+
+    Simplifications by contract (mirrors masked_lm_dataset's): fixed
+    span length instead of T5's sampled lengths, and no final
+    end-sentinel — both would need draws no independent oracle could
+    replay without also fixing them, and neither changes the
+    distributed shape.
+
+    Scale: identical posture to tokenize_with_vocab plus two per-doc
+    windows over token rows (lag + running sum) — the per-doc-sequence
+    state every packing/chunking operator already carries.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    freq = (
+        toked.select(F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    wv = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    vocab = freq.select(
+        "token", (F.row_number().over(wv) - 1).cast("long").alias("tok_id")
+    )
+    pos = toked.select(
+        F.col(id_col), F.posexplode("__t").alias("pos", "token")
+    )
+
+    def _start_fired(p) -> Column:
+        # md5 draw at 1-based position p (NULL-safe: p < 1 never fires)
+        return F.when(
+            p >= 1,
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(salt),
+                            F.col(id_col).cast("string"),
+                            p.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < F.lit(SPAN_START_THRESHOLD_U32),
+        ).otherwise(F.lit(False))
+
+    one_based = F.col("pos") + 1
+    covered = (
+        _start_fired(one_based)
+        | _start_fired(one_based - 1)
+        | _start_fired(one_based - 2)
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+        covered.alias("cov"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = enc.select(
+        F.col(id_col),
+        "pos",
+        "tok_id",
+        "cov",
+        (
+            F.col("cov")
+            & ~F.coalesce(F.lag("cov").over(w), F.lit(False))
+        ).alias("is_start"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        "tok_id",
+        "cov",
+        "is_start",
+        # sentinel index: how many span starts up to and including here
+        (F.sum(F.col("is_start").cast("long")).over(w) - 1).alias("k"),
+    )
+
+    def _csv(rows_filter: Column, piece: Column) -> Column:
+        return F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                rows_filter,
+                                F.struct("pos", piece.alias("v")),
+                            )
+                        )
+                    ),
+                    lambda s: F.split(s.v, ","),
+                )
+            ),
+            ",",
+        )
+
+    sentinel = (F.lit(SENTINEL_BASE) - F.col("k")).cast("long")
+    in_piece = F.when(
+        F.col("is_start"), sentinel.cast("string")
+    ).otherwise(F.col("tok_id").cast("string"))
+    tgt_piece = F.when(
+        F.col("is_start"),
+        F.concat_ws(
+            ",", sentinel.cast("string"), F.col("tok_id").cast("string")
+        ),
+    ).otherwise(F.col("tok_id").cast("string"))
+    return spans.groupBy(id_col).agg(
+        _csv(~F.col("cov") | F.col("is_start"), in_piece).alias(
+            "input_ids_csv"
+        ),
+        _csv(F.col("cov"), tgt_piece).alias("targets_csv"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("cov").cast("long")).alias("n_corrupted"),
+        F.sum(F.col("is_start").cast("long")).alias("n_spans"),
+    )
+
+
+span_corruption_dataset.__doc__ = span_corruption_dataset.__doc__.format(
+    L=SPAN_LEN
+)

@@ -49,6 +49,10 @@ answering with a truth the registry already trusts:
   whole payloads, this detects clip-of / re-encode / shared-segment
   relationships by equi-joining sampled-frame hashes, payloads never
   shuffling.
+* ``span_corruption_dataset`` — T5-style (inputs with span sentinels,
+  targets with sentinel-prefixed spans): with ``masked_lm_dataset``
+  this completes the training-objective construction pair on the same
+  deterministic-draw foundation.
 """
 
 from __future__ import annotations
@@ -526,3 +530,89 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multimodal.frame_dedup_pairs(media, every_n_bytes=64)
+
+
+# ---- T5 span-corruption dataset ----------------------------------------------------
+
+
+def _span_oracle() -> str:
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        SENTINEL_BASE,
+        SPAN_START_THRESHOLD_U32,
+    )
+
+    fired = (
+        "({p} >= 1 AND CAST(('0x' || substr(md5('span:'"
+        " || CAST(doc_id AS VARCHAR) || ':' || CAST({p} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) < {SPAN_START_THRESHOLD_U32})"
+    )
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, i, t[i] AS token
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+             ORDER BY freq DESC, token ASC LIMIT 40),
+    vocab AS (SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC)
+                          - 1 AS BIGINT) AS tok_id
+              FROM freq),
+    enc AS (SELECT tok.doc_id, tok.i, COALESCE(v.tok_id, -1) AS tok_id,
+                   ({fired.format(p="tok.i")}
+                    OR {fired.format(p="(tok.i - 1)")}
+                    OR {fired.format(p="(tok.i - 2)")}) AS cov
+            FROM tok LEFT JOIN vocab v USING (token)),
+    sp AS (SELECT *, cov AND NOT COALESCE(lag(cov) OVER w, FALSE)
+                       AS is_start
+           FROM enc WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    sk AS (SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) - 1 AS k
+           FROM sp)
+    SELECT doc_id,
+           COALESCE(string_agg(
+             CASE WHEN is_start THEN CAST({SENTINEL_BASE} - k AS VARCHAR)
+                  ELSE CAST(tok_id AS VARCHAR) END, ',' ORDER BY i)
+             FILTER (WHERE NOT cov OR is_start), '') AS input_ids_csv,
+           COALESCE(string_agg(
+             CASE WHEN is_start THEN CAST({SENTINEL_BASE} - k AS VARCHAR)
+                    || ',' || CAST(tok_id AS VARCHAR)
+                  ELSE CAST(tok_id AS VARCHAR) END, ',' ORDER BY i)
+             FILTER (WHERE cov), '') AS targets_csv,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupted,
+           CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spans
+    FROM sk GROUP BY doc_id
+    """
+
+
+@_staged("span_corruption_dataset", oracle=_span_oracle())
+def span_corruption_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption training pairs over the corpus-trained
+    top-40 vocabulary (operators/curation.span_corruption_dataset):
+    inputs collapse each corrupted span to one sentinel id -(200+k),
+    targets list each span's sentinel followed by its original ids —
+    with masked_lm_dataset this completes the training-objective
+    construction pair (BERT-style token masking + T5-style span
+    corruption) on the same deterministic-draw foundation.
+
+    Determinism: span STARTS fire where md5(span:doc:pos) 32-bit slice
+    < floor(0.05 * 2^32) (fixed length 3 ⇒ ~15% expected corruption);
+    coverage at a position is recomputable from the three candidate
+    starts (pure draws, no ordered scan); span boundaries and sentinel
+    numbering are one lag + one running sum per doc.  Fixed span
+    length and no end-sentinel are OUT of contract by design (the
+    masked_lm 80/10/10 rationale: they'd need draws no oracle could
+    replay).
+
+    Scale: the tokenize_to_ids posture plus two per-doc windows over
+    token rows — the per-doc-sequence state packing/chunking already
+    carries."""
+    from mapreducemovieanalysis_cloud_spark.operators import curation
+
+    return curation.span_corruption_dataset(
+        load_table(spark, sf_dir, "documents"), vocab_size=40
+    )

@@ -450,3 +450,93 @@ def test_frame_dedup_planted_relationships(spark):
         assert c.containment_bp == 10000
         assert c.n_shared == 2 and c.nf_b == 2  # 128/64 frames
     assert all(3 not in k for k in got)
+
+
+def test_span_corruption_matches_bruteforce_python(spark, tmp_path):
+    """Exact python replay of the draw, coverage, span merge, sentinel
+    numbering, and both output sequences on a planted corpus — plus
+    structural invariants: sentinels strictly descend from -200, and a
+    doc's tokens partition exactly into kept-inputs + corrupted."""
+    import hashlib as _h
+
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        SENTINEL_BASE,
+        SPAN_START_THRESHOLD_U32,
+        span_corruption_dataset,
+        tokenize_with_vocab,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (d, " ".join(words[(d + i) % 4] for i in range(60)))
+        for d in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_corruption_dataset(docs, 4).collect()}
+    plain = {
+        r.doc_id: [int(x) for x in r.ids_csv.split(",")]
+        for r in tokenize_with_vocab(docs, 4).collect()
+    }
+
+    def fired(d, p):
+        if p < 1:
+            return False
+        h = int(_h.md5(f"span:{d}:{p}".encode()).hexdigest()[:8], 16)
+        return h < SPAN_START_THRESHOLD_U32
+
+    for d, ids in plain.items():
+        n = len(ids)
+        cov = [
+            any(fired(d, i - o) for o in (0, 1, 2))
+            for i in range(1, n + 1)
+        ]
+        inp, tgt, k = [], [], -1
+        for i in range(n):
+            if cov[i] and (i == 0 or not cov[i - 1]):
+                k += 1
+                inp.append(SENTINEL_BASE - k)
+                tgt.extend([SENTINEL_BASE - k, ids[i]])
+            elif cov[i]:
+                tgt.append(ids[i])
+            else:
+                inp.append(ids[i])
+        r = got[d]
+        assert r.input_ids_csv == ",".join(map(str, inp))
+        assert r.targets_csv == ",".join(map(str, tgt))
+        assert r.n_tokens == n
+        assert r.n_spans == k + 1
+        assert r.n_corrupted == sum(cov)
+        # structural: token count conservation
+        n_kept = len([x for x in inp if x >= -1])
+        assert n_kept + r.n_corrupted == n
+
+
+def test_span_corruption_uncorrupted_doc_roundtrips(spark):
+    """A doc none of whose positions fire keeps its exact tokenize
+    encoding as input and an EMPTY target (not NULL — pinned against
+    the oracle's COALESCE)."""
+    import hashlib as _h
+
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        SPAN_START_THRESHOLD_U32,
+        span_corruption_dataset,
+        tokenize_with_vocab,
+    )
+
+    def fired(d, p):
+        h = int(_h.md5(f"span:{d}:{p}".encode()).hexdigest()[:8], 16)
+        return h < SPAN_START_THRESHOLD_U32
+
+    # find a doc id none of whose first 8 positions fire
+    d = next(
+        x for x in range(1000)
+        if not any(fired(x, p) for p in range(1, 9))
+    )
+    docs = spark.createDataFrame(
+        [(d, "a b c d e f g h")], "doc_id long, text string"
+    )
+    [r] = span_corruption_dataset(docs, 8).collect()
+    [p] = tokenize_with_vocab(docs, 8).collect()
+    assert r.input_ids_csv == p.ids_csv
+    assert r.targets_csv == ""
+    assert r.n_spans == 0 and r.n_corrupted == 0
