@@ -1,11 +1,17 @@
-"""Round-10 REGISTRY CANDIDATES — implemented, oracle-backed,
-pytest-verified, NOT registered: round 8's driver window is
-rotation-only and round 9's 50 slots are already fully committed
-(36 r04 rows + the 8 round8_staged + the 6 round9_staged candidates,
-SURVEY.md round-8 ledger item 7), so this wave queues for round 10.
-Same contract as every staging wave: ready-to-promote (query_fn,
-oracle_sql) pairs; ``tests/test_round10_staged.py`` runs the
-driver-identical Spark-vs-DuckDB parity.
+"""Round-10 query wave — REGISTERED as of round 10 (the freeze
+lifted per the committed round-9 ledger plan).
+
+History: built and oracle-parity-tested during round 8 while round 8's
+driver window was rotation-only and round 9's 50 slots were already
+fully committed (36 r04 rows + the 8 round8_staged + the 6
+round9_staged candidates, SURVEY.md round-8 ledger item 7).  Round 10
+promoted them: every ``_staged`` entry now ALSO registers through
+``registry.query``, so the driver's correctness gate covers them
+directly.  The STAGED_QUERIES/STAGED_ORACLES dicts remain as the
+module's index (the parity tests iterate them);
+``tests/test_round10_staged.py::test_staged_are_registered`` pins that
+every entry is live in the registry with the identical callable and
+oracle.
 
 What the wave adds:
 
@@ -36,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -46,7 +53,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

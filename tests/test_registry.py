@@ -110,6 +110,17 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the ann_sq8 whitelist justification, via the same
         # sq8_reconstructed kernel
         "sq8_reconstruction_error",
+        # round-10 promotions (justifications unchanged from the staged
+        # sweep they graduated from, tests/test_round10_staged.py):
+        # 1-row corpus-totals broadcast into the per-source plan
+        "source_repeat_schedule",
+        # 1-row vocab-size scalar broadcast inside score_documents —
+        # the registered ngram_lm_scores whitelist justification
+        # (identical kernel, merged-store model)
+        "incremental_lm_scores",
+        # the 1-row point-estimate frame x the 1-row CI frame — a
+        # 1x1 join by construction
+        "ab_uplift_ci",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in registry.queries().items():
@@ -155,12 +166,12 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
 
 
 def test_registry_count_pinned():
-    """Exactly 250 registered queries (round-9 promotion: 236 + the 8
-    round8_staged + 6 round9_staged candidates, per the committed
-    round-8 ledger plan).  A smaller count means a query module
-    silently vanished (the failure mode the unconditional _load_all
-    imports exist to prevent); a larger one means an unplanned
-    registration jumped the rotation queue — both need a deliberate
-    update HERE plus a rotation regeneration, never an accident."""
-    assert len(registry.queries()) == 250
-    assert len(registry.oracle_sql()) == 250
+    """Exactly 256 registered queries (round-10 promotion: 250 + the 6
+    round10_staged candidates, per the committed round-9 ledger plan).
+    A smaller count means a query module silently vanished (the failure
+    mode the unconditional _load_all imports exist to prevent); a
+    larger one means an unplanned registration jumped the rotation
+    queue — both need a deliberate update HERE plus a rotation
+    regeneration, never an accident."""
+    assert len(registry.queries()) == 256
+    assert len(registry.oracle_sql()) == 256

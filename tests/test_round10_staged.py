@@ -1,8 +1,8 @@
-"""Parity + contracts for the round-10 registry candidates
+"""Parity + contracts for the round-10 query wave
 (queries/round10_staged.py): driver-identical Spark-vs-DuckDB parity,
-the not-registered freeze contract (round 9's window is already fully
-committed), plan hygiene, planted-corpus behavioral checks, and
-independent python brute-force replays."""
+the promotion contract (registered with identical callable + oracle),
+plan hygiene, planted-corpus behavioral checks, and independent python
+brute-force replays."""
 
 from __future__ import annotations
 
@@ -24,15 +24,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered():
-    """Round 9's 50 slots are fully committed (36 r04 + 8 round8 + 6
-    round9 staged); this wave queues for round 10 and must not be
-    live yet."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-10 freeze test
+    per the committed round-9 ledger plan): every entry must be live in
+    the registry with the IDENTICAL callable and oracle — the driver's
+    correctness gate now covers them directly, and a drift between the
+    module index and the registry would mean the parity tests exercise
+    something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_plan_hygiene(spark, sf_dir):
