@@ -18,6 +18,8 @@ partial-aggregate map-side before the shuffle.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -297,23 +299,24 @@ def negative_pairs(
     )
 
 
-def tokenize_with_vocab(
+def _encode_positions(
     df: DataFrame,
-    vocab_size: int = 40,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    vocab_size: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Encode documents against a corpus-trained vocabulary: build the
-    top-``vocab_size`` tokens (frequency desc, token asc — deterministic),
-    assign dense ids 0..V-1, and emit each doc's token-id sequence as a
-    CSV string with OOV as -1.
+    """(id, pos, tok_id): every document position encoded against the
+    corpus-trained top-``vocab_size`` vocabulary (frequency desc, token
+    asc — deterministic; dense ids 0..V-1; OOV = -1) — the ONE shared
+    tokenize + vocab-train + encode prelude of ``tokenize_with_vocab``,
+    ``masked_lm_dataset``, and ``span_corruption_dataset``, extracted
+    so a tokenization or tie-break change cannot desynchronize the
+    three (their tests compare outputs cross-consistently).
 
-    The id-assignment window runs over the AGGREGATED token table (V rows
-    survive the limit; the aggregate is map-side combined), so the
-    single-partition sort touches vocab-sized data, never corpus-sized.
-    Encoding is a broadcast join on token + one ordered per-doc
-    re-assembly — the standard "tokenize against a trained vocab" pass
-    of an LLM data pipeline, entirely JVM-side.
+    The id-assignment window runs over the AGGREGATED token table (V
+    rows survive the limit; the aggregate is map-side combined), so the
+    single-partition sort touches vocab-sized data, never corpus-sized;
+    encoding is a broadcast join on token, entirely JVM-side.
     """
     from mapreducemovieanalysis_cloud_spark.functions.text import tokens
 
@@ -332,11 +335,26 @@ def tokenize_with_vocab(
     pos = toked.select(
         F.col(id_col), F.posexplode("__t").alias("pos", "token")
     )
-    encoded = pos.join(F.broadcast(vocab), "token", "left").select(
+    return pos.join(F.broadcast(vocab), "token", "left").select(
         F.col(id_col),
         "pos",
         F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
     )
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab_size: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents against a corpus-trained vocabulary
+    (``_encode_positions``) and emit each doc's token-id sequence as a
+    CSV string with OOV as -1, plus token/OOV counts — the standard
+    "tokenize against a trained vocab" pass of an LLM data pipeline,
+    one ordered per-doc re-assembly over the encoded positions.
+    """
+    encoded = _encode_positions(df, vocab_size, id_col, text_col)
     return encoded.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -381,27 +399,11 @@ def masked_lm_dataset(
     would need a corpus-order-dependent draw that no oracle could
     replay; pipelines that want it apply it at trainer time).
 
-    Scale: identical posture to tokenize_with_vocab — vocab-sized sort,
-    broadcast encode join, one doc-keyed re-assembly; the mask draw is
-    map-side expression work on rows that already exist.
+    Scale: identical posture to tokenize_with_vocab — the shared
+    ``_encode_positions`` prelude (vocab-sized sort, broadcast encode
+    join), one doc-keyed re-assembly; the mask draw is map-side
+    expression work on rows that already exist.
     """
-    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
-
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    freq = (
-        toked.select(F.explode("__t").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(vocab_size)
-    )
-    wv = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    vocab = freq.select(
-        "token", (F.row_number().over(wv) - 1).cast("long").alias("tok_id")
-    )
-    pos = toked.select(
-        F.col(id_col), F.posexplode("__t").alias("pos", "token")
-    )
     draw = F.conv(
         F.substring(
             F.md5(
@@ -419,11 +421,11 @@ def masked_lm_dataset(
         10,
     ).cast("long")
     encoded = (
-        pos.join(F.broadcast(vocab), "token", "left")
+        _encode_positions(df, vocab_size, id_col, text_col)
         .select(
             F.col(id_col),
             "pos",
-            F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+            "tok_id",
             (draw < F.lit(MASK_THRESHOLD_U32)).alias("masked"),
         )
         .select(
@@ -740,7 +742,9 @@ def span_corruption_dataset(
     collapse each span to ONE sentinel id -(200 + k); targets list,
     per span in order, its sentinel followed by the original ids.
 
-    A position i is covered iff ANY of the starts i, i-1, i-2 fired —
+    A position i is covered iff ANY of the starts i, i-1, ...,
+    i-(SPAN_LEN-1) fired (the coverage OR is BUILT from SPAN_LEN, as is
+    the oracle's fired-offset list — one constant owns the length) —
     recomputable per position from the pure draw, so coverage needs no
     ordered scan; span BOUNDARIES (covered and predecessor uncovered)
     come from one lag over the doc's positions and the sentinel index
@@ -757,23 +761,6 @@ def span_corruption_dataset(
     windows over token rows (lag + running sum) — the per-doc-sequence
     state every packing/chunking operator already carries.
     """
-    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
-
-    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    freq = (
-        toked.select(F.explode("__t").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(vocab_size)
-    )
-    wv = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    vocab = freq.select(
-        "token", (F.row_number().over(wv) - 1).cast("long").alias("tok_id")
-    )
-    pos = toked.select(
-        F.col(id_col), F.posexplode("__t").alias("pos", "token")
-    )
 
     def _start_fired(p) -> Column:
         # md5 draw at 1-based position p (NULL-safe: p < 1 never fires)
@@ -799,15 +786,14 @@ def span_corruption_dataset(
         ).otherwise(F.lit(False))
 
     one_based = F.col("pos") + 1
-    covered = (
-        _start_fired(one_based)
-        | _start_fired(one_based - 1)
-        | _start_fired(one_based - 2)
+    covered = reduce(
+        lambda a, b: a | b,
+        (_start_fired(one_based - k) for k in range(SPAN_LEN)),
     )
-    enc = pos.join(F.broadcast(vocab), "token", "left").select(
+    enc = _encode_positions(df, vocab_size, id_col, text_col).select(
         F.col(id_col),
         "pos",
-        F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+        "tok_id",
         covered.alias("cov"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -21,6 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.operators.sketches import (
+    FM_BIT_CAP,
+    _seed_mask,
+    fm_estimate,
+)
+
 SCALE = 1_000_000_000
 
 
@@ -468,7 +474,11 @@ def adamic_adar_scores(
     )
 
 
-ANF_BIT_CAP = 20
+# ANF registers ARE FM registers: the seed hash, bit cap, and bias
+# correction are owned by operators/sketches.py (the round-9 advisor
+# flagged the re-baked literals here — a tweak to one silently
+# diverged the other).  This alias exists only for back-reference.
+ANF_BIT_CAP = FM_BIT_CAP
 
 
 def anf_reach(
@@ -512,30 +522,12 @@ def anf_reach(
             )
         )
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(salt),
-                    F.col("r").cast("string"),
-                    F.col("node").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sketch = regs.withColumn("__h", h).select(
-        "node",
-        "r",
-        F.expr(
-            f"CAST(1 AS BIGINT) << CASE WHEN __h = 0 THEN {ANF_BIT_CAP}"
-            f" ELSE LEAST(bit_count((__h & -__h) - 1), {ANF_BIT_CAP}) END"
-        ).alias("m"),
-    ).localCheckpoint(eager=False)
+    mask, h = _seed_mask("node", salt)
+    sketch = (
+        regs.withColumn("__h", h)
+        .select("node", "r", mask.alias("m"))
+        .localCheckpoint(eager=False)
+    )
     out = []
     cur = sketch
     for hop in range(1, hops + 1):
@@ -552,18 +544,11 @@ def anf_reach(
             .agg(F.expr("bit_or(m)").alias("m"))
             .localCheckpoint(eager=False)
         )
-        est = cur.groupBy("node").agg(
-            F.expr(
-                "CAST(SUM(bit_count(m & (m ^ (m + 1)))) AS BIGINT)"
-            ).alias("b_sum")
-        ).select(
+        est = fm_estimate(cur, ["node"], registers).select(
             "node",
             F.lit(hop).cast("int").alias("hop"),
             "b_sum",
-            F.expr(
-                f"CAST(ROUND(POW(2.0, CAST(b_sum AS DOUBLE) / {registers})"
-                " / 0.77351 * 1000) AS BIGINT)"
-            ).alias("est_reach_milli"),
+            F.col("est_distinct_milli").alias("est_reach_milli"),
         )
         out.append(est)
     res = out[0]

@@ -368,48 +368,34 @@ def incremental_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes); the merge is one groupBy per table over batch-count
     rows; scoring is the registered score_documents kernel
     unchanged."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
-    from mapreducemovieanalysis_cloud_spark.sources.readers import (
-        table_fingerprint,
+    from mapreducemovieanalysis_cloud_spark.operators.storecache import (
+        cached_store,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    leaf = os.path.basename(os.path.normpath(sf_dir))
-    fp = table_fingerprint(sf_dir, "documents")
-    # cache key = data fingerprint + the operator-owned behavior
-    # version, so a change to incremental_ngram_append (n,
-    # tokenization, layout) invalidates cached counts by construction
-    # (r09 advisor item)
-    store = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_lm_inc",
-        leaf,
-        f"{ngram_lm.INCREMENTAL_STORE_VERSION}-{fp}",
-    )
-    if not os.path.exists(store):
-        # build into a process-unique dir, then publish with one atomic
-        # rename: a concurrent process can never read a half-built
-        # store, and a lost rename race just discards the duplicate
-        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+    def _build(build: str) -> None:
         ngram_lm.incremental_ngram_append(
             docs.where(F.col("doc_id") % 2 == 0), build, "b0"
         )
         ngram_lm.incremental_ngram_append(
             docs.where(F.col("doc_id") % 2 == 1), build, "b1"
         )
-        try:
-            os.rename(build, store)
-        except OSError:
-            if not os.path.exists(store):  # real failure, not a race
-                raise
-            shutil.rmtree(build, ignore_errors=True)
+
+    # cache key = data fingerprint + the operator-owned behavior
+    # version, so a change to incremental_ngram_append (n,
+    # tokenization, layout) invalidates cached counts by construction
+    # (r09 advisor item); protocol owned by operators/storecache
+    store = cached_store(
+        sf_dir,
+        "spark_graft_lm_inc",
+        ngram_lm.INCREMENTAL_STORE_VERSION,
+        "documents",
+        _build,
+    )
     model = ngram_lm.incremental_ngram_model(spark, store)
     return ngram_lm.score_documents(docs, model)
 

@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.operators import sketches
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -632,7 +633,11 @@ adamic_adar_suppliers.__doc__ = adamic_adar_suppliers.__doc__.format(
 
 _ANF_R = 16
 _ANF_HOPS = 3
-_ANF_BIT_CAP = 20
+# the cap and bias correction are OWNED by operators/sketches.py (one
+# source of truth for every FM consumer — graph.anf_reach imports the
+# same two); the oracle SQL below bakes them in via these f-strings so
+# a sketches.py change re-derives the DuckDB side too.
+_ANF_BIT_CAP = sketches.FM_BIT_CAP
 
 
 def _anf_sketch_sql(src: str) -> str:
@@ -643,9 +648,9 @@ def _anf_sketch_sql(src: str) -> str:
 
 
 _ANF_EST = (
-    "CAST(ROUND(POW(2.0, CAST(b_sum AS DOUBLE) / {r}) / 0.77351 * 1000) "
+    "CAST(ROUND(POW(2.0, CAST(b_sum AS DOUBLE) / {r}) / {phi} * 1000) "
     "AS BIGINT)"
-).format(r=_ANF_R)
+).format(r=_ANF_R, phi=sketches.FM_PHI)
 
 _ANF_ORACLE = f"""
     WITH {_EDGES_CTE},
@@ -769,29 +774,16 @@ def cooc_store_path(spark: SparkSession, sf_dir: str) -> str:
     built in a process-unique dir, published with one atomic rename
     (the incremental_lm_scores protocol — no half-built concurrent
     reads, stale-on-code-change)."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
     from mapreducemovieanalysis_cloud_spark.operators import graph
-    from mapreducemovieanalysis_cloud_spark.sources.readers import (
-        table_fingerprint,
+    from mapreducemovieanalysis_cloud_spark.operators.storecache import (
+        cached_store,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    leaf = os.path.basename(os.path.normpath(sf_dir))
-    fp = table_fingerprint(sf_dir, "lineitem")
-    store = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_graph_inc",
-        leaf,
-        f"{graph.COOC_STORE_VERSION}-{fp}",
-    )
-    if not os.path.exists(store):
-        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+
+    def _build(build: str) -> None:
         graph.incremental_cooccurrence_append(
             li.where(F.col("l_orderkey") % 2 == 0), build, "b0",
             group_col="l_orderkey", node_col="l_suppkey",
@@ -800,10 +792,11 @@ def cooc_store_path(spark: SparkSession, sf_dir: str) -> str:
             li.where(F.col("l_orderkey") % 2 == 1), build, "b1",
             group_col="l_orderkey", node_col="l_suppkey",
         )
-        try:
-            os.rename(build, store)
-        except OSError:
-            if not os.path.exists(store):  # real failure, not a race
-                raise
-            shutil.rmtree(build, ignore_errors=True)
-    return store
+
+    return cached_store(
+        sf_dir,
+        "spark_graft_graph_inc",
+        graph.COOC_STORE_VERSION,
+        "lineitem",
+        _build,
+    )

@@ -77,36 +77,15 @@ def _staged(name: str, oracle: str):
 
 def _store_path(spark, sf_dir: str, family: str, version: str,
                 table: str, build_fn) -> str:
-    """Build-if-absent a fingerprint+version-keyed store under the
-    system temp dir and return its path — the shared incremental-store
-    cache protocol (process-unique build dir, one atomic rename, so a
-    concurrent process can never read a half-built store, and a code
-    change bumps the version constant rather than requiring a /tmp
-    flush)."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from mapreducemovieanalysis_cloud_spark.sources.readers import (
-        table_fingerprint,
+    """Build-if-absent a fingerprint+version-keyed store — the shared
+    incremental-store cache protocol, owned by operators/storecache
+    (one atomic publish, stale-build sweep, superseded-fingerprint
+    eviction)."""
+    from mapreducemovieanalysis_cloud_spark.operators.storecache import (
+        cached_store,
     )
 
-    leaf = os.path.basename(os.path.normpath(sf_dir))
-    fp = table_fingerprint(sf_dir, table)
-    store = os.path.join(
-        tempfile.gettempdir(), family, leaf, f"{version}-{fp}"
-    )
-    if not os.path.exists(store):
-        build = f"{store}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        build_fn(build)
-        try:
-            os.rename(build, store)
-        except OSError:
-            if not os.path.exists(store):  # real failure, not a race
-                raise
-            shutil.rmtree(build, ignore_errors=True)
-    return store
+    return cached_store(sf_dir, family, version, table, build_fn)
 
 
 # ---- stored-graph consumer: triangles from the pair-count store ---------------
@@ -538,6 +517,7 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_oracle() -> str:
     from mapreducemovieanalysis_cloud_spark.operators.curation import (
         SENTINEL_BASE,
+        SPAN_LEN,
         SPAN_START_THRESHOLD_U32,
     )
 
@@ -545,6 +525,13 @@ def _span_oracle() -> str:
         "({p} >= 1 AND CAST(('0x' || substr(md5('span:'"
         " || CAST(doc_id AS VARCHAR) || ':' || CAST({p} AS VARCHAR)),"
         f" 1, 8)) AS BIGINT) < {SPAN_START_THRESHOLD_U32})"
+    )
+    # fired-offset list DERIVED from SPAN_LEN (one constant owns the
+    # span length on both engines — the Spark coverage OR is built from
+    # the same constant in operators/curation.py)
+    cov = "\n                    OR ".join(
+        fired.format(p="tok.i" if k == 0 else f"(tok.i - {k})")
+        for k in range(SPAN_LEN)
     )
     return rf"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -559,9 +546,7 @@ def _span_oracle() -> str:
                           - 1 AS BIGINT) AS tok_id
               FROM freq),
     enc AS (SELECT tok.doc_id, tok.i, COALESCE(v.tok_id, -1) AS tok_id,
-                   ({fired.format(p="tok.i")}
-                    OR {fired.format(p="(tok.i - 1)")}
-                    OR {fired.format(p="(tok.i - 2)")}) AS cov
+                   ({cov}) AS cov
             FROM tok LEFT JOIN vocab v USING (token)),
     sp AS (SELECT *, cov AND NOT COALESCE(lag(cov) OVER w, FALSE)
                        AS is_start

@@ -90,6 +90,26 @@ def test_bootstrap_ci_constant_and_bounded(spark, tmp_path):
     assert s.ci_hi_micro <= max(vals) * 1_000_000
 
 
+def test_bootstrap_rejects_small_b(spark):
+    """b < 20 must raise (the rank-2 lower-bound contract): the CI's
+    lower bound is the FIXED rank-2 order statistic that both
+    consumers' oracles hardcode, so a regression back to a silent
+    adaptive rank would desynchronize Spark from the oracles without
+    any parity test noticing (r09 advisor item — this pin is the
+    guard's regression test)."""
+    import pytest as _pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators.aggregates import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    df = spark.range(5).selectExpr("id", "'g' AS g", "id AS v")
+    with _pytest.raises(ValueError, match="rank-2"):
+        poisson_bootstrap_mean_ci(
+            df, ["g"], id_col="id", value_col="v", b=19
+        )
+
+
 def test_bootstrap_matches_bruteforce_python(spark, tmp_path):
     """Python replay of the md5 -> Poisson weight -> replica mean ->
     order-statistic pipeline must agree EXACTLY (all integer

@@ -461,6 +461,7 @@ def test_span_corruption_matches_bruteforce_python(spark, tmp_path):
 
     from mapreducemovieanalysis_cloud_spark.operators.curation import (
         SENTINEL_BASE,
+        SPAN_LEN,
         SPAN_START_THRESHOLD_U32,
         span_corruption_dataset,
         tokenize_with_vocab,
@@ -487,7 +488,7 @@ def test_span_corruption_matches_bruteforce_python(spark, tmp_path):
     for d, ids in plain.items():
         n = len(ids)
         cov = [
-            any(fired(d, i - o) for o in (0, 1, 2))
+            any(fired(d, i - o) for o in range(SPAN_LEN))
             for i in range(1, n + 1)
         ]
         inp, tgt, k = [], [], -1
