@@ -98,6 +98,58 @@ def test_lsh_recall_exact_dups_always_caught(spark, tmp_path):
         assert 500 <= r.bucket_lo_permille <= 1000
 
 
+def test_lsh_recall_populates_every_decile_planted(spark, tmp_path):
+    """Planted corpus exercising SIX deciles of the recall curve at
+    once (the r09 verdict watch item: the sf0.01 corpus happens to
+    populate a single decile, so decile bucketing itself was only
+    exercised at one point).  Construction: pair k shares a p-token
+    prefix then diverges into q unique tokens per side, so with 3-word
+    shingles shared = p-2 and union = p+2q-2 — (p, q) of (6,2), (8,2),
+    (16,3), (10,1), (20,1) land EXACTLY on Jaccard 0.5/0.6/0.7/0.8/0.9
+    (verified by the python shingle replay below), plus one identical
+    pair at 1.0.  Per-pair token namespaces guarantee no cross-pair
+    truth rows."""
+    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
+        lsh_recall_vs_exact,
+    )
+
+    def doc(words):
+        return " ".join(words)
+
+    rows, expected = [], {}
+    for k, (p, q) in enumerate([(6, 2), (8, 2), (16, 3), (10, 1), (20, 1)]):
+        pre = [f"p{k}x{i}" for i in range(p)]
+        a = pre + [f"p{k}a{i}" for i in range(q)]
+        b = pre + [f"p{k}b{i}" for i in range(q)]
+
+        def shingles(t):
+            return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+        inter = len(shingles(a) & shingles(b))
+        union = len(shingles(a) | shingles(b))
+        bucket = inter * 1000 // union // 100 * 100
+        expected[bucket] = expected.get(bucket, 0) + 1
+        rows += [(10 * k, doc(a)), (10 * k + 1, doc(b))]
+    dup = " ".join(f"dupw{i}" for i in range(10))
+    rows += [(900, dup), (901, dup)]
+    expected[1000] = 1
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.bucket_lo_permille: r for r in lsh_recall_vs_exact(spark, sf).collect()}
+    # the replay-derived deciles are exactly 500..900 — the construction
+    # is the test's own oracle, so assert it produced what it claims
+    assert set(expected) == {500, 600, 700, 800, 900, 1000}
+    assert {b: r.n_true_pairs for b, r in out.items()} == expected
+    assert out[1000].recall_micro == 1_000_000  # identical docs
+    for r in out.values():
+        assert r.n_missed == r.n_true_pairs - r.n_caught
+        assert 0 <= r.recall_micro <= 1_000_000
+
+
 def test_lsh_recall_truth_matches_registered_detector(spark, oracle_sf_dir):
     """The recall table's truth mass (sum of n_true_pairs) must equal
     the registered jaccard_pairs detector's pair count at the same
