@@ -858,3 +858,143 @@ def span_corruption_dataset(
 span_corruption_dataset.__doc__ = span_corruption_dataset.__doc__.format(
     L=SPAN_LEN
 )
+
+
+def skipgram_pair_counts(
+    df: DataFrame,
+    window: int = 2,
+    topk: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GloVe/word2vec-style windowed co-occurrence counts: for every
+    token pair at distance d <= ``window`` inside a document, credit
+    the UNORDERED pair (least, greatest token) with the classic 1/d
+    distance weight (integer micro: 1000000 div d) and one raw count;
+    return the top-``topk`` pairs by (weight desc, t1 asc, t2 asc) —
+    the co-occurrence matrix every embedding trainer consumes, built
+    as pure DataFrame joins.
+
+    Scale: positions self-join on (doc, pos + d) for each fixed
+    d = 1..window — the shuffle is keyed by (doc, pos), cost is
+    window x token count (NOT quadratic in document length), and the
+    pair aggregate combines map-side, so the wire carries pair
+    partials.  No vocabulary pass is needed: the pair table is its own
+    vocabulary.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).localCheckpoint(eager=False)
+    legs = []
+    for d in range(1, window + 1):
+        right = pos.select(
+            F.col(id_col),
+            (F.col("pos") - d).alias("pos"),
+            F.col("tok").alias("tok_b"),
+        )
+        legs.append(
+            pos.join(right, [id_col, "pos"]).select(
+                F.least("tok", "tok_b").alias("t1"),
+                F.greatest("tok", "tok_b").alias("t2"),
+                F.lit(1_000_000 // d).alias("w"),
+            )
+        )
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.unionAll(leg)
+    return (
+        pairs.groupBy("t1", "t2")
+        .agg(
+            F.sum("w").cast("long").alias("weight_micro"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy(
+            F.col("weight_micro").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+        )
+        .limit(topk)
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    per_source: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic preference pairs (chosen, rejected) per source —
+    the DPO/RLHF training-data shape, synthesized from a measurable
+    quality signal: each document scores distinct-token ratio in micro
+    units (n_distinct x 1000000 div n_tokens — the repetition gate's
+    integer core), and pair i matches the i-th BEST document with the
+    i-th WORST (score desc / id asc vs score asc / id desc, so the two
+    rank orders are exact mirrors and ties stay deterministic).  Only
+    i <= min(per_source, n_docs div 2) emits, so the two sides can
+    never overlap; margin_micro = chosen score - rejected score >= 0.
+
+    Scale: one tokenize pass, two per-source rank windows, one
+    per-(source, i) join — the window state is per-source counters,
+    and nothing is corpus-quadratic.
+    """
+    from mapreducemovieanalysis_cloud_spark.functions.text import tokens
+
+    # tokenize once, then score through the materialized array (CSE
+    # does not reach into lambda trees)
+    scored = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        tokens(text_col).alias("__t"),
+    ).select(
+        "source",
+        id_col,
+        # integer floor division (Spark DIV == DuckDB // on
+        # non-negatives) — never a float ratio cast back to int
+        F.expr(
+            "CAST(size(array_distinct(__t)) AS BIGINT) * 1000000"
+            " DIV size(__t)"
+        ).alias("score_micro"),
+    )
+    best_w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    worst_w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").asc(), F.col(id_col).desc()
+    )
+    n_w = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        id_col,
+        "score_micro",
+        F.row_number().over(best_w).alias("rb"),
+        F.row_number().over(worst_w).alias("rw"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    best = ranked.where(
+        (F.col("rb") <= per_source) & (F.col("rb") * 2 <= F.col("n"))
+    ).select(
+        "source",
+        F.col("rb").alias("pair_idx"),
+        F.col(id_col).alias("chosen_doc"),
+        F.col("score_micro").alias("chosen_micro"),
+    )
+    worst = ranked.where(
+        (F.col("rw") <= per_source) & (F.col("rw") * 2 <= F.col("n"))
+    ).select(
+        "source",
+        F.col("rw").alias("pair_idx"),
+        F.col(id_col).alias("rejected_doc"),
+        F.col("score_micro").alias("rejected_micro"),
+    )
+    return best.join(worst, ["source", "pair_idx"]).select(
+        "source",
+        F.col("pair_idx").cast("int").alias("pair_idx"),
+        "chosen_doc",
+        "rejected_doc",
+        (F.col("chosen_micro") - F.col("rejected_micro"))
+        .cast("long")
+        .alias("margin_micro"),
+    )

@@ -210,3 +210,47 @@ def skyline_2d(
             F.col("y").alias(y_col), F.col("x").alias(x_col)
         )
     )
+
+
+RRF_K = 60  # the canonical reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    topk: int = 20,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists: each input carries
+    (id, rank) with rank 1-based and already deterministic; a document
+    scores SUM over the lists it appears in of 1000000 div (k + rank)
+    — pure integer arithmetic, so the fused ordering is engine-exact
+    with no float score normalization (the reason RRF beats score
+    interpolation for heterogeneous rankers: BM25 micro-units and
+    cosine live on incomparable scales; ranks always fuse).
+
+    Output: (id, rrf_micro, n_lists) top-``topk`` by (rrf desc, id
+    asc).  Scale: inputs are already top-k sized (bounded), so the
+    union + groupBy touches O(N x k) rows — never the corpus.
+    """
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"CAST(1000000 DIV ({k_rrf} + rank) AS BIGINT)").alias(
+                "__p"
+            ),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__p").cast("long").alias("rrf_micro"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

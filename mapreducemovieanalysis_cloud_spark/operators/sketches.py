@@ -1,5 +1,9 @@
-"""Mergeable distinct-count sketches (Flajolet-Martin probabilistic
-counting) with a persistent incremental store.
+"""Mergeable sketches with persistent incremental stores: distinct
+counts (Flajolet-Martin bitmasks, OR-merge), frequencies (count-min
+cells, ADD-merge), and quantiles (fixed-bin histograms, ADD-merge).
+The FM tier is documented in depth below; the CMS and histogram tiers
+follow the same contract — merged store == full rebuild, O(batch)
+maintenance, state independent of (or sublinear in) cardinality.
 
 ``approx_distinct`` (registered) is Spark's built-in HLL++ — fine for a
 one-shot answer, but its sketch state is engine-private: it cannot be
@@ -251,3 +255,251 @@ def fm_pairwise_overlap(
             .alias("inter_est_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch store: additive frequency sketches
+# ---------------------------------------------------------------------------
+
+# Behavior version of the incremental CMS store (hash construction,
+# depth/width defaults, candidate rule, epoch layout).  Cache keys
+# addressing a persistent store built by incremental_cms_append MUST
+# include this constant (the ngram_lm INCREMENTAL_STORE_VERSION rule).
+CMS_STORE_VERSION = "cms1"
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+
+
+def _cms_cells(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
+    """(row_idx, bucket, cell_count) over the input — the IDENTICAL
+    md5-bucket construction as the registered one-shot
+    ``aggregates.cms_heavy_hitters`` (leading 16 bits of md5(i:key) mod
+    width), so a merged store and a one-shot sketch over the same rows
+    are cell-for-cell equal."""
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        md5_bucket(key_col, width, salt=f"{i}:").alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row_idx", "cell.bucket")
+    return rows.groupBy("row_idx", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+
+
+def incremental_cms_append(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int | str,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    cand_m: int = 20,
+) -> None:
+    """Append one batch's count-min cells AND its top-``cand_m``
+    candidate keys to a persistent CMS store at O(batch) cost.
+
+    Cells ADD across batches (counts are additive), so the merged
+    sketch equals a full rebuild EXACTLY — the same merged==rebuild
+    contract as the FM/LM/co-occurrence stores, pinned by the
+    batch-split-invariance test.  Candidates are the standard
+    heavy-hitter heuristic: each batch remembers its own top-m keys
+    (batch count desc, key asc — deterministic), and the consumer
+    probes the union; a key in the global top-k is in some batch's
+    top-m whenever batches are not adversarially skewed (m >= k gives
+    the usual practical guarantee; the sketch itself never lies — est
+    >= true under addition).  Row-level batch splits are SAFE: cells
+    add per row, and a key split across batches still surfaces as long
+    as it is heavy SOMEWHERE.
+
+    Layout: ``<store>/cells/batch=<id>`` (depth x width rows max) and
+    ``<store>/cands/batch=<id>`` (m rows) via the shared idempotent
+    epoch write — retry overwrites, never doubles."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    write_epoch(
+        _cms_cells(batch_df, key_col, depth, width),
+        f"{store}/cells",
+        batch_id,
+    )
+    counts = batch_df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cands = (
+        counts.orderBy(F.col("__n").desc(), F.col(key_col).asc())
+        .limit(cand_m)
+        .select(key_col)
+    )
+    write_epoch(cands, f"{store}/cands", batch_id)
+
+
+def incremental_cms_topk(
+    spark,
+    store: str,
+    key_col: str,
+    k: int = 10,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Top-``k`` heavy hitters from the STORE alone — no corpus rescan:
+    merge the cells by plain addition (== rebuild), union the stored
+    candidate keys, probe each candidate's depth cells, estimate as the
+    min (the CMS overestimate), and rank (est desc, key asc).
+
+    Scale: merged cells are <= depth x width rows (broadcast); the
+    probe is |candidates| x depth rows.  Nothing here is proportional
+    to the corpus."""
+    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
+        md5_bucket,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    cells = (
+        read_epochs(spark, f"{store}/cells")
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    cands = (
+        read_epochs(spark, f"{store}/cands").select(key_col).distinct()
+    )
+    probes = cands.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        md5_bucket(key_col, width, salt=f"{i}:").alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "cell.row_idx", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["row_idx", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), F.col(key_col).asc()).limit(
+        k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram store: additive quantile sketches
+# ---------------------------------------------------------------------------
+
+# Behavior version of the incremental histogram store (binning rule,
+# epoch layout) — same cache-key rule as the other store versions.
+HIST_STORE_VERSION = "h1"
+
+
+def hist_bins(
+    df: DataFrame, group_col: str, cents_col: str, bin_width_cents: int
+) -> DataFrame:
+    """(group, bin, n) fixed-width integer binning of an exact-cents
+    column: bin = cents div bin_width (truncation toward zero in both
+    engines for non-negative cents).  The one binning rule shared by
+    the appender and any rebuild, so merged == rebuild is arithmetic,
+    not luck."""
+    return (
+        df.select(
+            F.col(group_col),
+            F.expr(f"{cents_col} DIV {bin_width_cents}").alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def incremental_hist_append(
+    batch_df: DataFrame,
+    store: str,
+    batch_id: int | str,
+    group_col: str,
+    cents_col: str,
+    bin_width_cents: int,
+) -> None:
+    """Append one batch's (group, bin, n) histogram partials.  Counts
+    ADD, so the merged histogram equals a full rebuild exactly; state
+    per group is |occupied bins| integers regardless of row count —
+    the quantile twin of the FM distinct store (exact percentiles need
+    a corpus sort; the binned store answers at bin resolution from
+    O(bins) longs maintained O(batch))."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    write_epoch(
+        hist_bins(batch_df, group_col, cents_col, bin_width_cents),
+        f"{store}/bins",
+        batch_id,
+    )
+
+
+def hist_percentiles(
+    spark,
+    store: str,
+    group_col: str,
+    bin_width_cents: int,
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group bin-resolution percentiles from the merged store: the
+    q-th percentile is the LOWER BOUND (in cents) of the first bin
+    where 100 x cumulative_count >= q x total — integer arithmetic end
+    to end, so the answer is engine-exact at the store's resolution.
+    Output: (group, n_rows, p<q>_lo_cents per q)."""
+    from pyspark.sql import Window
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    merged = (
+        read_epochs(spark, f"{store}/bins")
+        .groupBy(group_col, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        group_col,
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(group_col)).alias("total"),
+    )
+    aggs = [F.max("total").cast("long").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("total") * q,
+                    F.col("bin") * bin_width_cents,
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_lo_cents")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

@@ -31,7 +31,7 @@ _QUERIES = dict(entry_mod.queries())
 # staged candidates obey the same boundary contract BEFORE promotion,
 # so a wave cannot ship an empty/degenerate-input crash into a future
 # registration round
-for _mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged"):
+for _mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged", "round13_staged"):
     _m = __import__(
         f"mapreducemovieanalysis_cloud_spark.queries.{_mod}",
         fromlist=["STAGED_QUERIES"],

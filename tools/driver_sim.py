@@ -75,7 +75,7 @@ def main() -> None:
     # first_n/full sweep — those stay registry-only, like the driver),
     # so a promotion round can preflight its wave in this exact flow.
     if only:
-        for mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged"):
+        for mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged", "round13_staged"):
             try:
                 m = __import__(
                     f"mapreducemovieanalysis_cloud_spark.queries.{mod}",

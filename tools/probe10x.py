@@ -68,8 +68,11 @@ def main() -> None:
     from mapreducemovieanalysis_cloud_spark.queries.round12_staged import (
         STAGED_QUERIES as _R12,
     )
+    from mapreducemovieanalysis_cloud_spark.queries.round13_staged import (
+        STAGED_QUERIES as _R13,
+    )
 
-    for staged in (_R7, _R8, _R9, _R10, _R11, _R12):
+    for staged in (_R7, _R8, _R9, _R10, _R11, _R12, _R13):
         for k, v in staged.items():
             qs.setdefault(k, v)
     for name in names:
