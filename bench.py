@@ -79,6 +79,38 @@ HEADLINE_FAMILY = [
 # item 2) — a false 4x signal in the official artifact.
 N_HEAVY_MEDIAN3 = 10
 
+# Stored-index consumer instrument (r09 verdict item 4): the incremental
+# stores' wall advantage (stored_graph_triangles serves the sf0.1 triangle
+# count in ~1.05 s / 7 stages vs ~1.8 s / 18.1 MB shuffle with the edge
+# derivation inlined) is tracked round-over-round under
+# "store_consumer_queries" instead of being claimed once in SCALE.md.
+# Resolved from the registry once registered (the committed r11/r12
+# windows), else from the staged module — the reading exists before and
+# after promotion.  Median-of-3, warm store (the warm-up shot builds it);
+# NOT summed into "value"/"all_queries_total_sec" so the historical
+# totals stay comparable.
+STORE_CONSUMER = ["incremental_graph_edges", "stored_graph_triangles"]
+
+
+def _resolve_store_consumers(qs: dict) -> dict:
+    out = {}
+    for name in STORE_CONSUMER:
+        if name in qs:
+            out[name] = qs[name]
+            continue
+        for mod in ("round11_staged", "round12_staged", "round13_staged"):
+            try:
+                m = __import__(
+                    "mapreducemovieanalysis_cloud_spark.queries." + mod,
+                    fromlist=[mod],
+                )
+            except ImportError:
+                continue
+            if name in getattr(m, "STAGED_QUERIES", {}):
+                out[name] = m.STAGED_QUERIES[name]
+                break
+    return out
+
 
 def _heavy_from_previous(headline: set[str]) -> list[str]:
     """Top-N most expensive non-headline queries per the previous run."""
@@ -151,6 +183,13 @@ def main() -> None:
         },
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
     }
+    store_timings: dict[str, float] = {}
+    for name, fn in _resolve_store_consumers(qs).items():
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm + store build
+        samples = sorted(_run(df) for _ in range(3))
+        store_timings[name] = round(statistics.median(samples), 4)
+    result["store_consumer_queries"] = store_timings
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,
     # and writing the live result there dirtied the tree on every driver
