@@ -936,7 +936,8 @@ def preference_pairs(
     i <= min(per_source, n_docs div 2) emits, so the two sides can
     never overlap; margin_micro = chosen score - rejected score >= 0.
 
-    Scale: one tokenize pass, two per-source rank windows, one
+    Scale: one tokenize pass, ONE per-source rank window (the worst-
+    side rank is its arithmetic mirror, n + 1 - rb), one
     per-(source, i) join — the window state is per-source counters,
     and nothing is corpus-quadratic.
     """
@@ -961,18 +962,17 @@ def preference_pairs(
     best_w = Window.partitionBy("source").orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     )
-    worst_w = Window.partitionBy("source").orderBy(
-        F.col("score_micro").asc(), F.col(id_col).desc()
-    )
     n_w = Window.partitionBy("source")
+    # (score desc, id asc) reversed IS (score asc, id desc) — a strict
+    # total order — so the worst-side rank is the arithmetic mirror
+    # rw = n + 1 - rb; computing it saves a second full per-source sort.
     ranked = scored.select(
         "source",
         id_col,
         "score_micro",
         F.row_number().over(best_w).alias("rb"),
-        F.row_number().over(worst_w).alias("rw"),
         F.count(F.lit(1)).over(n_w).alias("n"),
-    )
+    ).withColumn("rw", F.col("n") + 1 - F.col("rb"))
     best = ranked.where(
         (F.col("rb") <= per_source) & (F.col("rb") * 2 <= F.col("n"))
     ).select(

@@ -124,9 +124,11 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
-    """Per-node triangle participation via degree-ordered orientation:
-    (node, n_triangles), top-``topk`` by count desc / node asc.
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """(apex, b, c) triangle list via degree-ordered orientation — THE
+    one triangle-listing kernel (shared by ``triangle_counts`` and the
+    k-truss ``_edge_support``), each triangle listed exactly once at
+    its unique out-degree-2 apex, with b < c.
 
     Each undirected edge is oriented from its lower- to its higher-degree
     endpoint (id as tie-break), wedges are built only out of a node's
@@ -136,8 +138,7 @@ def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
     only superlinear term — is O(m^1.5) worst case instead of
     sum-of-squares of raw degrees (hub nodes stop being quadratic). Every
     shuffle keys on a node id; nothing materializes more than the wedge
-    list. Each triangle is counted exactly once (its unique out-degree-2
-    apex), then credited to all three corners.
+    list.
 
     The edge list feeds four downstream subtrees (two degree scans, the
     orientation join, the closing-edge probe) and the oriented list two
@@ -177,10 +178,20 @@ def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
             F.col("t2").alias("c"),
         )
     )
-    tri = wedges.join(
+    return wedges.join(
         edges,
         (edges["u"] == F.least("b", "c")) & (edges["v"] == F.greatest("b", "c")),
     ).select("apex", "b", "c")
+
+
+def triangle_counts(edges: DataFrame, topk: int = 50) -> DataFrame:
+    """Per-node triangle participation via degree-ordered orientation
+    (``_oriented_triangles`` — the wedge bound and checkpoint notes live
+    there): (node, n_triangles), top-``topk`` by count desc / node asc.
+    Each triangle is counted exactly once, then credited to all three
+    corners.
+    """
+    tri = _oriented_triangles(edges)
     per_node = (
         tri.select(F.col("apex").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -692,22 +703,32 @@ def hits_scores(edges: DataFrame, topk: int = 25) -> DataFrame:
 
 def _edge_support(edges: DataFrame) -> DataFrame:
     """(u, v, support): per undirected canonical edge (u < v), the
-    number of common neighbors — i.e. the triangles the edge closes.
-    One adjacency self-join on the shared neighbor + one semi-check
-    that the wedge endpoints are themselves an edge."""
-    adj = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    a = adj.select(F.col("node").alias("x"), F.col("nbr").alias("u"))
-    b = adj.select(F.col("node").alias("x"), F.col("nbr").alias("v"))
-    wedges = a.join(b, "x").where(F.col("u") < F.col("v"))
-    return (
-        wedges.join(edges, ["u", "v"])
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
+    number of triangles the edge closes — list each triangle once via
+    the degree-ordered ``_oriented_triangles`` kernel (the O(m^1.5)
+    wedge bound; the earlier adjacency-centered wedge enumeration paid
+    sum-of-squared-degrees, hub-quadratic) and credit its three
+    canonical edges.  Edges in no triangle produce no row (support 0),
+    matching the previous shape."""
+    tri = _oriented_triangles(edges)
+    e3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("apex", "b").alias("u"),
+                    F.greatest("apex", "b").alias("v"),
+                ),
+                F.struct(
+                    F.least("apex", "c").alias("u"),
+                    F.greatest("apex", "c").alias("v"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("u"),
+                    F.greatest("b", "c").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    return e3.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
 
 
 def ktruss_edges(
@@ -727,19 +748,15 @@ def ktruss_edges(
     Scale: each round is the triangle-counting join over the CURRENT
     survivor set — monotonically shrinking; per-round cost is the
     standard wedge join bounded by the graph's degeneracy, and rounds
-    are fixed, not data-dependent.  Survivor frames are
-    localCheckpointed so round r+1 does not replay round r's join
-    tree.
+    are fixed, not data-dependent.  Each round's survivor set is
+    eagerly localCheckpointed inside ``_oriented_triangles`` so round
+    r+1 does not replay round r's join tree.
     """
-    cur = edges.select("u", "v").localCheckpoint(eager=True)
-    sup = _edge_support(cur)
+    sup = _edge_support(edges.select("u", "v"))
     for _ in range(rounds - 1):
-        cur = (
-            sup.where(F.col("support") >= k - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+        sup = _edge_support(
+            sup.where(F.col("support") >= k - 2).select("u", "v")
         )
-        sup = _edge_support(cur)
     return sup.where(F.col("support") >= k - 2).select(
         "u", "v", F.col("support").cast("long").alias("support")
     )

@@ -233,6 +233,8 @@ def rrf_fuse(
     asc).  Scale: inputs are already top-k sized (bounded), so the
     union + groupBy touches O(N x k) rows — never the corpus.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked input")
     parts = [
         df.select(
             F.col(id_col),

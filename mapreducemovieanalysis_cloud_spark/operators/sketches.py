@@ -270,30 +270,37 @@ CMS_DEPTH = 3
 CMS_WIDTH = 64
 
 
-def _cms_cells(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
-    """(row_idx, bucket, cell_count) over the input — the IDENTICAL
-    md5-bucket construction as the registered one-shot
-    ``aggregates.cms_heavy_hitters`` (leading 16 bits of md5(i:key) mod
-    width), so a merged store and a one-shot sketch over the same rows
-    are cell-for-cell equal."""
+def _cms_buckets(key_col: str, depth: int, width: int):
+    """Exploded (row_idx, bucket) struct column — THE one bucket
+    construction (leading 16 bits of md5(i:key) mod width, the
+    registered ``aggregates.cms_heavy_hitters`` scheme) shared by the
+    appender's cells AND the consumer's probes, so they can never
+    silently diverge.  A change here is a CMS_STORE_VERSION bump."""
     from mapreducemovieanalysis_cloud_spark.functions.hashing import (
         md5_bucket,
     )
 
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_idx"),
+                    md5_bucket(key_col, width, salt=f"{i}:").alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
+def _cms_cells(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
+    """(row_idx, bucket, cell_count) over the input — the
+    ``_cms_buckets`` construction aggregated, so a merged store and a
+    one-shot sketch over the same rows are cell-for-cell equal."""
     rows = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        md5_bucket(key_col, width, salt=f"{i}:").alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("cell")
+        _cms_buckets(key_col, depth, width).alias("cell")
     ).select("cell.row_idx", "cell.bucket")
     return rows.groupBy("row_idx", "bucket").agg(
         F.count(F.lit(1)).alias("cell_count")
@@ -364,9 +371,6 @@ def incremental_cms_topk(
     Scale: merged cells are <= depth x width rows (broadcast); the
     probe is |candidates| x depth rows.  Nothing here is proportional
     to the corpus."""
-    from mapreducemovieanalysis_cloud_spark.functions.hashing import (
-        md5_bucket,
-    )
     from mapreducemovieanalysis_cloud_spark.sources.writers import (
         read_epochs,
     )
@@ -381,19 +385,7 @@ def incremental_cms_topk(
     )
     probes = cands.select(
         key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_idx"),
-                        md5_bucket(key_col, width, salt=f"{i}:").alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("cell"),
+        _cms_buckets(key_col, depth, width).alias("cell"),
     ).select(key_col, "cell.row_idx", "cell.bucket")
     est = (
         probes.join(F.broadcast(cells), ["row_idx", "bucket"])

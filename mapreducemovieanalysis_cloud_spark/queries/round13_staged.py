@@ -154,7 +154,15 @@ _CMS_CAND_M = 20
 _CMS_TOPK = 10
 
 
-def _inc_cms_oracle(depth: int = 3, width: int = 64) -> str:
+def _inc_cms_oracle() -> str:
+    # depth/width derive from the operator's own constants (the ANF
+    # FM_BIT_CAP precedent): a CMS_DEPTH/CMS_WIDTH change moves the
+    # Spark side and this oracle together, never silently apart.
+    from mapreducemovieanalysis_cloud_spark.operators.sketches import (
+        CMS_DEPTH as depth,
+        CMS_WIDTH as width,
+    )
+
     def bucket(i: int, key: str = "user_id") -> str:
         return (
             f"CAST(('0x' || substr(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 4))"
@@ -371,17 +379,16 @@ def hits_trade_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
+    # no .distinct() here: hits_scores dedups its edge input itself
+    # (select(src, dst).distinct()) — a query-side distinct would pay
+    # the corpus-sized dedup shuffle twice for an identical result
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
     )
     return graph.hits_scores(edges, topk=_HITS_TOPK)
 

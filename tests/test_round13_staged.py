@@ -372,3 +372,14 @@ def test_rrf_fuse_integer_arithmetic(spark):
     assert out[10] == (1_000_000 // 61, 1)
     assert out[30] == (1_000_000 // 62, 1)
     assert out[20][0] > out[10][0] > out[30][0]
+
+
+def test_rrf_fuse_empty_input_raises():
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators.ranking import (
+        rrf_fuse,
+    )
+
+    with pytest.raises(ValueError, match="ranked input"):
+        rrf_fuse([])
