@@ -1,0 +1,240 @@
+"""Property-based tests (hypothesis) for the graph kernels and the
+round-13 training-data operators, against exhaustive python replays on
+random small graphs/corpora — randomized structure where the fixed
+fixtures pin single shapes:
+
+* triangle_counts == per-node triangle membership counted by brute
+  force over all node triples, for ANY edge set (the degree-ordered
+  orientation must neither lose nor double-count a triangle);
+* _edge_support == per-edge common-neighbor counts (the k-truss
+  support kernel rewritten onto the oriented triangle list this round
+  — the property that rewrite must preserve);
+* ktruss_edges == the fixed-round python pruning replay;
+* hits_scores == the exact integer 2-iteration HITS replay;
+* preference_pairs == the two-mirror-sort python replay (pins the
+  rw = n + 1 - rb arithmetic-mirror derivation);
+* skipgram_pair_counts == the windowed 1/d-weight pair replay.
+
+Each example costs Spark jobs, so example counts are deliberately
+small (the test_properties.py convention)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1,
+    max_size=20,
+).map(
+    lambda ps: sorted({(min(u, v), max(u, v)) for u, v in ps if u != v})
+)
+
+
+def _adj(edges):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def _triangles(edges):
+    es, adj = set(edges), _adj(edges)
+    return [
+        (a, b, c)
+        for a, b, c in combinations(sorted(adj), 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es
+    ]
+
+
+def _support(edges):
+    adj = _adj(edges)
+    out = {}
+    for u, v in edges:
+        s = len(adj[u] & adj[v])
+        if s:
+            out[(u, v)] = s
+    return out
+
+
+@given(edges=_EDGES)
+@settings(**_SETTINGS)
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    assume(edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(df, topk=100).collect()
+    }
+    want = {}
+    for t in _triangles(edges):
+        for n in t:
+            want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@given(edges=_EDGES)
+@settings(**_SETTINGS)
+def test_edge_support_matches_bruteforce(spark, edges):
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        _edge_support,
+    )
+
+    assume(edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {(r.u, r.v): r.support for r in _edge_support(df).collect()}
+    assert got == _support(edges)
+
+
+@given(edges=_EDGES, k=st.integers(3, 5))
+@settings(**_SETTINGS)
+def test_ktruss_fixed_rounds_matches_python(spark, edges, k):
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        ktruss_edges,
+    )
+
+    assume(edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        (r.u, r.v): r.support
+        for r in ktruss_edges(df, k=k, rounds=2).collect()
+    }
+    cur = list(edges)
+    sup = _support(cur)
+    cur = [e for e in cur if sup.get(e, 0) >= k - 2]
+    sup = _support(cur)
+    want = {e: s for e, s in sup.items() if s >= k - 2}
+    assert got == want
+
+
+@given(
+    dedges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_hits_matches_python_replay(spark, dedges):
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        hits_scores,
+    )
+
+    es = sorted({(f"s{u}", f"t{v}") for u, v in dedges})
+    df = spark.createDataFrame(es, ["src", "dst"])
+    got = sorted(
+        (r.node, r.kind, r.score) for r in hits_scores(df, topk=50).collect()
+    )
+    a1 = {}
+    for _, d in es:
+        a1[d] = a1.get(d, 0) + 1
+    h1 = {}
+    for s, d in es:
+        h1[s] = h1.get(s, 0) + a1[d]
+    a2 = {}
+    for s, d in es:
+        a2[d] = a2.get(d, 0) + h1[s]
+    h2 = {}
+    for s, d in es:
+        h2[s] = h2.get(s, 0) + a2[d]
+    want = sorted(
+        [(n, "hub", c) for n, c in h2.items()]
+        + [(n, "authority", c) for n, c in a2.items()]
+    )
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(list("abcd")), min_size=1, max_size=6
+            ),
+            st.sampled_from(["s0", "s1"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    per_source=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_preference_pairs_matches_mirror_sort_replay(
+    spark, docs, per_source
+):
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        preference_pairs,
+    )
+
+    rows = [
+        (i, " ".join(words), src) for i, (words, src) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted(
+        (r.source, r.pair_idx, r.chosen_doc, r.rejected_doc, r.margin_micro)
+        for r in preference_pairs(df, per_source=per_source).collect()
+    )
+    by_src = {}
+    for i, (words, src) in enumerate(docs):
+        s = len(set(words)) * 1_000_000 // len(words)
+        by_src.setdefault(src, []).append((i, s))
+    want = []
+    for src, items in by_src.items():
+        best = sorted(items, key=lambda t: (-t[1], t[0]))
+        worst = sorted(items, key=lambda t: (t[1], -t[0]))
+        n = len(items)
+        for i in range(1, min(per_source, n // 2) + 1):
+            want.append(
+                (
+                    src,
+                    i,
+                    best[i - 1][0],
+                    worst[i - 1][0],
+                    best[i - 1][1] - worst[i - 1][1],
+                )
+            )
+    assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abc")), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_skipgram_pairs_match_python_replay(spark, docs):
+    from mapreducemovieanalysis_cloud_spark.operators.curation import (
+        skipgram_pair_counts,
+    )
+
+    window = 2
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.t1, r.t2, r.weight_micro, r.n_pairs)
+        for r in skipgram_pair_counts(df, window=window, topk=1000).collect()
+    )
+    agg = {}
+    for words in docs:
+        for d in range(1, window + 1):
+            for i in range(len(words) - d):
+                a, b = sorted((words[i], words[i + d]))
+                w, n = agg.get((a, b), (0, 0))
+                agg[(a, b)] = (w + 1_000_000 // d, n + 1)
+    want = sorted((a, b, w, n) for (a, b), (w, n) in agg.items())
+    assert got == want
