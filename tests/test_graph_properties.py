@@ -238,3 +238,91 @@ def test_skipgram_pairs_match_python_replay(spark, docs):
                 agg[(a, b)] = (w + 1_000_000 // d, n + 1)
     want = sorted((a, b, w, n) for (a, b), (w, n) in agg.items())
     assert got == want
+
+
+@given(edges=_EDGES, deg_cap=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_adamic_adar_matches_bruteforce(spark, edges, deg_cap):
+    import math
+
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        adamic_adar_scores,
+    )
+
+    assume(edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = sorted(
+        (r.u, r.v, r.score_micro, r.n_common)
+        for r in adamic_adar_scores(df, deg_cap=deg_cap, topk=1000).collect()
+    )
+    es, adj = set(edges), _adj(edges)
+    acc = {}
+    for apex, nbrs in adj.items():
+        deg = len(nbrs)
+        if not (2 <= deg <= deg_cap):
+            continue
+        w = math.floor(1_000_000 / math.log(deg) + 0.5)  # ROUND half-up
+        for x, y in combinations(sorted(nbrs), 2):
+            s, n = acc.get((x, y), (0, 0))
+            acc[(x, y)] = (s + w, n + 1)
+    want = sorted(
+        (x, y, s, n)
+        for (x, y), (s, n) in acc.items()
+        if (x, y) not in es
+    )
+    assert got == want
+
+
+@given(
+    members=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 6)),
+        min_size=1,
+        max_size=30,
+    ),
+    assign=st.lists(st.integers(0, 1), min_size=5, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_cooc_store_merged_equals_rebuild_under_group_splits(
+    spark, members, assign
+):
+    """Random (group, node) memberships split into two batches by
+    GROUP (the store's complete-group contract, with batch assignment
+    itself randomized): the merged store must equal the python pair
+    counts over the full membership set."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        incremental_cooccurrence_append,
+        incremental_cooccurrence_edges,
+    )
+
+    df = spark.createDataFrame(members, ["g", "node"])
+    batch_of = {g: assign[g] for g in range(5)}
+    store = tempfile.mkdtemp(prefix="cooc_prop_")
+    try:
+        for b in range(2):
+            gs = [g for g, v in batch_of.items() if v == b]
+            incremental_cooccurrence_append(
+                df.where(F.col("g").isin(gs)), store, f"b{b}", "g", "node"
+            )
+        got = sorted(
+            (r.u, r.v, r.shared)
+            for r in incremental_cooccurrence_edges(
+                spark, store, min_shared=1
+            ).collect()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    by_g = {}
+    for g, n in set(members):
+        by_g.setdefault(g, set()).add(n)
+    acc = {}
+    for nodes in by_g.values():
+        for u, v in combinations(sorted(nodes), 2):
+            acc[(u, v)] = acc.get((u, v), 0) + 1
+    want = sorted((u, v, c) for (u, v), c in acc.items())
+    assert got == want
