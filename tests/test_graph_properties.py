@@ -326,3 +326,39 @@ def test_cooc_store_merged_equals_rebuild_under_group_splits(
             acc[(u, v)] = acc.get((u, v), 0) + 1
     want = sorted((u, v, c) for (u, v), c in acc.items())
     assert got == want
+
+
+@given(
+    dedges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=20,
+    ).map(lambda ps: sorted({(f"n{u}", f"n{v}") for u, v in ps if u != v}))
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_integer_replay(spark, dedges):
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        SCALE,
+        pagerank,
+    )
+
+    assume(dedges)
+    df = spark.createDataFrame(dedges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iters=2).collect()}
+
+    nodes = sorted({n for e in dedges for n in e})
+    n_total = len(nodes)
+    deg = {}
+    for s, _ in dedges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: SCALE // n_total for n in nodes}
+    for _ in range(2):
+        contrib = {}
+        for s, d in dedges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            n: (15 * SCALE) // (100 * n_total)
+            + (85 * contrib.get(n, 0)) // 100
+            for n in nodes
+        }
+    assert got == rank
