@@ -362,3 +362,72 @@ def test_pagerank_matches_integer_replay(spark, dedges):
             for n in nodes
         }
     assert got == rank
+
+
+@given(edges=_EDGES, hops=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_anf_reach_matches_fm_replay(spark, edges, hops):
+    """Random graphs: the hop-h FM mask must be the OR of the md5 seed
+    masks of EXACTLY the nodes within BFS distance h (self included) —
+    b_sum asserted exactly per (node, hop); the milli estimate within
+    1 (JVM Math.pow vs libm may differ in the last ulp)."""
+    import hashlib
+
+    from mapreducemovieanalysis_cloud_spark.operators.graph import (
+        anf_reach,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.sketches import (
+        FM_BIT_CAP,
+        FM_PHI,
+    )
+
+    assume(edges)
+    named = [(f"n{u}", f"n{v}") for u, v in edges]
+    df = spark.createDataFrame(named, ["u", "v"])
+    registers = 16
+    got = {
+        (r.node, r.hop): (r.b_sum, r.est_reach_milli)
+        for r in anf_reach(df, hops=hops, registers=registers).collect()
+    }
+
+    adj = {}
+    for u, v in named:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def seed(node, r):
+        h = int(
+            hashlib.md5(f"anf:{r}:{node}".encode()).hexdigest()[:8], 16
+        )
+        if h == 0:
+            bit = FM_BIT_CAP
+        else:
+            bit = min((h & -h).bit_length() - 1, FM_BIT_CAP)
+        return 1 << bit
+
+    def reach(node, h):
+        seen, frontier = {node}, {node}
+        for _ in range(h):
+            frontier = {
+                x for f in frontier for x in adj[f]
+            } - seen
+            seen |= frontier
+        return seen
+
+    for node in adj:
+        for hop in range(1, hops + 1):
+            b_sum = 0
+            for r in range(registers):
+                m = 0
+                for x in reach(node, hop):
+                    m |= seed(x, r)
+                lowest_unset = 0
+                while m & (1 << lowest_unset):
+                    lowest_unset += 1
+                b_sum += lowest_unset
+            gb, ge = got[(node, hop)]
+            assert gb == b_sum, (node, hop)
+            want_est = round(
+                2.0 ** (b_sum / registers) / FM_PHI * 1000
+            )
+            assert abs(ge - want_est) <= 1, (node, hop, ge, want_est)
