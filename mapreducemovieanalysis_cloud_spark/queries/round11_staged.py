@@ -1,13 +1,17 @@
-"""Round-11 REGISTRY CANDIDATES — implemented, oracle-backed,
-pytest-verified, NOT registered: round 9's 50 driver slots were fully
-committed (36 r04 rotation rows + the promoted round8/round9 waves) and
-round 10's plan is already fixed (the 6 round10_staged candidates +
-post-r09 rotation debt), so this wave queues for round 11.  Same
-contract as every staging wave: ready-to-promote (query_fn, oracle_sql)
-pairs in the exact shape ``registry.query`` expects;
-``tests/test_round11_staged.py`` runs the driver-identical
-Spark-vs-DuckDB parity plus planted behavioral fixtures and independent
-python brute-force replays.
+"""Round-11 query wave — REGISTERED as of round 11 (the freeze lifted
+per the committed round-10 ledger plan).
+
+History: built and oracle-parity-tested during round 9 while round 9's
+50 driver slots were fully committed (36 r04 rotation rows + the
+promoted round8/round9 waves) and round 10's plan was already fixed
+(the 6 round10_staged candidates + post-r09 rotation debt).  Round 11
+promoted them: every ``_staged`` entry now ALSO registers through
+``registry.query``, so the driver's correctness gate covers them
+directly.  The STAGED_QUERIES/STAGED_ORACLES dicts remain as the
+module's index (the parity tests iterate them);
+``tests/test_round11_staged.py::test_staged_are_registered`` pins that
+every entry is live in the registry with the identical callable and
+oracle.
 
 What the wave adds (new capabilities, not variants):
 
@@ -54,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.operators import sketches
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -64,7 +69,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

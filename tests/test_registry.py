@@ -121,6 +121,16 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the 1-row point-estimate frame x the 1-row CI frame — a
         # 1x1 join by construction
         "ab_uplift_ci",
+        # round-11 promotions (justifications unchanged from the staged
+        # sweep they graduated from, tests/test_round11_staged.py):
+        # catalog-sized marginal grid (|langs| x |sources|) + 1-row
+        # total / dims broadcasts
+        "chisq_lang_source",
+        # 9-row Benford reference table broadcast onto the priority
+        # totals
+        "benford_price_audit",
+        # 16-row register table broadcast onto the node set
+        "anf_reach_suppliers",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in registry.queries().items():
@@ -166,12 +176,12 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
 
 
 def test_registry_count_pinned():
-    """Exactly 256 registered queries (round-10 promotion: 250 + the 6
-    round10_staged candidates, per the committed round-9 ledger plan).
+    """Exactly 263 registered queries (round-11 promotion: 256 + the 7
+    round11_staged candidates, per the committed round-10 ledger plan).
     A smaller count means a query module silently vanished (the failure
     mode the unconditional _load_all imports exist to prevent); a
     larger one means an unplanned registration jumped the rotation
     queue — both need a deliberate update HERE plus a rotation
     regeneration, never an accident."""
-    assert len(registry.queries()) == 256
-    assert len(registry.oracle_sql()) == 256
+    assert len(registry.queries()) == 263
+    assert len(registry.oracle_sql()) == 263

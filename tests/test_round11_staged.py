@@ -31,17 +31,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered():
-    """Freeze contract: round 9's 50 driver slots were fully committed
-    (rotation debt + the round8/round9 promotions) and round 10's plan
-    is fixed (round10_staged + post-r09 debt), so this wave must NOT be
-    in the live registry yet — a new entry would displace a planned
-    slot.  The round-11 promotion flips this to assert presence."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-11 freeze test
+    per the committed round-10 ledger plan): every entry must be live in
+    the registry with the IDENTICAL callable and oracle — the driver's
+    correctness gate now covers them directly, and a drift between the
+    module index and the registry would mean the parity tests exercise
+    something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_plan_hygiene(spark, sf_dir):
