@@ -92,24 +92,49 @@ N_HEAVY_MEDIAN3 = 10
 STORE_CONSUMER = ["incremental_graph_edges", "stored_graph_triangles"]
 
 
-def _resolve_store_consumers(qs: dict) -> dict:
-    out = {}
+def _staged_modules() -> list[str]:
+    """Every ``round*_staged`` module in the queries package, discovered
+    from disk so a future wave (round14_staged, ...) is picked up without
+    touching this list (r10 advisor item 1)."""
+    import glob as _glob
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "mapreducemovieanalysis_cloud_spark",
+        "queries",
+    )
+    return sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in _glob.glob(os.path.join(pkg_dir, "round*_staged.py"))
+    )
+
+
+def _resolve_store_consumers(qs: dict) -> tuple[dict, list[str]]:
+    """Resolve each STORE_CONSUMER name from the registry, else from any
+    staged module; names resolving NOWHERE are returned as warnings so a
+    silently-vanished reading is visible in the artifact instead of just
+    absent (r10 advisor item 1).  Exceptions are per-module and broad:
+    one broken staged module must not kill the unattended bench."""
+    out: dict = {}
+    missing: list[str] = []
     for name in STORE_CONSUMER:
         if name in qs:
             out[name] = qs[name]
             continue
-        for mod in ("round11_staged", "round12_staged", "round13_staged"):
+        for mod in _staged_modules():
             try:
                 m = __import__(
                     "mapreducemovieanalysis_cloud_spark.queries." + mod,
                     fromlist=[mod],
                 )
-            except ImportError:
+            except Exception:
                 continue
             if name in getattr(m, "STAGED_QUERIES", {}):
                 out[name] = m.STAGED_QUERIES[name]
                 break
-    return out
+        else:
+            missing.append(name)
+    return out, missing
 
 
 def _heavy_from_previous(headline: set[str]) -> list[str]:
@@ -184,11 +209,17 @@ def main() -> None:
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
     }
     store_timings: dict[str, float] = {}
-    for name, fn in _resolve_store_consumers(qs).items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm + store build
-        samples = sorted(_run(df) for _ in range(3))
-        store_timings[name] = round(statistics.median(samples), 4)
+    try:
+        consumers, missing = _resolve_store_consumers(qs)
+        for name, fn in consumers.items():
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm + store build
+            samples = sorted(_run(df) for _ in range(3))
+            store_timings[name] = round(statistics.median(samples), 4)
+        if missing:
+            result["store_consumer_unresolved"] = missing
+    except Exception as exc:  # never crash the unattended bench
+        result["store_consumer_error"] = repr(exc)[:200]
     result["store_consumer_queries"] = store_timings
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,

@@ -972,3 +972,71 @@ def poisson_bootstrap_mean_ci(
         ).alias("mean_micro"),
     )
     return base.join(ci, group_cols)
+
+
+def grouped_zipf_slope(
+    ranked: DataFrame,
+    group_col: str,
+    rank_col: str = "r",
+    count_col: str = "c",
+) -> DataFrame:
+    """Per-group Zipf fit: least-squares slope/intercept of
+    ln(count) against ln(rank) over an already-ranked frequency head —
+    the corpus-health scalar behind ``token_head_mass``'s permille
+    summary (slope ≈ -1 is classic Zipf; a steeper head is
+    templated/boilerplate, a flatter one is diverse).
+
+    Exactness contract (the grouped_linreg discipline, adapted to the
+    log-log domain): both coordinates quantize FIRST —
+    x = round(ln(rank)·1e6), y = round(ln(count)·1e6) as int64, the
+    identical double expression on both engines (the adamic_adar /
+    TF-IDF ln() convention) — then the five moments (n, Sx, Sy, Sxx,
+    Sxy) are exact int64 sums, map-side combined and order-independent,
+    and the slope/intercept are fixed-shape IEEE divisions, micro-
+    rounded.  Domain: |x|,|y| ≤ ~2e7 for any count below e^20 ≈ 5e8,
+    so the moment SUMS fit int64 at any realistic head size — but the
+    closed-form PRODUCTS (n·Sxy, Sx·Sy) can pass int64 already at a
+    100-row head of large counts, so they are carried in DECIMAL(38,0)
+    (HUGEINT on the oracle side), exact at these magnitudes, and only
+    the final covariance/variance ratio drops to double.
+
+    Groups with < 2 head rows or zero x-variance are dropped (undefined
+    fit).  Output: (group, n_head, slope_micro, intercept_micro).
+    """
+    x = F.round(F.log(F.col(rank_col).cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    y = F.round(F.log(F.col(count_col).cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    m = (
+        ranked.select(F.col(group_col), x.alias("__x"), y.alias("__y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("sx"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        )
+    )
+    dec = "decimal(38,0)"
+    var_num = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sx").cast(dec)
+    cov_num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col(
+        "sx"
+    ).cast(dec) * F.col("sy").cast(dec)
+    slope = cov_num.cast("double") / var_num.cast("double")
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        m.where((F.col("n") >= 2) & (var_num > 0))
+        .select(
+            F.col(group_col),
+            F.col("n").cast("long").alias("n_head"),
+            F.round(slope * F.lit(1_000_000.0)).cast("long").alias(
+                "slope_micro"
+            ),
+            F.round(intercept).cast("long").alias("intercept_micro"),
+        )
+    )

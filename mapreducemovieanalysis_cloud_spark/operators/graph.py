@@ -760,3 +760,155 @@ def ktruss_edges(
     return sup.where(F.col("support") >= k - 2).select(
         "u", "v", F.col("support").cast("long").alias("support")
     )
+
+
+# Version of the DIRECTED edge-count store's on-disk behavior: bump on any
+# change to the stored row shape or the append derivation so cached stores
+# rebuild instead of serving a stale layout (the INCREMENTAL_STORE_VERSION
+# rule, same as COOC_STORE_VERSION above).
+DIRECTED_STORE_VERSION = "d1"
+
+
+def incremental_directed_append(
+    batch_items: DataFrame,
+    store: str,
+    batch_id: int | str,
+    group_col: str,
+    src_col: str,
+    dst_col: str,
+) -> None:
+    """Index a NEW batch of (group, src, dst) memberships into a
+    persistent DIRECTED edge-count store — the directed twin of
+    ``incremental_cooccurrence_append``.  SCALE.md's round-10 probe
+    table shows the directed customer->supplier edge derivation (the
+    lineitem⋈orders join + distinct) DOMINATING ``hits_trade_authority``
+    (2.9x wall, 15.6x shuffle at 10x); this store makes that derivation
+    an O(batch) append: per-batch edge counts (distinct groups linking
+    src->dst within the batch) merge by plain ADDITION, so the merged
+    edge list equals a full rebuild exactly.
+
+    CONTRACT: a batch must contain COMPLETE groups (an ingest day closes
+    its orders — every lineitem of an order and the order row itself
+    land in one batch), because the src⋈dst pairing is within-batch; a
+    group split across batches would double-count its (src, dst) links
+    only if the SAME group id appeared in two batches, which the
+    contract forbids.  Pinned by the batch-split-invariance test.
+
+    Layout: ``<store>/edges/batch=<id>`` via the shared idempotent epoch
+    write (retry overwrites, never doubles).  Stored rows are
+    (src, dst, cnt) partials — edge-count-sized, never raw memberships.
+    """
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        write_epoch,
+    )
+
+    e = batch_items.select(
+        F.col(group_col).alias("__g"),
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+    ).distinct()
+    counts = e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    write_epoch(counts, f"{store}/edges", batch_id)
+
+
+def incremental_directed_edges(
+    spark, store: str, min_count: int = 1
+) -> DataFrame:
+    """The merged directed edge list over every committed batch in
+    ``store`` — EXACTLY the edges a full rebuild over the union of the
+    batches would derive (group-link counts add; pinned by test):
+    (src, dst, n_groups) with n_groups >= ``min_count``.
+
+    Scale: reads edge-count partials only (no fact-table rescan, ever);
+    the merge is one (src, dst)-keyed groupBy over batch-count rows,
+    and the min_count filter prunes BEFORE any downstream traversal."""
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+
+    return (
+        read_epochs(spark, f"{store}/edges")
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("n_groups"))
+        .where(F.col("n_groups") >= min_count)
+        .select(
+            "src", "dst", F.col("n_groups").cast("long").alias("n_groups")
+        )
+    )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w",
+    iters: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over directed ``edges(src, dst, w)`` with the
+    same quantized-integer recurrence as ``pagerank`` (SCALE=1e9,
+    integer floor divisions — Spark ``div`` and DuckDB ``//`` agree
+    exactly on non-negative values), except each out-edge carries its
+    weight's share of the rank instead of an equal split:
+
+        contrib(v) = Σ_{src→v} (rank_i(src) · w) div wsum(src)
+        rank_{i+1} = ((100-d)·SCALE div (100·N))
+                     + (d · contrib) div 100
+
+    The per-edge floor division is deliberate: it keeps every
+    intermediate an int64 a SQL oracle can replay term-for-term
+    (a rational-exact split would need bignum arithmetic), at the cost
+    of ≤1 unit of flooring per out-edge — the same trade ``pagerank``
+    makes.  Int64 domain: rank ≤ ~SCALE and w ≤ wsum, so rank·w ≤
+    SCALE·wsum; keep Σ_src w below ~9e9 per node (any realistic
+    count-weighted graph) and the product stays far inside int64.
+
+    Scale: identical shuffle shape to ``pagerank`` — one weight-sum
+    aggregate keyed on src, one join + one dst-keyed aggregate per
+    iteration; the edge list localCheckpoints once and feeds every
+    iteration without replaying its derivation.
+    """
+    edges = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("__w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n_total"))
+    nodes_n = nodes.crossJoin(F.broadcast(n_total)).localCheckpoint(
+        eager=True
+    )
+    wsum = (
+        edges.groupBy("src")
+        .agg(F.sum("__w").alias("wsum"))
+        .localCheckpoint(eager=True)
+    )
+
+    base_num = (100 - damping_pct) * SCALE
+    ranks = nodes_n.select(
+        "node", "n_total", F.expr(f"{SCALE} div n_total").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(wsum, "src")
+            .join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select("dst", F.expr("(rank * __w) div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes_n.join(contrib, nodes_n["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "n_total",
+                (
+                    F.expr(f"{base_num} div (100 * n_total)")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0)) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").cast("long").alias("rank"))

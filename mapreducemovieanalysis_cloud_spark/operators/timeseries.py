@@ -453,3 +453,141 @@ def user_event_sequences(
             ),
         )
     )
+
+
+def _with_session_idx(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Tag each event with its gap-based session index — the SAME
+    boundary rule as ``curation.sessionize`` (lag over (user, ts,
+    tiebreak); a gap > ``gap_seconds`` opens a session), kept here as
+    the shared prelude for the session-scoped analytics below so the
+    funnel, the transition matrix, and the session rollup can never
+    disagree on where a session starts.  Integer-microsecond
+    comparisons throughout; adds ``__us`` and ``__sess``."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gap_us = gap_seconds * 1_000_000
+    return df.withColumn("__us", us).withColumn(
+        "__sess",
+        F.sum(
+            F.when(
+                F.lag("__us").over(w).isNull()
+                | (F.col("__us") - F.lag("__us").over(w) > gap_us),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Ordered funnel WITHIN a session: for each stage i, the number of
+    SESSIONS whose first stage-i event strictly follows their
+    (recursively constrained) first stage-(i-1) event in the same
+    session.  Output: (stage_idx INT, stage, n_sessions), one row per
+    stage.
+
+    ``funnel_counts`` answers "did the user ever convert"; this answers
+    the stricter product question "does a single visit convert" — a
+    user who views today and purchases next week counts there but not
+    here.
+
+    Scale: ONE user-keyed exchange serves the sessionization windows,
+    then each stage is one filtered aggregate keyed on (user, session)
+    joined to the previous frontier — same-key joins throughout, no
+    per-session event arrays (the collect_list formulation balloons hot
+    sessions; this never materializes a session's history)."""
+    typed = _with_session_idx(
+        df, user_col, ts_col, tiebreak_col, gap_seconds
+    ).select(F.col(user_col).alias("__u"), "__sess", type_col, "__us")
+    frontier = None
+    out_rows = []
+    for i, stage in enumerate(stages):
+        stage_events = typed.where(F.col(type_col) == stage)
+        if frontier is None:
+            frontier = stage_events.groupBy("__u", "__sess").agg(
+                F.min("__us").alias("__t")
+            )
+        else:
+            frontier = (
+                stage_events.join(
+                    frontier.select(
+                        "__u", "__sess", F.col("__t").alias("__prev")
+                    ),
+                    ["__u", "__sess"],
+                )
+                .where(F.col("__us") > F.col("__prev"))
+                .groupBy("__u", "__sess")
+                .agg(F.min("__us").alias("__t"))
+            )
+        out_rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_sessions")).select(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_sessions",
+            )
+        )
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionAll(r)
+    return result
+
+
+def session_transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """First-order Markov transition matrix over consecutive events
+    WITHIN a session: (from_type, to_type, n_trans, p_permille) where
+    p_permille = n_trans·1000 div Σ_to n_trans — the next-action prior
+    a sequence model (or a funnel designer) reads off the log.  A
+    session boundary breaks the chain: the last event of one session
+    and the first of the next are NOT a transition.
+
+    Exactness: integer counts and one integer permille division —
+    engine-identical bit-for-bit.  Scale: the sessionize windows and
+    the lead() share ONE user-keyed exchange; the aggregate output is
+    |event types|² rows, so everything after the window pass is
+    broadcast-sized."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    tagged = _with_session_idx(
+        df, user_col, ts_col, tiebreak_col, gap_seconds
+    ).select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+        (F.lead("__sess").over(w) == F.col("__sess")).alias("__same"),
+    )
+    cnt = (
+        tagged.where(F.col("__same") & F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.expr("n_trans * 1000").cast("long").alias("__num"),
+        F.sum("n_trans").over(tot).cast("long").alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr("__num div __den").cast("long").alias("p_permille"),
+    )

@@ -402,3 +402,63 @@ def test_dq_epoch_mode_refuses_flat_sink(spark, tmp_path):
     dq.route_batch(df, preds, good, quar)
     with pytest.raises(ValueError, match="flat-appended"):
         dq.route_batch(df, preds, good, quar, batch_id=0)
+
+
+def test_kmv_streaming_sink_matches_batch(spark, tmp_path):
+    """The streaming appender (streaming/kmv.kmv_sketch_sink) must leave
+    the store in a state whose merged sketches equal a one-shot batch
+    ``bottomk_sketches`` over the same rows — after the first
+    micro-batch AND after a late second file arrives (bottom-k's
+    union-then-re-rank merge makes any micro-batch partitioning
+    equivalent).  Closes the incremental-store roster: FM and CMS have
+    this pin already (test_round12_staged / test_round13_staged)."""
+    from mapreducemovieanalysis_cloud_spark.operators import corpus_overlap
+    from mapreducemovieanalysis_cloud_spark.streaming import kmv
+
+    rows1 = [
+        ("s0", f"alpha beta gamma delta doc{i} common tail") for i in range(8)
+    ] + [("s1", f"alpha beta gamma shared{i % 3} epsilon") for i in range(6)]
+    rows2 = [
+        ("s0", f"late arrival text body doc{i} common tail") for i in range(5)
+    ] + [("s1", "alpha beta gamma delta doc0 common tail")]
+    schema = "source string, text string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = kmv.kmv_sketch_sink(
+        stream, store, checkpoint_path=str(tmp_path / "ckpt"), k=16
+    )
+
+    def merged():
+        return sorted(
+            map(
+                tuple,
+                corpus_overlap.incremental_kmv_sketches(
+                    spark, store, k=16
+                ).collect(),
+            )
+        )
+
+    def rebuild(df):
+        return sorted(
+            map(
+                tuple,
+                corpus_overlap.bottomk_sketches(df, k=16).collect(),
+            )
+        )
+
+    try:
+        q.processAllAvailable()
+        got1 = merged()
+        assert got1 == rebuild(b1)
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+        got2 = merged()
+        assert got2 == rebuild(b1.unionByName(b2))
+        assert got1 != got2  # the late file actually moved the sketches
+    finally:
+        q.stop()
