@@ -49,31 +49,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     qs = dict(e.queries())
-    # Staged candidates are probe-able before they register.
-    from mapreducemovieanalysis_cloud_spark.queries.round7_staged import (
-        STAGED_QUERIES as _R7,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round8_staged import (
-        STAGED_QUERIES as _R8,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round9_staged import (
-        STAGED_QUERIES as _R9,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round10_staged import (
-        STAGED_QUERIES as _R10,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round11_staged import (
-        STAGED_QUERIES as _R11,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round12_staged import (
-        STAGED_QUERIES as _R12,
-    )
-    from mapreducemovieanalysis_cloud_spark.queries.round13_staged import (
-        STAGED_QUERIES as _R13,
-    )
+    # Staged candidates are probe-able before they register — modules
+    # discovered from disk so a new wave needs no edit here (the
+    # bench.py _staged_modules rule).
+    import glob
+    import importlib
 
-    for staged in (_R7, _R8, _R9, _R10, _R11, _R12, _R13):
-        for k, v in staged.items():
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "mapreducemovieanalysis_cloud_spark",
+        "queries",
+    )
+    for path in sorted(glob.glob(os.path.join(pkg_dir, "round*_staged.py"))):
+        mod = importlib.import_module(
+            "mapreducemovieanalysis_cloud_spark.queries."
+            + os.path.splitext(os.path.basename(path))[0]
+        )
+        for k, v in getattr(mod, "STAGED_QUERIES", {}).items():
             qs.setdefault(k, v)
     for name in names:
         for sf in SFS:
