@@ -89,7 +89,15 @@ N_HEAVY_MEDIAN3 = 10
 # after promotion.  Median-of-3, warm store (the warm-up shot builds it);
 # NOT summed into "value"/"all_queries_total_sec" so the historical
 # totals stay comparable.
-STORE_CONSUMER = ["incremental_graph_edges", "stored_graph_triangles"]
+STORE_CONSUMER = [
+    "incremental_graph_edges",
+    "stored_graph_triangles",
+    # round-14 staged: the DIRECTED-store consumer — tracked from the
+    # round it was built so its warm-read advantage over the 41 MB
+    # inline derivation (SCALE.md round-11 probes) has a history by the
+    # time it registers
+    "stored_hits_authority",
+]
 
 
 def _staged_modules() -> list[str]:
