@@ -102,19 +102,11 @@ STORE_CONSUMER = [
 
 def _staged_modules() -> list[str]:
     """Every ``round*_staged`` module in the queries package, discovered
-    from disk so a future wave (round14_staged, ...) is picked up without
-    touching this list (r10 advisor item 1)."""
-    import glob as _glob
+    from disk so a future wave (round15_staged, ...) is picked up without
+    touching this file (r10 advisor item 1; shared discovery surface)."""
+    from mapreducemovieanalysis_cloud_spark.queries import staged_modules
 
-    pkg_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "mapreducemovieanalysis_cloud_spark",
-        "queries",
-    )
-    return sorted(
-        os.path.splitext(os.path.basename(p))[0]
-        for p in _glob.glob(os.path.join(pkg_dir, "round*_staged.py"))
-    )
+    return staged_modules()
 
 
 def _resolve_store_consumers(qs: dict) -> tuple[dict, list[str]]:

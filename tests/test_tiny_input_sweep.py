@@ -30,14 +30,12 @@ EXCLUDED: dict[str, str] = {}
 _QUERIES = dict(entry_mod.queries())
 # staged candidates obey the same boundary contract BEFORE promotion,
 # so a wave cannot ship an empty/degenerate-input crash into a future
-# registration round
-for _mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged", "round13_staged"):
-    _m = __import__(
-        f"mapreducemovieanalysis_cloud_spark.queries.{_mod}",
-        fromlist=["STAGED_QUERIES"],
-    )
-    for _k, _v in _m.STAGED_QUERIES.items():
-        _QUERIES.setdefault(_k, _v)
+# registration round; waves are DISCOVERED from disk (a new
+# round*_staged module is swept with no edit here)
+from mapreducemovieanalysis_cloud_spark.queries import staged_queries
+
+for _k, _v in staged_queries().items():
+    _QUERIES.setdefault(_k, _v)
 
 
 @pytest.fixture(scope="module")

@@ -49,24 +49,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     qs = dict(e.queries())
-    # Staged candidates are probe-able before they register — modules
-    # discovered from disk so a new wave needs no edit here (the
-    # bench.py _staged_modules rule).
-    import glob
-    import importlib
+    # Staged candidates are probe-able before they register — waves
+    # discovered from disk (queries.staged_queries), registration wins.
+    from mapreducemovieanalysis_cloud_spark.queries import staged_queries
 
-    pkg_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "mapreducemovieanalysis_cloud_spark",
-        "queries",
-    )
-    for path in sorted(glob.glob(os.path.join(pkg_dir, "round*_staged.py"))):
-        mod = importlib.import_module(
-            "mapreducemovieanalysis_cloud_spark.queries."
-            + os.path.splitext(os.path.basename(path))[0]
-        )
-        for k, v in getattr(mod, "STAGED_QUERIES", {}).items():
-            qs.setdefault(k, v)
+    for k, v in staged_queries().items():
+        qs.setdefault(k, v)
     for name in names:
         for sf in SFS:
             fn = qs[name]
