@@ -23,7 +23,10 @@ def test_staged_modules_discovered_from_disk():
     # queries package — a future round14_staged lands without touching
     # bench.py (r10 advisor item 1).
     mods = bench._staged_modules()
-    for expected in ("round11_staged", "round12_staged", "round13_staged"):
+    for expected in (
+        "round11_staged", "round12_staged", "round13_staged",
+        "round14_staged",
+    ):
         assert expected in mods
     assert mods == sorted(mods)
 
