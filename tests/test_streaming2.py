@@ -462,3 +462,100 @@ def test_kmv_streaming_sink_matches_batch(spark, tmp_path):
         assert got1 != got2  # the late file actually moved the sketches
     finally:
         q.stop()
+
+
+def test_graph_edge_streaming_sinks_match_batch(spark, tmp_path):
+    """Both graph edge-store streaming appenders
+    (streaming/graph_edges) must leave their stores equal to a one-shot
+    batch rebuild over the same rows — after the first micro-batch AND
+    after a late second file arrives — provided each file carries
+    COMPLETE groups (the module's contract; files are disjoint in group
+    id here, mirroring day-closed ingest)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+    from mapreducemovieanalysis_cloud_spark.streaming import graph_edges
+
+    rows1 = [(g, 10 + g % 3, 100 + (g * 7) % 4) for g in range(12)] + [
+        (g, 13, 100) for g in range(0, 12, 2)
+    ]
+    rows2 = [(g, 10 + g % 4, 100 + (g * 5) % 3) for g in range(12, 20)]
+    schema = "g long, c long, s long"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+
+    und_store = str(tmp_path / "und")
+    dir_store = str(tmp_path / "dir")
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q_und = graph_edges.cooc_edge_sink(
+        stream, und_store, str(tmp_path / "ck1"),
+        group_col="g", node_col="c",
+    )
+    q_dir = graph_edges.directed_edge_sink(
+        stream, dir_store, str(tmp_path / "ck2"),
+        group_col="g", src_col="c", dst_col="s",
+    )
+
+    def und_merged():
+        return sorted(
+            map(
+                tuple,
+                graph.incremental_cooccurrence_edges(
+                    spark, und_store
+                ).collect(),
+            )
+        )
+
+    def und_rebuild(df):
+        g = df.select("g", F.col("c").alias("u")).distinct()
+        return sorted(
+            map(
+                tuple,
+                g.join(g.select("g", F.col("u").alias("v")), "g")
+                .where(F.col("u") < F.col("v"))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+                .collect(),
+            )
+        )
+
+    def dir_merged():
+        return sorted(
+            map(
+                tuple,
+                graph.incremental_directed_edges(
+                    spark, dir_store
+                ).collect(),
+            )
+        )
+
+    def dir_rebuild(df):
+        e = df.select("g", "c", "s").distinct()
+        return sorted(
+            map(
+                tuple,
+                e.groupBy("c", "s")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .collect(),
+            )
+        )
+
+    try:
+        q_und.processAllAvailable()
+        q_dir.processAllAvailable()
+        got_u1, got_d1 = und_merged(), dir_merged()
+        assert got_u1 == und_rebuild(b1)
+        assert got_d1 == dir_rebuild(b1)
+        b2.write.parquet(str(src / "f2"))
+        q_und.processAllAvailable()
+        q_dir.processAllAvailable()
+        both = b1.unionByName(b2)
+        assert und_merged() == und_rebuild(both)
+        got_d2 = dir_merged()
+        assert got_d2 == dir_rebuild(both)
+        assert got_d2 != got_d1  # the late file actually moved the store
+    finally:
+        q_und.stop()
+        q_dir.stop()
