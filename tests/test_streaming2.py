@@ -559,3 +559,184 @@ def test_graph_edge_streaming_sinks_match_batch(spark, tmp_path):
     finally:
         q_und.stop()
         q_dir.stop()
+
+
+def test_lm_streaming_sink_matches_batch(spark, tmp_path):
+    """The streaming LM appender (streaming/lm.ngram_count_sink) must
+    leave the store's merged model equal to a one-shot ngram_model
+    rebuild over the same rows — after the first micro-batch AND after
+    a late second file (counts add, vocab unions; document-grain rows
+    make any micro-batch assignment safe)."""
+    from mapreducemovieanalysis_cloud_spark.operators import ngram_lm
+    from mapreducemovieanalysis_cloud_spark.streaming import lm
+
+    b1 = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c d")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a b c"), (3, "d e")], "doc_id long, text string"
+    )
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = lm.ngram_count_sink(stream, store, str(tmp_path / "ckpt"))
+
+    def tbl(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    def assert_equal_to_rebuild(docs):
+        inc_ng, inc_ctx, inc_v = ngram_lm.incremental_ngram_model(
+            spark, store
+        )
+        full_ng, full_ctx, full_v = ngram_lm.ngram_model(docs)
+        assert tbl(inc_ng, ["ngram", "c"]) == tbl(full_ng, ["ngram", "c"])
+        assert tbl(inc_ctx, ["context", "ctx"]) == tbl(
+            full_ctx, ["context", "ctx"]
+        )
+        assert inc_v.collect()[0].v == full_v.collect()[0].v
+
+    try:
+        q.processAllAvailable()
+        assert_equal_to_rebuild(b1)
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+        assert_equal_to_rebuild(b1.unionByName(b2))
+    finally:
+        q.stop()
+
+
+def test_hist_streaming_sink_matches_batch(spark, tmp_path):
+    """The streaming histogram appender (streaming/hist.hist_bin_sink)
+    must leave the store's percentile answers equal to a one-shot
+    hist_bins rebuild — after the first micro-batch AND after a late
+    second file (bin counts add at row grain)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        read_epochs,
+    )
+    from mapreducemovieanalysis_cloud_spark.streaming import hist
+
+    b1 = spark.createDataFrame(
+        [("a", c * 100) for c in range(1, 30)]
+        + [("b", 500), ("b", 900)],
+        "grp string, cents long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 5000), ("b", 100), ("b", 101)], "grp string, cents long"
+    )
+    src = tmp_path / "src"
+    b1.write.parquet(str(src / "f1"))
+
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = hist.hist_bin_sink(
+        stream, store, str(tmp_path / "ckpt"),
+        group_col="grp", cents_col="cents", bin_width_cents=250,
+    )
+
+    def merged():
+        return sorted(
+            map(
+                tuple,
+                read_epochs(spark, f"{store}/bins")
+                .groupBy("grp", "bin")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .collect(),
+            )
+        )
+
+    def rebuild(df):
+        return sorted(
+            map(
+                tuple,
+                sketches.hist_bins(df, "grp", "cents", 250)
+                .select("grp", "bin", F.col("n").cast("long"))
+                .collect(),
+            )
+        )
+
+    try:
+        q.processAllAvailable()
+        got1 = merged()
+        assert got1 == rebuild(b1)
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+        got2 = merged()
+        assert got2 == rebuild(b1.unionByName(b2))
+        assert got1 != got2  # the late file actually moved the bins
+    finally:
+        q.stop()
+
+
+def test_ivf_streaming_sink_matches_full_build(spark, oracle_sf_dir, tmp_path):
+    """The streaming IVF appender (streaming/ivf.ivf_delta_sink) must
+    leave the index probing exactly like a single full build — after
+    the first micro-batch's vectors AND after a late second file
+    (fixed stored centroids make assignment per-vector; the base
+    prefix covers the deterministic centroid seeds, mirroring
+    test_pipeline.test_ivf_append_equals_full_build)."""
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
+    from mapreducemovieanalysis_cloud_spark.streaming import ivf
+
+    corpus = load_table(spark, oracle_sf_dir, "embeddings")
+    queries = (
+        corpus.where(F.col("vec_id") % 97 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .limit(5)
+    )
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_write_index(
+        corpus.where(F.col("vec_id") < 200), inc_path, n_centroids=8
+    )
+
+    src = tmp_path / "src"
+    b1 = corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 0)
+    ).select("vec_id", "embedding")
+    b2 = corpus.where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 1)
+    ).select("vec_id", "embedding")
+    b1.write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(b1.schema).parquet(str(src / "*"))
+    q = ivf.ivf_delta_sink(stream, inc_path, str(tmp_path / "ckpt"))
+
+    def probe(path):
+        return sorted(
+            map(
+                tuple,
+                ivf_probe_index(
+                    spark, path, queries, k=5, nprobe=2
+                ).collect(),
+            )
+        )
+
+    try:
+        q.processAllAvailable()
+        b1_path = str(tmp_path / "ivf_b1")
+        ivf_write_index(
+            corpus.where(
+                (F.col("vec_id") < 200)
+                | ((F.col("vec_id") >= 200) & (F.col("vec_id") % 2 == 0))
+            ),
+            b1_path,
+            n_centroids=8,
+        )
+        assert probe(inc_path) == probe(b1_path)
+        b2.write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+        full_path = str(tmp_path / "ivf_full")
+        ivf_write_index(corpus, full_path, n_centroids=8)
+        assert probe(inc_path) == probe(full_path)
+    finally:
+        q.stop()
