@@ -58,13 +58,20 @@ SENSITIVE_STAGED = [
     "anf_reach_suppliers",
 ]
 
+# round-14 staged: the one float-bearing candidate — the Zipf fit's
+# slope/intercept are IEEE ratios of integer moments whose leaves
+# (quantized ln of rank/count) are row-local, so the pin must hold
+# BEFORE promotion (the other six are integer end-to-end)
+SENSITIVE_STAGED += ["zipf_slope_tokens"]
+
 _QUERIES = dict(entry_mod.queries())
-from mapreducemovieanalysis_cloud_spark.queries.round11_staged import (  # noqa: E402
-    STAGED_QUERIES as _R11,
+from mapreducemovieanalysis_cloud_spark.queries import (  # noqa: E402
+    staged_queries as _staged_queries,
 )
 
+_STAGED = _staged_queries()
 for _k in SENSITIVE_STAGED:
-    _QUERIES.setdefault(_k, _R11[_k])
+    _QUERIES.setdefault(_k, _STAGED[_k])
 SENSITIVE = SENSITIVE + SENSITIVE_STAGED
 
 

@@ -75,14 +75,16 @@ def main() -> None:
     # first_n/full sweep — those stay registry-only, like the driver),
     # so a promotion round can preflight its wave in this exact flow.
     if only:
-        for mod in ("round8_staged", "round9_staged", "round10_staged", "round11_staged", "round12_staged", "round13_staged"):
-            try:
-                m = __import__(
-                    f"mapreducemovieanalysis_cloud_spark.queries.{mod}",
-                    fromlist=["STAGED_QUERIES", "STAGED_ORACLES"],
-                )
-            except ImportError:
-                continue
+        import importlib
+
+        from mapreducemovieanalysis_cloud_spark.queries import (
+            staged_modules,
+        )
+
+        for mod in staged_modules():
+            m = importlib.import_module(
+                f"mapreducemovieanalysis_cloud_spark.queries.{mod}"
+            )
             for k in m.STAGED_QUERIES:
                 qs.setdefault(k, m.STAGED_QUERIES[k])
                 oracles.setdefault(k, m.STAGED_ORACLES[k])
