@@ -340,3 +340,83 @@ def write_zordered(
               *[f"__hi_{c}" for c in zorder_cols])
     )
     parted.write.format(fmt).mode(mode).save(path)
+
+
+def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
+    """Fold every ``batch=*`` epoch under ``root`` into ONE epoch —
+    the small-directories lifecycle for the incremental stores (one
+    epoch per ingest day means thousands of ``batch=`` dirs per read
+    after a few years; ``read_epochs`` pays an O(epochs) listing plus
+    a per-dir footer open on every query).  Returns the number of
+    epochs folded (0 = nothing to do).
+
+    ``merge_fn(df) -> df`` is the STORE'S OWN partial-merge (counts:
+    group-sum; FM masks: group-OR; KMV: distinct) and must emit the
+    stored-partial schema — every store's partials are closed under
+    their merge algebra, so the folded epoch is a valid partial and
+    every read path is unchanged (pinned per-store by test).
+
+    OFFLINE contract (the compact_inverted_index rule): run without
+    concurrent appends or readers.  Crash protocol — roll FORWARD,
+    in-order, every state recoverable by rerunning this function:
+
+    1. stage the merged epoch under ``__compact/batch=<fold_id>``
+       (invisible: ``read_epochs`` lists ``batch=*`` dirs only), then
+       write the ``_STAGED`` marker naming the exact fold SET — a
+       crash before the marker leaves an uncommitted stage that the
+       next run discards (the fold set may have changed);
+    2. move each folded epoch aside into ``__folded_trash`` (after the
+       marker, the stage is authoritative for precisely those epochs,
+       so moving is pure roll-forward);
+    3. swap the staged epoch into ``batch=<fold_id>``;
+    4. delete trash, marker, staging.
+
+    A previous fold's ``batch=<fold_id>`` is just another epoch: it
+    joins the fold set and is replaced by the new fold atomically from
+    the reader's perspective (readers are excluded by the offline
+    contract anyway)."""
+    import json
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return 0
+    compact_dir = os.path.join(root, "__compact")
+    marker = os.path.join(compact_dir, "_STAGED")
+    trash = os.path.join(root, "__folded_trash")
+    staged = os.path.join(compact_dir, f"batch={fold_id}")
+
+    def _roll_forward() -> int:
+        with open(marker) as fh:
+            fold_set = json.load(fh)
+        os.makedirs(trash, exist_ok=True)
+        for name in fold_set:
+            src = os.path.join(root, name)
+            if os.path.isdir(src):
+                os.rename(src, os.path.join(trash, name))
+        dest = os.path.join(root, f"batch={fold_id}")
+        if os.path.isdir(staged):
+            os.rename(staged, dest)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(compact_dir, ignore_errors=True)
+        return len(fold_set)
+
+    # crash recovery first: a committed stage (marker present) rolls
+    # forward; an uncommitted one (no marker) is discarded
+    if os.path.exists(marker):
+        return _roll_forward()
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    epochs = sorted(
+        e
+        for e in os.listdir(root)
+        if e.startswith("batch=") and os.path.isdir(os.path.join(root, e))
+    )
+    if len(epochs) <= 1:
+        return 0
+    merged = merge_fn(read_epochs(spark, root))
+    merged.write.mode("overwrite").parquet(staged)
+    with open(marker, "w") as fh:
+        json.dump(epochs, fh)
+    return _roll_forward()

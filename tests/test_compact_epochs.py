@@ -1,0 +1,199 @@
+"""Epoch-store compaction (sources/writers.compact_epochs): the
+small-directories lifecycle for every incremental store — one epoch per
+ingest day means thousands of ``batch=`` dirs per read after a few
+years, and ``read_epochs`` pays an O(epochs) listing + per-dir footer
+open on every query.  Pins:
+
+* folding preserves the merged answer EXACTLY for both merge algebras
+  in production (ADD counts — graph stores; OR masks — FM store) and
+  collapses the store to one epoch;
+* appends after a fold keep merging correctly (the folded epoch is
+  just another partial);
+* every crash point rolls FORWARD deterministically on rerun
+  (uncommitted stage discarded; committed marker finishes moves, swap,
+  cleanup — including the crash-after-swap state);
+* rerunning on a compacted store is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from mapreducemovieanalysis_cloud_spark.sources.writers import (
+    compact_epochs,
+    read_epochs,
+    write_epoch,
+)
+
+
+def _count_merge(df):
+    return df.groupBy("u", "v").agg(F.sum("cnt").alias("cnt"))
+
+
+def _edges(spark, root):
+    return sorted(
+        map(
+            tuple,
+            read_epochs(spark, root)
+            .groupBy("u", "v")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .collect(),
+        )
+    )
+
+
+def _epoch_dirs(root):
+    return sorted(
+        e
+        for e in os.listdir(root)
+        if e.startswith("batch=") and os.path.isdir(os.path.join(root, e))
+    )
+
+
+def _seed_counts_store(spark, root, n_epochs=3):
+    for b in range(n_epochs):
+        df = spark.createDataFrame(
+            [(u, u + 1 + b % 2, 1 + (u + b) % 3) for u in range(6)],
+            "u long, v long, cnt long",
+        )
+        write_epoch(df, root, f"b{b}")
+
+
+def test_fold_preserves_counts_and_collapses_dirs(spark, tmp_path):
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    before = _edges(spark, root)
+    assert len(_epoch_dirs(root)) == 3
+    assert compact_epochs(spark, root, _count_merge) == 3
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == before
+    # append after the fold: the folded epoch is just another partial
+    write_epoch(
+        spark.createDataFrame([(0, 1, 5)], "u long, v long, cnt long"),
+        root,
+        "b9",
+    )
+    after = dict(((u, v), c) for u, v, c in _edges(spark, root))
+    want = dict(((u, v), c) for u, v, c in before)
+    want[(0, 1)] = want.get((0, 1), 0) + 5
+    assert after == want
+    # refolding folds {folded, b9} into one again
+    assert compact_epochs(spark, root, _count_merge) == 2
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert dict(((u, v), c) for u, v, c in _edges(spark, root)) == want
+
+
+def test_fold_preserves_or_masks(spark, tmp_path):
+    from mapreducemovieanalysis_cloud_spark.operators import sketches
+
+    store = str(tmp_path / "fm")
+    rows = [("g%d" % (i % 2), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    sketches.incremental_fm_append(
+        df.where(F.col("uid") % 3 == 0), store, "b0", ["g"], "uid"
+    )
+    sketches.incremental_fm_append(
+        df.where(F.col("uid") % 3 == 1), store, "b1", ["g"], "uid"
+    )
+    sketches.incremental_fm_append(
+        df.where(F.col("uid") % 3 == 2), store, "b2", ["g"], "uid"
+    )
+    before = sorted(
+        map(
+            tuple,
+            sketches.incremental_fm_distinct(spark, store, ["g"]).collect(),
+        )
+    )
+    folded = compact_epochs(
+        spark,
+        f"{store}/masks",
+        lambda d: d.groupBy("g", "r").agg(F.expr("bit_or(m)").alias("m")),
+    )
+    assert folded == 3
+    assert _epoch_dirs(f"{store}/masks") == ["batch=folded"]
+    after = sorted(
+        map(
+            tuple,
+            sketches.incremental_fm_distinct(spark, store, ["g"]).collect(),
+        )
+    )
+    assert after == before
+
+
+def test_noop_on_single_epoch_store(spark, tmp_path):
+    root = str(tmp_path / "pairs")
+    write_epoch(
+        spark.createDataFrame([(0, 1, 1)], "u long, v long, cnt long"),
+        root,
+        "b0",
+    )
+    assert compact_epochs(spark, root, _count_merge) == 0
+    assert _epoch_dirs(root) == ["batch=b0"]
+    assert compact_epochs(spark, root, _count_merge) == 0  # still one
+
+
+def test_uncommitted_stage_is_discarded(spark, tmp_path):
+    """Crash BEFORE the marker: the staged dir exists but the fold
+    never committed — the next run discards it and folds fresh (the
+    fold set may have changed since the stage was computed)."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    before = _edges(spark, root)
+    stale = spark.createDataFrame(
+        [(99, 100, 42)], "u long, v long, cnt long"
+    )
+    stale.write.parquet(os.path.join(root, "__compact", "batch=folded"))
+    assert compact_epochs(spark, root, _count_merge) == 3
+    assert _edges(spark, root) == before  # stale stage never surfaced
+
+
+def test_committed_marker_rolls_forward(spark, tmp_path):
+    """Crash right AFTER the marker (no moves yet) and again mid-move:
+    rerunning finishes moves + swap + cleanup; the answer is the staged
+    merge, exactly."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    before = _edges(spark, root)
+    staged = os.path.join(root, "__compact", "batch=folded")
+    _count_merge(read_epochs(spark, root)).write.parquet(staged)
+    with open(os.path.join(root, "__compact", "_STAGED"), "w") as fh:
+        json.dump(_epoch_dirs(root), fh)
+    # crash state A: marker written, nothing moved — plus simulate a
+    # mid-move crash by moving ONE epoch into trash by hand
+    os.makedirs(os.path.join(root, "__folded_trash"), exist_ok=True)
+    os.rename(
+        os.path.join(root, "batch=b0"),
+        os.path.join(root, "__folded_trash", "batch=b0"),
+    )
+    assert compact_epochs(spark, root, _count_merge) == 3
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == before
+    assert not os.path.exists(os.path.join(root, "__compact"))
+    assert not os.path.exists(os.path.join(root, "__folded_trash"))
+
+
+def test_crash_after_swap_cleans_up(spark, tmp_path):
+    """Crash AFTER the staged epoch swapped in but before cleanup:
+    marker + trash remain, staging dir no longer holds the epoch —
+    rerun must finish cleanup without touching the swapped result."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    before = _edges(spark, root)
+    assert compact_epochs(spark, root, _count_merge) == 3
+    want = _edges(spark, root)
+    assert want == before
+    # rebuild the post-swap crash state around the completed fold
+    os.makedirs(os.path.join(root, "__compact"), exist_ok=True)
+    with open(os.path.join(root, "__compact", "_STAGED"), "w") as fh:
+        json.dump(["batch=b0", "batch=b1", "batch=b2"], fh)
+    os.makedirs(os.path.join(root, "__folded_trash", "batch=b0"))
+    assert compact_epochs(spark, root, _count_merge) == 3  # roll-forward
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == want
+    assert not os.path.exists(os.path.join(root, "__compact"))
+    assert not os.path.exists(os.path.join(root, "__folded_trash"))
+    shutil.rmtree(root)
