@@ -357,8 +357,13 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
     every read path is unchanged (pinned per-store by test).
 
     OFFLINE contract (the compact_inverted_index rule): run without
-    concurrent appends or readers.  Crash protocol — roll FORWARD,
-    in-order, every state recoverable by rerunning this function:
+    concurrent appends or readers.  The whole mutation window holds the
+    layout's exclusive ``maintenance_lock`` (flock on
+    ``<root>/_MAINTENANCE_LOCK`` — invisible to ``read_epochs``, which
+    lists ``batch=*`` dirs only), so two concurrent compacts on one
+    store either wait or fail fast, never interleave their renames.
+    Crash protocol — roll FORWARD, in-order, every state recoverable
+    by rerunning this function:
 
     1. stage the merged epoch under ``__compact/batch=<fold_id>``
        (invisible: ``read_epochs`` lists ``batch=*`` dirs only), then
@@ -378,6 +383,10 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
     import json
     import os
     import shutil
+
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        maintenance_lock,
+    )
 
     if not os.path.isdir(root):
         return 0
@@ -401,22 +410,24 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
         shutil.rmtree(compact_dir, ignore_errors=True)
         return len(fold_set)
 
-    # crash recovery first: a committed stage (marker present) rolls
-    # forward; an uncommitted one (no marker) is discarded
-    if os.path.exists(marker):
-        return _roll_forward()
-    shutil.rmtree(compact_dir, ignore_errors=True)
-    shutil.rmtree(trash, ignore_errors=True)
+    with maintenance_lock(root):
+        # crash recovery first: a committed stage (marker present)
+        # rolls forward; an uncommitted one (no marker) is discarded
+        if os.path.exists(marker):
+            return _roll_forward()
+        shutil.rmtree(compact_dir, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
-    epochs = sorted(
-        e
-        for e in os.listdir(root)
-        if e.startswith("batch=") and os.path.isdir(os.path.join(root, e))
-    )
-    if len(epochs) <= 1:
-        return 0
-    merged = merge_fn(read_epochs(spark, root))
-    merged.write.mode("overwrite").parquet(staged)
-    with open(marker, "w") as fh:
-        json.dump(epochs, fh)
-    return _roll_forward()
+        epochs = sorted(
+            e
+            for e in os.listdir(root)
+            if e.startswith("batch=")
+            and os.path.isdir(os.path.join(root, e))
+        )
+        if len(epochs) <= 1:
+            return 0
+        merged = merge_fn(read_epochs(spark, root))
+        merged.write.mode("overwrite").parquet(staged)
+        with open(marker, "w") as fh:
+            json.dump(epochs, fh)
+        return _roll_forward()

@@ -197,3 +197,42 @@ def test_crash_after_swap_cleans_up(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "__compact"))
     assert not os.path.exists(os.path.join(root, "__folded_trash"))
     shutil.rmtree(root)
+
+
+def test_compact_holds_maintenance_lock(spark, tmp_path):
+    """A live competing holder makes compact fail fast with the
+    dedicated error instead of interleaving renames (the invindex
+    lock rule applied to the epoch layout)."""
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators.recovery import (
+        MaintenanceLockHeld,
+        maintenance_lock,
+    )
+
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    with maintenance_lock(root):
+        with pytest.raises(MaintenanceLockHeld):
+            _locked_compact(spark, root)
+    # released: the same call succeeds
+    assert compact_epochs(spark, root, _count_merge) == 3
+
+
+def _locked_compact(spark, root):
+    """compact with a zero wait so the held-lock case fails fast.
+
+    flock re-entrancy within one process goes through independent fds
+    (recovery.maintenance_lock opens its own), so the outer holder above
+    genuinely blocks this call."""
+    import unittest.mock as mock
+
+    from mapreducemovieanalysis_cloud_spark.operators import recovery
+
+    orig = recovery.maintenance_lock
+
+    def zero_wait(root_, timeout=60.0, poll=0.1):
+        return orig(root_, timeout=0.0, poll=poll)
+
+    with mock.patch.object(recovery, "maintenance_lock", zero_wait):
+        return compact_epochs(spark, root, _count_merge)
