@@ -236,3 +236,42 @@ def _locked_compact(spark, root):
 
     with mock.patch.object(recovery, "maintenance_lock", zero_wait):
         return compact_epochs(spark, root, _count_merge)
+
+
+def test_fold_preserves_kmv_bottomk(spark, tmp_path):
+    """The third production merge algebra — KMV's union-then-re-rank:
+    folding with DISTINCT on (grp, h) preserves the merged bottom-k
+    sketches exactly (the re-rank happens at read, so a distinct union
+    is a valid partial)."""
+    from mapreducemovieanalysis_cloud_spark.operators import corpus_overlap
+
+    store = str(tmp_path / "kmv")
+    rows = [
+        ("s0", f"alpha beta gamma doc{i} shared tail") for i in range(6)
+    ] + [("s1", f"alpha beta gamma other{i % 2} end") for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    thirds = [df.where(F.crc32("text") % 3 == i) for i in range(3)]
+    for i, part in enumerate(thirds):
+        corpus_overlap.incremental_kmv_append(part, store, f"b{i}", k=16)
+
+    def merged():
+        return sorted(
+            map(
+                tuple,
+                corpus_overlap.incremental_kmv_sketches(
+                    spark, store, k=16
+                ).collect(),
+            )
+        )
+
+    before = merged()
+    assert (
+        compact_epochs(
+            spark,
+            f"{store}/sketch",
+            lambda d: d.select("grp", "h").distinct(),
+        )
+        == 3
+    )
+    assert _epoch_dirs(f"{store}/sketch") == ["batch=folded"]
+    assert merged() == before

@@ -49,9 +49,10 @@ SENSITIVE = [
     "sq8_reconstruction_error",
 ]
 
-# round-11 staged candidates with quantized-leaf double sums obey the
-# same pin BEFORE promotion (chi-square cell contributions, Adamic-Adar
-# apex weights, the ANF estimate's register sums)
+# the round-11 wave's quantized-leaf double-sum candidates entered this
+# pin while still staged (chi-square cell contributions, Adamic-Adar
+# apex weights, the ANF estimate's register sums) and stay listed now
+# that they are registered — the registry resolution below wins
 SENSITIVE_STAGED = [
     "chisq_lang_source",
     "adamic_adar_suppliers",
