@@ -398,14 +398,20 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
     def _roll_forward() -> int:
         with open(marker) as fh:
             fold_set = json.load(fh)
-        os.makedirs(trash, exist_ok=True)
-        for name in fold_set:
-            src = os.path.join(root, name)
-            if os.path.isdir(src):
-                os.rename(src, os.path.join(trash, name))
-        dest = os.path.join(root, f"batch={fold_id}")
+        # The swap (staged -> batch=<fold_id>) is the LAST mutating
+        # step, and the marker is only written after the stage exists —
+        # so marker-present + staged-absent proves moves AND swap
+        # completed.  On a re-fold the previous ``batch=<fold_id>`` is
+        # in the fold set; re-running the move loop in that state would
+        # mistake the freshly swapped-in result for an unfolded epoch
+        # and trash it.  Skip straight to cleanup instead.
         if os.path.isdir(staged):
-            os.rename(staged, dest)
+            os.makedirs(trash, exist_ok=True)
+            for name in fold_set:
+                src = os.path.join(root, name)
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(trash, name))
+            os.rename(staged, os.path.join(root, f"batch={fold_id}"))
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(compact_dir, ignore_errors=True)
         return len(fold_set)

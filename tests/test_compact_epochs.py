@@ -199,6 +199,43 @@ def test_crash_after_swap_cleans_up(spark, tmp_path):
     shutil.rmtree(root)
 
 
+def test_refold_crash_after_swap_keeps_new_fold(spark, tmp_path):
+    """Crash AFTER the swap on a RE-fold — the fold set contains the
+    previous ``batch=folded``, so a naive rerun of the move loop would
+    mistake the freshly swapped-in result for an unfolded epoch, trash
+    it, and rmtree the trash: total data loss.  Rerun must detect the
+    swap-already-done state (staged absent) and only clean up."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    assert compact_epochs(spark, root, _count_merge) == 3  # first fold
+    extra = spark.createDataFrame(
+        [(0, 1, 10), (7, 8, 5)], "u long, v long, cnt long"
+    )
+    write_epoch(extra, root, "b3")
+    want = _edges(spark, root)
+    # hand-build the second fold's crash-after-swap state: stage the
+    # new merge, commit the marker (fold set INCLUDES batch=folded),
+    # finish moves + swap, then "crash" before cleanup
+    compact_dir = os.path.join(root, "__compact")
+    staged = os.path.join(compact_dir, "batch=folded")
+    _count_merge(read_epochs(spark, root)).write.parquet(staged)
+    fold_set = _epoch_dirs(root)  # ['batch=b3', 'batch=folded']
+    with open(os.path.join(compact_dir, "_STAGED"), "w") as fh:
+        json.dump(fold_set, fh)
+    trash = os.path.join(root, "__folded_trash")
+    os.makedirs(trash, exist_ok=True)
+    for name in fold_set:
+        os.rename(os.path.join(root, name), os.path.join(trash, name))
+    os.rename(staged, os.path.join(root, "batch=folded"))
+    # crash here: marker + trash remain, staged gone, new fold live
+    assert compact_epochs(spark, root, _count_merge) == 2  # cleanup only
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == want
+    assert not os.path.exists(compact_dir)
+    assert not os.path.exists(trash)
+    shutil.rmtree(root)
+
+
 def test_compact_holds_maintenance_lock(spark, tmp_path):
     """A live competing holder makes compact fail fast with the
     dedicated error instead of interleaving renames (the invindex
