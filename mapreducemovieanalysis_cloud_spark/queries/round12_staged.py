@@ -1,11 +1,12 @@
-"""Round-12 REGISTRY CANDIDATES — implemented, oracle-backed,
-pytest-verified, NOT registered: rounds 10 and 11 are fully planned
-(round10_staged + the 44 oldest r05 rows; round11_staged + the 43
-stalest after that), so this wave queues for round 12.  Same contract
-as every staging wave: ready-to-promote (query_fn, oracle_sql) pairs;
-``tests/test_round12_staged.py`` runs the driver-identical
+"""Round-12 promotions — staged in round 10 under the full contract,
+REGISTERED in round 12 per the committed window plan (the round-10/11
+ledgers): every ``_staged`` entry now ALSO registers through
+``registry.query``, so the driver's correctness gate covers them
+directly.  ``tests/test_round12_staged.py`` runs the driver-identical
 Spark-vs-DuckDB parity plus batch-split-invariance, retry-idempotence,
-and python brute-force replays.
+and python brute-force replays;
+``tests/test_round12_staged.py::test_staged_are_registered`` pins that
+the registry serves the IDENTICAL callables and oracle strings.
 
 The wave's theme: the INCREMENTAL-STORE family closes over sketches
 and consumers.  The engine already maintains incremental stores for
@@ -60,6 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -70,7 +72,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

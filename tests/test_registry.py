@@ -131,6 +131,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "benford_price_audit",
         # 16-row register table broadcast onto the node set
         "anf_reach_suppliers",
+        # round-12 promotions (justification unchanged from the staged
+        # sweep they graduated from, tests/test_round12_staged.py):
+        # 16-row FM register table broadcast onto the id stream (the
+        # anf_reach_suppliers whitelist justification)
+        "incremental_distinct_users",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, fn in registry.queries().items():
@@ -176,12 +181,13 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
 
 
 def test_registry_count_pinned():
-    """Exactly 263 registered queries (round-11 promotion: 256 + the 7
-    round11_staged candidates, per the committed round-10 ledger plan).
-    A smaller count means a query module silently vanished (the failure
-    mode the unconditional _load_all imports exist to prevent); a
-    larger one means an unplanned registration jumped the rotation
-    queue — both need a deliberate update HERE plus a rotation
-    regeneration, never an accident."""
-    assert len(registry.queries()) == 263
-    assert len(registry.oracle_sql()) == 263
+    """Exactly 270 registered queries (round-12 promotion: 263 + the 7
+    round12_staged candidates, per the committed round-10/11 ledger
+    plan; the cap is 284 after the round-14 wave).  A smaller count
+    means a query module silently vanished (the failure mode the
+    unconditional _load_all imports exist to prevent); a larger one
+    means an unplanned registration jumped the rotation queue — both
+    need a deliberate update HERE plus a rotation regeneration, never
+    an accident."""
+    assert len(registry.queries()) == 270
+    assert len(registry.oracle_sql()) == 270

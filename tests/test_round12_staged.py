@@ -28,17 +28,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered():
-    """Freeze contract: round 10's window is committed to the
-    round10_staged wave + the 44 oldest r05 rows, and round 11's to the
-    round11_staged wave + the next 43 — this wave must NOT be in the
-    live registry yet.  The round-12 promotion flips this to assert
-    presence."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-12 freeze test
+    per the committed round-10/11 ledger plan): every entry must be
+    live in the registry with the IDENTICAL callable and oracle — the
+    driver's correctness gate now covers them directly, and a drift
+    between the module index and the registry would mean the parity
+    tests exercise something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_oracles_are_the_registered_truths():
