@@ -137,6 +137,105 @@ def _resolve_store_consumers(qs: dict) -> tuple[dict, list[str]]:
     return out, missing
 
 
+# Epoch-compaction instrument (r11 verdict item 4): how many synthetic
+# single-day epochs the leg builds before folding.  Small enough to keep
+# the leg a few seconds; large enough that the O(epochs) listing +
+# per-dir footer-open cost is visible in the before/after read split.
+N_COMPACTION_EPOCHS = 24
+
+
+def _machine_load() -> dict:
+    """1/5/15-min loadavg + CPU count, recorded at bench start and end:
+    turns the recurring noise-vs-regression adjudication (r10
+    char_entropy, r11 lsh_recall / dedup_jaccard) from ledger prose
+    into data in the artifact (r11 verdict item 2)."""
+    out: dict = {"cpu_count": os.cpu_count()}
+    try:
+        l1, l5, l15 = os.getloadavg()
+        out.update(
+            loadavg_1m=round(l1, 2),
+            loadavg_5m=round(l5, 2),
+            loadavg_15m=round(l15, 2),
+        )
+    except OSError:
+        pass
+    return out
+
+
+def _epoch_compaction_instrument(spark) -> dict:
+    """Round-over-round reading for the epoch-store compaction tier
+    (r11 verdict item 4): build N single-day epochs, time the merged
+    read (median-of-3, warm), fold with the store's own merge algebra
+    (sources/writers.compact_epochs), time the read again.  A synthetic
+    counts store in a temp dir — the leg measures the LAYOUT cost
+    (O(epochs) listing + per-dir footer opens vs one folded dir), not a
+    query, so no oracle applies.  Not summed into any total."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.sources.writers import (
+        compact_epochs,
+        read_epochs,
+        write_epoch,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_epochs_")
+    try:
+        base = spark.range(2000).select(
+            (F.col("id") % 500).alias("k"), F.lit(1).alias("cnt")
+        )
+        for b in range(N_COMPACTION_EPOCHS):
+            write_epoch(base, root, f"d{b:03d}")
+
+        def merge(df):
+            return df.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+
+        def read_merged() -> float:
+            t = time.monotonic()
+            merge(read_epochs(spark, root)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.monotonic() - t
+
+        read_merged()  # warm
+        before = statistics.median(sorted(read_merged() for _ in range(3)))
+        t = time.monotonic()
+        folded = compact_epochs(spark, root, merge)
+        fold_sec = time.monotonic() - t
+        after = statistics.median(sorted(read_merged() for _ in range(3)))
+        return {
+            "epochs": N_COMPACTION_EPOCHS,
+            "folded": folded,
+            "merged_read_before_sec": round(before, 4),
+            "compact_sec": round(fold_sec, 4),
+            "merged_read_after_sec": round(after, 4),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _time_store_consumers(spark, sf_dir: str, consumers: dict) -> tuple[
+    dict, dict
+]:
+    """Median-of-3 warm timing per store consumer, with PER-CONSUMER
+    isolation (r11 advisor item 2): one consumer failing to build or
+    time must not drop the readings for every consumer after it — each
+    degrades independently and all healthy readings survive."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in consumers.items():
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm + store build
+            samples = sorted(_run(df) for _ in range(3))
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:
+            errors[name] = repr(exc)[:200]
+    return timings, errors
+
+
 def _heavy_from_previous(headline: set[str]) -> list[str]:
     """Top-N most expensive non-headline queries per the previous run."""
     path = os.path.join(
@@ -163,6 +262,7 @@ def _run(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    load_start = _machine_load()
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -207,20 +307,26 @@ def main() -> None:
             n: timings[n] for n in HEADLINE_FAMILY if n in timings
         },
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
+        "machine_load_start": load_start,
+        "machine_load_end": _machine_load(),
     }
-    store_timings: dict[str, float] = {}
     try:
         consumers, missing = _resolve_store_consumers(qs)
-        for name, fn in consumers.items():
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # warm + store build
-            samples = sorted(_run(df) for _ in range(3))
-            store_timings[name] = round(statistics.median(samples), 4)
         if missing:
             result["store_consumer_unresolved"] = missing
     except Exception as exc:  # never crash the unattended bench
+        consumers = {}
         result["store_consumer_error"] = repr(exc)[:200]
+    store_timings, store_errors = _time_store_consumers(
+        spark, sf_dir, consumers
+    )
+    if store_errors:
+        result["store_consumer_errors"] = store_errors
     result["store_consumer_queries"] = store_timings
+    try:
+        result["epoch_compaction"] = _epoch_compaction_instrument(spark)
+    except Exception as exc:  # never crash the unattended bench
+        result["epoch_compaction_error"] = repr(exc)[:200]
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,
     # and writing the live result there dirtied the tree on every driver

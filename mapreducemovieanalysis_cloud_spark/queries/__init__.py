@@ -14,15 +14,22 @@ from __future__ import annotations
 import glob
 import importlib
 import os
+import re
 
 
 def staged_modules() -> list[str]:
-    """Every ``round*_staged`` module name in this package, sorted."""
+    """Every ``round*_staged`` module name in this package, ordered by
+    ROUND NUMBER: ``staged_queries()`` resolves duplicate names
+    first-wave-wins (setdefault), and lexicographic sorting would put
+    round7-9 AFTER round10-14, silently inverting that precedence to
+    newest-wave-wins (r11 advisor item 3 — latent, no duplicates
+    exist today)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    return sorted(
+    names = [
         os.path.splitext(os.path.basename(p))[0]
         for p in glob.glob(os.path.join(pkg_dir, "round*_staged.py"))
-    )
+    ]
+    return sorted(names, key=lambda m: int(re.search(r"\d+", m).group()))
 
 
 def staged_queries() -> dict:

@@ -28,7 +28,14 @@ def test_staged_modules_discovered_from_disk():
         "round14_staged",
     ):
         assert expected in mods
-    assert mods == sorted(mods)
+    # ordered by ROUND NUMBER, not lexicographically: staged_queries()
+    # resolves duplicate names first-wave-wins, so round7 must precede
+    # round10 (r11 advisor item 3)
+    import re
+
+    nums = [int(re.search(r"\d+", m).group()) for m in mods]
+    assert nums == sorted(nums)
+    assert mods.index("round7_staged") < mods.index("round10_staged")
 
 
 def test_store_consumers_resolve_from_staged_modules():
@@ -46,6 +53,44 @@ def test_registry_resolution_wins_after_promotion():
     got, missing = bench._resolve_store_consumers(qs)
     assert all(got[name] is sentinel for name in bench.STORE_CONSUMER)
     assert missing == []
+
+
+def test_machine_load_recorded():
+    # r11 verdict item 2: the artifact must carry 1/5/15-min loadavg +
+    # CPU count so noise-vs-regression adjudication is data, not prose.
+    load = bench._machine_load()
+    assert load["cpu_count"] == os.cpu_count() and load["cpu_count"] > 0
+    for key in ("loadavg_1m", "loadavg_5m", "loadavg_15m"):
+        assert key in load and load[key] >= 0.0
+
+
+def test_store_consumer_per_name_isolation(spark, sf_dir):
+    # r11 advisor item 2: a consumer that raises mid-loop must degrade
+    # to an error entry while every OTHER consumer's reading survives.
+    def boom(spark, sf_dir):
+        raise RuntimeError("store build failed")
+
+    def ok(spark, sf_dir):
+        return spark.range(5)
+
+    timings, errors = bench._time_store_consumers(
+        spark, sf_dir, {"first_ok": ok, "broken": boom, "last_ok": ok}
+    )
+    assert sorted(timings) == ["first_ok", "last_ok"]
+    assert list(errors) == ["broken"]
+    assert "store build failed" in errors["broken"]
+
+
+def test_epoch_compaction_instrument(spark):
+    # r11 verdict item 4: the compaction tier gets a round-over-round
+    # reading — build epochs, read merged, fold, read again.
+    reading = bench._epoch_compaction_instrument(spark)
+    assert reading["epochs"] == bench.N_COMPACTION_EPOCHS
+    assert reading["folded"] == bench.N_COMPACTION_EPOCHS
+    for key in (
+        "merged_read_before_sec", "compact_sec", "merged_read_after_sec",
+    ):
+        assert reading[key] > 0.0
 
 
 def test_missing_name_is_reported_not_fatal():
