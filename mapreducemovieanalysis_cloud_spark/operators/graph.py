@@ -29,6 +29,11 @@ from mapreducemovieanalysis_cloud_spark.operators.sketches import (
 
 SCALE = 1_000_000_000
 
+# pagerank_weighted's int64 domain: rank <= ~SCALE, so rank * w stays
+# inside int64 (~9.2e18) only while per-node weight sums stay below
+# int64_max / SCALE ~= 9.2e9; enforced with margin
+_WSUM_INT64_BOUND = 9_000_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -858,8 +863,13 @@ def pagerank_weighted(
     (a rational-exact split would need bignum arithmetic), at the cost
     of ≤1 unit of flooring per out-edge — the same trade ``pagerank``
     makes.  Int64 domain: rank ≤ ~SCALE and w ≤ wsum, so rank·w ≤
-    SCALE·wsum; keep Σ_src w below ~9e9 per node (any realistic
-    count-weighted graph) and the product stays far inside int64.
+    SCALE·wsum; Σ_src w must stay below ~9e9 per node (any realistic
+    count-weighted graph) for the product to stay inside int64 — this
+    is ENFORCED, not assumed: the wsum aggregate is already computed,
+    so a cheap fail-fast raises on a pathological weight column instead
+    of letting rank·w wrap silently.  Weights must be non-negative
+    (floor division only agrees between Spark ``div`` and DuckDB ``//``
+    on non-negative operands) — also enforced.
 
     Scale: identical shuffle shape to ``pagerank`` — one weight-sum
     aggregate keyed on src, one join + one dst-keyed aggregate per
@@ -883,6 +893,19 @@ def pagerank_weighted(
         .agg(F.sum("__w").alias("wsum"))
         .localCheckpoint(eager=True)
     )
+    # int64 fail-fast (see docstring): both scans hit already-
+    # checkpointed frames, so each is one tiny job, not a replay
+    max_wsum = wsum.agg(F.max("wsum").alias("m")).first()["m"]
+    min_w = edges.agg(F.min("__w").alias("m")).first()["m"]
+    if max_wsum is not None and (
+        max_wsum > _WSUM_INT64_BOUND or min_w < 0
+    ):
+        raise ValueError(
+            "pagerank_weighted int64 domain violated: weights must be "
+            f"non-negative with per-node sums <= {_WSUM_INT64_BOUND} "
+            f"(got min weight {min_w}, max weight sum {max_wsum}) — "
+            "rank*w would overflow int64 (rank <= SCALE=1e9)"
+        )
 
     base_num = (100 - damping_pct) * SCALE
     ranks = nodes_n.select(
