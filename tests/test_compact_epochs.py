@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.sources.writers import (
@@ -197,6 +198,74 @@ def test_crash_after_swap_cleans_up(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "__compact"))
     assert not os.path.exists(os.path.join(root, "__folded_trash"))
     shutil.rmtree(root)
+
+
+_CRASH_STATES = [
+    # (name, marker_written, n_moves: 0|1|-1(all), swapped, trash_gone)
+    ("staged_only", False, 0, False, False),
+    ("marker_no_moves", True, 0, False, False),
+    ("mid_move", True, 1, False, False),
+    ("moved_all", True, -1, False, False),
+    ("swapped", True, -1, True, False),
+    ("trash_cleaned", True, -1, True, True),
+]
+
+
+@pytest.mark.parametrize("refold", [False, True], ids=["fold", "refold"])
+@pytest.mark.parametrize(
+    "name,marker_written,n_moves,swapped,trash_gone",
+    _CRASH_STATES,
+    ids=[s[0] for s in _CRASH_STATES],
+)
+def test_crash_state_matrix(
+    spark, tmp_path, refold, name, marker_written, n_moves, swapped,
+    trash_gone,
+):
+    """EVERY crash point of the compaction protocol, on a first fold
+    AND on a re-fold (where ``batch=folded`` is itself in the fold set
+    — the state family where the r11 advisor found the move-loop-
+    replay data-loss bug by hand): build the exact on-disk state a
+    crash leaves behind, rerun compact_epochs, and assert convergence
+    to one folded epoch holding exactly the pre-crash merged truth,
+    with no protocol litter left."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    if refold:
+        assert compact_epochs(spark, root, _count_merge) == 3
+        write_epoch(
+            spark.createDataFrame(
+                [(0, 1, 10), (7, 8, 5)], "u long, v long, cnt long"
+            ),
+            root,
+            "b3",
+        )
+    want = _edges(spark, root)
+    compact_dir = os.path.join(root, "__compact")
+    staged = os.path.join(compact_dir, "batch=folded")
+    trash = os.path.join(root, "__folded_trash")
+    fold_set = _epoch_dirs(root)
+    _count_merge(read_epochs(spark, root)).write.parquet(staged)
+    if marker_written:
+        with open(os.path.join(compact_dir, "_STAGED"), "w") as fh:
+            json.dump(fold_set, fh)
+    moves = fold_set[: n_moves] if n_moves >= 0 else fold_set
+    if moves:
+        os.makedirs(trash, exist_ok=True)
+    for epoch in moves:
+        os.rename(os.path.join(root, epoch), os.path.join(trash, epoch))
+    if swapped:
+        os.rename(staged, os.path.join(root, "batch=folded"))
+    if trash_gone:
+        shutil.rmtree(trash, ignore_errors=True)
+    # rerun from the crash state: must converge, preserving the truth
+    n = compact_epochs(spark, root, _count_merge)
+    assert n == len(fold_set)
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == want
+    assert not os.path.exists(compact_dir)
+    assert not os.path.exists(trash)
+    # idempotent from the recovered state: refold of 1 epoch is a no-op
+    assert compact_epochs(spark, root, _count_merge) == 0
 
 
 def test_refold_crash_after_swap_keeps_new_fold(spark, tmp_path):
