@@ -308,7 +308,6 @@ def main() -> None:
         },
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
         "machine_load_start": load_start,
-        "machine_load_end": _machine_load(),
     }
     try:
         consumers, missing = _resolve_store_consumers(qs)
@@ -327,6 +326,8 @@ def main() -> None:
         result["epoch_compaction"] = _epoch_compaction_instrument(spark)
     except Exception as exc:  # never crash the unattended bench
         result["epoch_compaction_error"] = repr(exc)[:200]
+    # end-of-run load LAST so it reflects the whole measurement window
+    result["machine_load_end"] = _machine_load()
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,
     # and writing the live result there dirtied the tree on every driver
