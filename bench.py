@@ -29,6 +29,14 @@ checklist adopts the previous round's adopted measurement by copying
 ``bench_result.out.json`` (or the driver's BENCH artifact) over
 ``bench_result.json`` and committing it explicitly.
 
+Round 12 additions: ``machine_load_start`` / ``machine_load_end``
+(1/5/15-min loadavg + CPU count — noise-vs-regression adjudication is
+data in the artifact, not ledger prose), per-consumer isolation in the
+store-consumer instrument (one failing consumer reports under
+``store_consumer_errors`` while the rest keep their readings), and the
+``epoch_compaction`` leg (build N epochs, time the merged read, fold
+via sources/writers.compact_epochs, time again).
+
 Timing mirrors the reference's driver-side wall clock
 (``MovieRank.java:204-210``) but materializes through Spark's noop sink so the
 full plan executes without driver-side collection.
