@@ -1,4 +1,5 @@
 from mapreducemovieanalysis_cloud_spark.plans.explain import (
+    exchange_input_columns,
     executed_plan,
     explain_formatted,
     pushed_filters,
@@ -11,6 +12,7 @@ from mapreducemovieanalysis_cloud_spark.plans.explain import (
 )
 
 __all__ = [
+    "exchange_input_columns",
     "executed_plan",
     "explain_formatted",
     "pushed_filters",

@@ -80,6 +80,32 @@ def scan_columns_minimal(df: DataFrame, allowed: dict[str, set[str]]) -> bool:
     return True
 
 
+def exchange_input_columns(df: DataFrame) -> list[list[str]]:
+    """Column-name lists entering each Exchange (shuffle or broadcast)
+    in the formatted plan — the assertable form of "big payload columns
+    never shuffle": a binary/blob column appearing in a shuffle's input
+    multiplies the exchange volume by the payload size, the difference
+    between shuffling 16-byte fingerprints and shuffling the media
+    bytes themselves at 100 TB.
+
+    Parses the node sections of ``explain('formatted')``: each
+    ``(n) Exchange`` block lists ``Input [k]: [col#id, ...]``."""
+    text = explain_formatted(df)
+    out: list[list[str]] = []
+    for m in re.finditer(
+        r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\n"
+        r"Input \[\d+\]: \[([^\]]*)\]",
+        text,
+    ):
+        cols = [
+            c.strip().split("#")[0]
+            for c in m.group(1).split(",")
+            if c.strip()
+        ]
+        out.append(cols)
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fused JVM loops) in the final plan.
 

@@ -149,3 +149,31 @@ def test_two_hop_reach_matches_bruteforce(spark, edges):
         reach.discard(n)
         want.append((n, len(reach)))
     assert got == sorted(want)
+
+
+def test_media_payload_bytes_never_enter_an_exchange(spark, sf_dir):
+    """The multimodal family's 100 TB claim, pinned from the plan: the
+    opaque ``data`` payload column must never appear in ANY Exchange's
+    input — only ids, 16-byte frame hashes, and integer rollups may
+    shuffle (plans.exchange_input_columns reads the formatted plan's
+    per-Exchange Input schemas).  A refactor that lets payload bytes
+    reach a shuffle multiplies exchange volume by the media size and
+    fails here, not on the cluster."""
+    from mapreducemovieanalysis_cloud_spark import plans, registry
+
+    qs = registry.queries()
+    for name in (
+        "multimodal_frame_dedup",
+        "multimodal_decode",
+        "multimodal_frames",
+        "multimodal_blockhash",
+        "multimodal_features",
+    ):
+        for cols in plans.exchange_input_columns(qs[name](spark, sf_dir)):
+            assert "data" not in cols, (name, cols)
+    # the helper itself must see through a real shuffle (no silent
+    # vacuous pass from a regex drift against the explain format)
+    found = plans.exchange_input_columns(
+        qs["multimodal_frame_dedup"](spark, sf_dir)
+    )
+    assert found and any("h" in cols for cols in found)
