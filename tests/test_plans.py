@@ -159,3 +159,33 @@ def test_grid_collapse_kernels_shuffle_domain_not_rows(spark, sf_dir):
     assert not plans.uses_sort_merge_join(ti)
     bands = registry.queries()["percentile_bands_type_hod"](spark, sf_dir)
     assert _exchanges(plans.executed_plan(bands)) == 1
+
+
+def test_text_never_shuffles_in_dedup_and_retrieval(spark, sf_dir):
+    """The text families' 100 TB posture, pinned from the plan: raw
+    document ``text`` must never appear in any Exchange's input — the
+    map-side pass fingerprints/shingles/tokenizes, and only ids,
+    hashes, signatures, terms, and integer stats may shuffle.  Letting
+    the text column reach an exchange multiplies shuffle volume by the
+    document size (the difference between shuffling 16-byte
+    fingerprints and shuffling the corpus).  Same pin shape as the
+    multimodal payload test (tests/test_multimodal_properties.py)."""
+    qs = registry.queries()
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_jaccard",
+        "containment_pairs",
+        "lsh_band_collision_stats",
+        "bm25_rank",
+        "decontaminate_batch",
+        "duplicate_passages",
+    ):
+        for cols in plans.exchange_input_columns(qs[name](spark, sf_dir)):
+            assert "text" not in cols, (name, cols)
+    # non-vacuity: the helper must see real shuffles in these plans
+    found = plans.exchange_input_columns(
+        qs["dedup_minhash_lsh"](spark, sf_dir)
+    )
+    assert found
