@@ -189,3 +189,28 @@ def test_text_never_shuffles_in_dedup_and_retrieval(spark, sf_dir):
         qs["dedup_minhash_lsh"](spark, sf_dir)
     )
     assert found
+
+
+def test_store_consumers_never_rescan_the_facts(spark, sf_dir):
+    """The incremental-store contract, pinned from the plan: once the
+    store exists (the warm-up call builds it), a consumer's plan must
+    scan ONLY store paths — no fact-table parquet under the testdata
+    dir may appear anywhere in its formatted plan.  A consumer that
+    quietly falls back to re-deriving from facts keeps passing its
+    oracle while throwing away the store's entire 100 TB advantage
+    (partials instead of a corpus re-scan); this fails it at CI time.
+    Non-vacuity: a fact query's plan DOES carry the testdata path."""
+    qs = registry.queries()
+    for name in (
+        "incremental_graph_edges",
+        "stored_graph_triangles",
+        "incremental_distinct_users",
+        "incremental_source_overlap",
+        "search_bm25_stored_index",
+        "incremental_minhash_dedup",
+    ):
+        df = qs[name](spark, sf_dir)  # build-if-absent runs here
+        plan = plans.explain_formatted(df)
+        assert sf_dir not in plan, name
+    control = plans.explain_formatted(qs["movie_rank"](spark, sf_dir))
+    assert sf_dir in control
