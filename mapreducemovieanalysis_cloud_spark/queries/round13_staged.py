@@ -1,10 +1,11 @@
-"""Round-13 REGISTRY CANDIDATES — implemented, oracle-backed,
-pytest-verified, NOT registered: round 10's window registered the six
-round10_staged candidates plus rotation debt, and rounds 11/12 are
-already committed to the round11/round12 waves, so this wave queues
-for round 13.  Same contract as every staging wave: ready-to-promote
-(query_fn, oracle_sql) pairs; ``tests/test_round13_staged.py`` runs
-the driver-identical Spark-vs-DuckDB parity plus behavioral pins.
+"""Round-13 promotions — staged in round 10 under the full contract,
+REGISTERED in round 13 per the committed window plan (the round-10/12
+ledgers): every ``_staged`` entry now ALSO registers through
+``registry.query``, so the driver's correctness gate covers them
+directly.  ``tests/test_round13_staged.py`` runs the driver-identical
+Spark-vs-DuckDB parity plus behavioral pins;
+``tests/test_round13_staged.py::test_staged_are_registered`` pins that
+the registry serves the IDENTICAL callables and oracle strings.
 
 What the wave adds (three threads the repo's forward plan left open):
 
@@ -46,6 +47,7 @@ from mapreducemovieanalysis_cloud_spark.queries.pipeline_queries import (
     _COSINE,
     _QUANT,
 )
+from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 STAGED_ORACLES: dict[str, str] = {}
@@ -56,7 +58,7 @@ def _staged(name: str, oracle: str):
     def deco(fn):
         STAGED_QUERIES[name] = fn
         STAGED_ORACLES[name] = oracle
-        return fn
+        return query(name, oracle)(fn)
 
     return deco
 

@@ -111,6 +111,7 @@ def _load_all() -> None:
     import mapreducemovieanalysis_cloud_spark.queries.round10_staged  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.round11_staged  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.round12_staged  # noqa: F401
+    import mapreducemovieanalysis_cloud_spark.queries.round13_staged  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.scale_queries  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.streaming_queries  # noqa: F401
     import mapreducemovieanalysis_cloud_spark.queries.tpch_queries  # noqa: F401

@@ -98,6 +98,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # broadcast query-set x candidate-cell scoring — same design as
         # the ann_ivf entry above
         "ann_ivf_incremental",
+        # round-13 promotion: both fusion legs are whitelisted kernels —
+        # the ann_bruteforce 1-vector broadcast and the bm25_rank 1-row
+        # corpus-stats broadcast (justification unchanged from the
+        # staged sweep it graduated from)
+        "hybrid_search_rrf",
         # round-9 promotions (justifications unchanged from the staged
         # sweeps they graduated from):
         # 1-row vocab-size scalar + n_sources-row base-term broadcasts
@@ -181,13 +186,13 @@ def test_registry_wide_expand_is_intentional(spark, sf_dir):
 
 
 def test_registry_count_pinned():
-    """Exactly 270 registered queries (round-12 promotion: 263 + the 7
-    round12_staged candidates, per the committed round-10/11 ledger
+    """Exactly 277 registered queries (round-13 promotion: 270 + the 7
+    round13_staged candidates, per the committed round-10/12 ledger
     plan; the cap is 284 after the round-14 wave).  A smaller count
     means a query module silently vanished (the failure mode the
     unconditional _load_all imports exist to prevent); a larger one
     means an unplanned registration jumped the rotation queue — both
     need a deliberate update HERE plus a rotation regeneration, never
     an accident."""
-    assert len(registry.queries()) == 270
-    assert len(registry.oracle_sql()) == 270
+    assert len(registry.queries()) == 277
+    assert len(registry.oracle_sql()) == 277

@@ -28,15 +28,20 @@ def test_staged_matches_oracle(spark, oracle_sf_dir, name):
     )
 
 
-def test_staged_not_registered():
-    """Round 10's 50 slots registered the round10 wave + the 44 oldest
-    r05 rows, and rounds 11/12 are committed to the round11/round12
-    waves; this wave queues for round 13 and must not be live yet."""
+def test_staged_are_registered():
+    """The promotion contract (flipped from the round-13 freeze test
+    per the committed round-10/12 ledger plan): every entry must be
+    live in the registry with the IDENTICAL callable and oracle — the
+    driver's correctness gate now covers them directly, and a drift
+    between the module index and the registry would mean the parity
+    tests exercise something other than what the driver runs."""
     from mapreducemovieanalysis_cloud_spark import registry
 
     live = registry.queries()
+    oracles = registry.oracle_sql()
     for name in STAGED_QUERIES:
-        assert name not in live
+        assert live[name] is STAGED_QUERIES[name]
+        assert oracles[name] == STAGED_ORACLES[name]
 
 
 def test_staged_plan_hygiene(spark, sf_dir):
