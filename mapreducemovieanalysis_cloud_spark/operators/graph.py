@@ -34,6 +34,14 @@ SCALE = 1_000_000_000
 # int64_max / SCALE ~= 9.2e9; enforced with margin
 _WSUM_INT64_BOUND = 9_000_000_000
 
+# hits_scores int64 domain: two unnormalized iterations bound every
+# score by D^4 (D = max in/out degree — a1 <= D, h1 <= D*max(a1),
+# a2 <= D*max(h1), h2 <= D*max(a2)), so D must stay under
+# floor((2^63-1)^(1/4)) ~= 55,108 for the sums to stay inside int64.
+# Enforced at runtime like the pagerank_weighted wsum guard (r12
+# verdict item 5 — the same undocumented-domain sweep pattern).
+_HITS_DEG_INT64_BOUND = 55_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -662,6 +670,11 @@ def hits_scores(edges: DataFrame, topk: int = 25) -> DataFrame:
     (node, kind in {'hub','authority'}, score), kind/score/node as the
     deterministic order.
 
+    Int64 domain: scores are bounded by degree^4, so the max in/out
+    degree must stay under ``_HITS_DEG_INT64_BOUND`` (~the int64 fourth
+    root) — ENFORCED with a fail-fast scalar on the checkpointed edge
+    list, the same pattern as the ``pagerank_weighted`` wsum guard.
+
     Scale: each half-iteration is ONE groupBy over the edge list
     (shuffle keyed by the node) — the PageRank shape without the
     degree division; the edge list is never materialized per-node.
@@ -669,6 +682,23 @@ def hits_scores(edges: DataFrame, topk: int = 25) -> DataFrame:
     this extends the repo's own pagerank/k-core tier.
     """
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # int64 fail-fast (see _HITS_DEG_INT64_BOUND): one scalar job on
+    # the already-checkpointed edge list, never a lineage replay
+    dmax = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("m"))
+        .first()["m"]
+    )
+    if dmax is not None and dmax > _HITS_DEG_INT64_BOUND:
+        raise ValueError(
+            "hits_scores int64 domain violated: max degree "
+            f"{dmax} > {_HITS_DEG_INT64_BOUND} — two unnormalized "
+            "iterations bound scores by degree^4, which would exceed "
+            "int64; normalize or pre-threshold the edge list"
+        )
     a1 = e.groupBy("dst").agg(F.count(F.lit(1)).alias("a1"))
     h1 = (
         e.join(a1, "dst")

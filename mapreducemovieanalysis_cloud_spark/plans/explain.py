@@ -89,7 +89,16 @@ def exchange_input_columns(df: DataFrame) -> list[list[str]]:
     bytes themselves at 100 TB.
 
     Parses the node sections of ``explain('formatted')``: each
-    ``(n) Exchange`` block lists ``Input [k]: [col#id, ...]``."""
+    ``(n) Exchange`` block lists ``Input [k]: [col#id, ...]``.
+
+    Known parsing limits (r12 advisor item 4): the Input list is split
+    on ``,`` and truncated at ``#``, so a column NAME containing a
+    comma (or a struct-typed rendering with embedded commas) would be
+    mis-split into bogus fragments — no such names exist in this
+    engine's schemas, and the pin tests carry non-vacuity controls
+    that fail on format drift.  ``ReusedExchange`` nodes are not
+    matched; benign today because the original Exchange is always
+    present in the same formatted plan."""
     text = explain_formatted(df)
     out: list[list[str]] = []
     for m in re.finditer(

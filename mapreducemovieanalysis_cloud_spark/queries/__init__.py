@@ -29,7 +29,13 @@ def staged_modules() -> list[str]:
         os.path.splitext(os.path.basename(p))[0]
         for p in glob.glob(os.path.join(pkg_dir, "round*_staged.py"))
     ]
-    return sorted(names, key=lambda m: int(re.search(r"\d+", m).group()))
+    # tolerate a digitless round*_staged.py (r12 advisor item 2): it
+    # sorts first instead of crashing discovery for every consumer
+    def _round_num(m: str) -> int:
+        match = re.search(r"\d+", m)
+        return int(match.group()) if match else 0
+
+    return sorted(names, key=_round_num)
 
 
 def staged_queries() -> dict:

@@ -367,9 +367,11 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
 
     1. stage the merged epoch under ``__compact/batch=<fold_id>``
        (invisible: ``read_epochs`` lists ``batch=*`` dirs only), then
-       write the ``_STAGED`` marker naming the exact fold SET — a
-       crash before the marker leaves an uncommitted stage that the
-       next run discards (the fold set may have changed);
+       write the ``_STAGED`` marker naming the exact fold SET — the
+       marker commits ATOMICALLY (tmp + fsync + rename, r12 advisor
+       item 1) and an unparseable marker is treated as uncommitted —
+       a crash before the marker commits leaves an uncommitted stage
+       that the next run discards (the fold set may have changed);
     2. move each folded epoch aside into ``__folded_trash`` (after the
        marker, the stage is authoritative for precisely those epochs,
        so moving is pure roll-forward);
@@ -395,9 +397,22 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
     trash = os.path.join(root, "__folded_trash")
     staged = os.path.join(compact_dir, f"batch={fold_id}")
 
-    def _roll_forward() -> int:
-        with open(marker) as fh:
-            fold_set = json.load(fh)
+    def _read_marker():
+        """Parse the committed fold set, or None for a TORN marker
+        (r12 advisor item 1): the marker write is atomic (tmp +
+        rename), but a marker from an older layout version — or a
+        filesystem without atomic rename — could still tear.  Moves
+        only start after a complete marker, so unparseable JSON proves
+        the stage was never committed and is safe to discard; raising
+        forever here would violate the 'every state recoverable by
+        rerunning' protocol."""
+        try:
+            with open(marker) as fh:
+                return json.load(fh)
+        except ValueError:
+            return None
+
+    def _roll_forward(fold_set) -> int:
         # The swap (staged -> batch=<fold_id>) is the LAST mutating
         # step, and the marker is only written after the stage exists —
         # so marker-present + staged-absent proves moves AND swap
@@ -417,10 +432,13 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
         return len(fold_set)
 
     with maintenance_lock(root):
-        # crash recovery first: a committed stage (marker present)
-        # rolls forward; an uncommitted one (no marker) is discarded
+        # crash recovery first: a committed stage (marker present and
+        # parseable) rolls forward; an uncommitted one (no marker, or a
+        # torn marker — see _read_marker) is discarded
         if os.path.exists(marker):
-            return _roll_forward()
+            fold_set = _read_marker()
+            if fold_set is not None:
+                return _roll_forward(fold_set)
         shutil.rmtree(compact_dir, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
 
@@ -434,6 +452,13 @@ def compact_epochs(spark, root: str, merge_fn, fold_id: str = "folded") -> int:
             return 0
         merged = merge_fn(read_epochs(spark, root))
         merged.write.mode("overwrite").parquet(staged)
-        with open(marker, "w") as fh:
+        # atomic marker commit (r12 advisor item 1): tmp + fsync +
+        # rename, so a crash mid-write can never leave a torn marker
+        # that poisons every future recovery
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             json.dump(epochs, fh)
-        return _roll_forward()
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp_marker, marker)
+        return _roll_forward(epochs)

@@ -268,6 +268,31 @@ def test_crash_state_matrix(
     assert compact_epochs(spark, root, _count_merge) == 0
 
 
+def test_torn_marker_treated_as_uncommitted(spark, tmp_path):
+    """The 13th crash state the r12 advisor found missing from the
+    matrix: a crash MID-marker-write leaves unparseable JSON.  The
+    write is now atomic (tmp + rename) so this state shouldn't arise
+    going forward, but a marker torn by an older layout or a
+    non-atomic filesystem must read as UNCOMMITTED — moves only start
+    after a complete marker — and be discarded, never raise
+    JSONDecodeError forever (which would break the 'every state
+    recoverable by rerunning' protocol)."""
+    root = str(tmp_path / "pairs")
+    _seed_counts_store(spark, root)
+    want = _edges(spark, root)
+    compact_dir = os.path.join(root, "__compact")
+    staged = os.path.join(compact_dir, "batch=folded")
+    _count_merge(read_epochs(spark, root)).write.parquet(staged)
+    with open(os.path.join(compact_dir, "_STAGED"), "w") as fh:
+        fh.write('["batch=b0", "ba')  # torn mid-write
+    assert compact_epochs(spark, root, _count_merge) == 3
+    assert _epoch_dirs(root) == ["batch=folded"]
+    assert _edges(spark, root) == want
+    assert not os.path.exists(compact_dir)
+    # no .tmp litter from the atomic-commit path either
+    assert not os.path.exists(os.path.join(compact_dir, "_STAGED.tmp"))
+
+
 def test_refold_crash_after_swap_keeps_new_fold(spark, tmp_path):
     """Crash AFTER the swap on a RE-fold — the fold set contains the
     previous ``batch=folded``, so a naive rerun of the move loop would

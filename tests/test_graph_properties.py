@@ -158,6 +158,27 @@ def test_hits_matches_python_replay(spark, dedges):
     assert got == want
 
 
+def test_hits_degree_domain_guard(spark, monkeypatch):
+    """r12 verdict item 5 (the pagerank_weighted pattern): unnormalized
+    HITS scores are bounded by degree^4, so a max degree above the
+    int64 fourth root must FAIL FAST instead of wrapping silently.  The
+    bound is patched down so the test doesn't build a 55k-degree star."""
+    import pytest
+
+    from mapreducemovieanalysis_cloud_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_HITS_DEG_INT64_BOUND", 3)
+    star = spark.createDataFrame(
+        [("hub", f"t{i}") for i in range(5)], ["src", "dst"]
+    )
+    with pytest.raises(ValueError, match="degree"):
+        graph.hits_scores(star)
+    ok = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+    )
+    assert graph.hits_scores(ok).count() > 0
+
+
 @given(
     docs=st.lists(
         st.tuples(

@@ -45,8 +45,9 @@ DRIVER_ACTION_WHITELIST = {
     # store meta singleton + IVF probe cell list (n_probe cells)
     "operators/similarity.py": 2,
     # pagerank_weighted int64 domain guard: max(wsum) / min(w) scalars
-    # on localCheckpointed frames (r11 verdict item 5)
-    "operators/graph.py": 2,
+    # + hits_scores max-degree guard (r12 verdict item 5), all on
+    # localCheckpointed frames
+    "operators/graph.py": 3,
 }
 
 
