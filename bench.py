@@ -260,6 +260,94 @@ def _machine_load() -> dict:
     return out
 
 
+# Machine-speed canary (round 13, closing the load gate's remaining
+# blind spot).  Motivating reading, 2026-08-16: isolated median-of-5
+# probes on IDENTICAL code at 1-min loadavg 0.08 read the whole shingle
+# family uniformly ~2x its recorded band (containment_pairs 4.13 s vs
+# the r12 1.72, dedup_jaccard 3.21 vs 1.63, jaccard_threshold_sweep
+# 3.13 vs 1.69) — host-level slowdown (shared-host neighbors, CPU
+# frequency) that loadavg CANNOT see, because the contention is outside
+# this kernel's runqueue.  A fixed single-thread SHA-256 workload timed
+# before the JVM starts turns "was today's machine the same speed as
+# yesterday's?" into a field: family-uniform drift that tracks the
+# canary rate is the machine; drift that doesn't is the code.
+CANARY_MB = int(os.environ.get("SPARK_GRAFT_CANARY_MB", "256"))
+
+
+def _speed_canary(n_mb: int = None) -> dict:
+    """Two legs, both SHA-256 over a fixed buffer (deterministic work,
+    allocation-light, JVM-independent, <1 s total at the default size):
+
+    - ``mb_per_s`` — ``n_mb`` MiB on ONE thread: core speed.
+    - ``agg_mb_per_s`` — ``n_mb``/4 MiB on EACH of cpu_count threads
+      (hashlib releases the GIL for >2 KiB updates, so this is real
+      parallelism), median of 3: deliverable parallel capacity.  This
+      is the leg that sees a noisy neighbor — the 2026-08-16 reading
+      had the single-thread rate dead stable (1430/1428 MB/s) while
+      Spark's 32-thread stages ran 2x slow, i.e. a lone thread still
+      got a full core but the box could not deliver 32.
+
+    The artifact stamps the dict top-level; the rolling ``readings``
+    array carries both rates per entry."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_mb = CANARY_MB if n_mb is None else n_mb
+    buf = b"\xa5" * (1 << 20)
+
+    def _hash_mb(count: int) -> None:
+        h = hashlib.sha256()
+        for _ in range(count):
+            h.update(buf)
+
+    start = time.monotonic()
+    _hash_mb(n_mb)
+    single_s = time.monotonic() - start
+
+    n_threads = os.cpu_count() or 1
+    per_thread = max(1, n_mb // 4)
+    agg_samples = []
+    for _ in range(3):
+        start = time.monotonic()
+        with ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(_hash_mb, [per_thread] * n_threads))
+        agg_samples.append(time.monotonic() - start)
+    agg_s = statistics.median(agg_samples)
+    return {
+        "workload": "sha256, %d MiB x1 thread + %d MiB x%d threads"
+        % (n_mb, per_thread, n_threads),
+        "sec": round(single_s, 4),
+        "mb_per_s": round(n_mb / single_s, 1) if single_s > 0 else None,
+        "agg_sec": round(agg_s, 4),
+        "agg_mb_per_s": round(per_thread * n_threads / agg_s, 1)
+        if agg_s > 0
+        else None,
+    }
+
+
+def _reading_summary(
+    headline_total: float,
+    iqr: float,
+    load_start: dict,
+    sf,
+    contaminated: bool,
+    canary: dict,
+) -> dict:
+    """One entry of the rolling ``readings`` array (r12 verdict item 4 +
+    the round-13 canary): everything needed to compare this sweep with
+    any other sweep without opening its full artifact."""
+    return {
+        "value": headline_total,
+        "iqr": iqr,
+        "loadavg_1m": load_start.get("loadavg_1m"),
+        "canary_mb_per_s": canary.get("mb_per_s"),
+        "canary_agg_mb_per_s": canary.get("agg_mb_per_s"),
+        "sf": sf,
+        "contaminated": bool(contaminated),
+        "adopted": False,  # flipped by tools/adopt_bench.py at adoption
+    }
+
+
 def _epoch_compaction_instrument(spark) -> dict:
     """Round-over-round reading for the epoch-store compaction tier
     (r11 verdict item 4): build N single-day epochs, time the merged
@@ -364,6 +452,9 @@ def main() -> None:
     # reflects the conditions the measurements actually ran under
     gate_record, contaminated = _load_gate()
     load_start = _machine_load()
+    # canary BEFORE the JVM exists: it must read the bare machine the
+    # measurements are about to run on, not compete with executor threads
+    canary = _speed_canary()
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -409,6 +500,7 @@ def main() -> None:
         },
         "heavy_median3": {n: timings[n] for n in sorted(heavy)},
         "machine_load_start": load_start,
+        "machine_speed_canary": canary,
         "load_gate": gate_record,
     }
     if contaminated:
@@ -440,14 +532,14 @@ def main() -> None:
             prev_full = json.load(fh)
     except (OSError, ValueError):
         prev_full = {}
-    reading = {
-        "value": headline_total,
-        "iqr": result["headline_iqr"],
-        "loadavg_1m": load_start.get("loadavg_1m"),
-        "sf": result["sf"],
-        "contaminated": bool(contaminated),
-        "adopted": False,  # flipped by tools/adopt_bench.py at seed adoption
-    }
+    reading = _reading_summary(
+        headline_total,
+        result["headline_iqr"],
+        load_start,
+        result["sf"],
+        contaminated,
+        canary,
+    )
     result["readings"] = _append_reading(prev_full, reading)
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,

@@ -75,6 +75,45 @@ def test_machine_load_recorded():
             assert key in load and load[key] >= 0.0
 
 
+def test_speed_canary_records_rate():
+    # Round-13 blind-spot close: loadavg reads 0.08 while the host runs
+    # the whole shingle family at ~2x its band (SCALE.md, 2026-08-16) —
+    # contention outside this kernel's runqueue.  The canary times a
+    # FIXED single-thread SHA-256 workload so cross-day machine speed
+    # is a field in the artifact, not a prose adjudication.
+    c = bench._speed_canary(n_mb=8)
+    assert c["workload"].startswith("sha256, 8 MiB x1 thread + ")
+    assert c["sec"] > 0 and c["mb_per_s"] > 0
+    # the parallel leg (the one that sees a noisy neighbor: single-
+    # thread was dead stable while 32-thread stages ran 2x slow) must
+    # record a positive aggregate rate on every platform with threads
+    assert c["agg_sec"] > 0 and c["agg_mb_per_s"] > 0
+    # the default size must be env-overridable but always positive
+    assert bench.CANARY_MB > 0
+
+
+def test_reading_summary_carries_canary_rate():
+    # Every entry of the rolling readings array must carry the canary
+    # rate alongside loadavg — the two fields together decide whether a
+    # drifted sweep is machine or code.
+    r = bench._reading_summary(
+        5.0, 0.5, {"loadavg_1m": 0.1}, 0.1, False,
+        {"mb_per_s": 1234.5, "agg_mb_per_s": 9876.5, "sec": 0.2},
+    )
+    assert r["canary_mb_per_s"] == 1234.5
+    assert r["canary_agg_mb_per_s"] == 9876.5
+    assert r["loadavg_1m"] == 0.1
+    assert r["value"] == 5.0 and r["iqr"] == 0.5 and r["sf"] == 0.1
+    assert r["contaminated"] is False and r["adopted"] is False
+    # platform-tolerant: a canary without a rate records None, never raises
+    assert (
+        bench._reading_summary(5.0, 0.5, {}, 0.1, True, {})[
+            "canary_mb_per_s"
+        ]
+        is None
+    )
+
+
 def test_load_gate_quiet_machine_passes_immediately():
     # r12 verdict item 3: under the threshold, no sleeping at all.
     slept = []
