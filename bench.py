@@ -232,6 +232,17 @@ def _load_gate(
     return record, load1 > threshold
 
 
+def _read_json(path: str) -> dict:
+    """Tolerant read of a prior artifact: a missing, torn, or foreign
+    file is an empty history, never a crash of the unattended bench."""
+    try:
+        with open(path) as fh:
+            out = json.load(fh)
+        return out if isinstance(out, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _append_reading(prev_full: dict, reading: dict) -> list[dict]:
     """The rolling readings array (r12 verdict item 4): carry forward
     the previous output's array (tolerating a missing/foreign file) and
@@ -332,6 +343,7 @@ def _reading_summary(
     sf,
     contaminated: bool,
     canary: dict,
+    canary_degraded: bool = False,
 ) -> dict:
     """One entry of the rolling ``readings`` array (r12 verdict item 4 +
     the round-13 canary): everything needed to compare this sweep with
@@ -342,10 +354,80 @@ def _reading_summary(
         "loadavg_1m": load_start.get("loadavg_1m"),
         "canary_mb_per_s": canary.get("mb_per_s"),
         "canary_agg_mb_per_s": canary.get("agg_mb_per_s"),
+        "canary_degraded": bool(canary_degraded),
         "sf": sf,
         "contaminated": bool(contaminated),
         "adopted": False,  # flipped by tools/adopt_bench.py at adoption
     }
+
+
+# Canary gate (round 13, same shape as the load gate): the first live
+# canary reading caught the headline at 8.80 s with the aggregate rate
+# at 35% of its hour-earlier value AND loadavg 0.57 — a sweep the load
+# gate waved through.  Before measuring, compare the aggregate rate to
+# the BEST prior reading in the rolling history (self-calibrating per
+# machine — no absolute MB/s constant survives a hardware change) and
+# sleep-and-retry, bounded, until the host recovers; if it never does,
+# stamp ``canary_degraded`` so the reading self-disqualifies from seed
+# adoption (tools/adopt_bench.py refuses it without --force) while the
+# driver's artifact slot still gets filled.
+CANARY_GATE_RATIO = float(
+    os.environ.get("SPARK_GRAFT_CANARY_GATE_RATIO", "0.6")
+)
+
+
+def _best_prior_agg(readings) -> float:
+    """Highest aggregate canary rate in the rolling history — max is
+    robust to degraded/contaminated entries (low values never win), so
+    no filtering is needed."""
+    best = 0.0
+    for r in readings or []:
+        try:
+            rate = float(r.get("canary_agg_mb_per_s") or 0.0)
+        except (TypeError, ValueError):
+            continue
+        best = max(best, rate)
+    return best
+
+
+def _canary_gate(
+    prior_readings,
+    ratio: float = None,
+    max_wait_s: float = None,
+    poll_s: float = None,
+    sleep=time.sleep,
+    run_canary=None,
+) -> tuple[dict, dict, bool]:
+    """Returns ``(gate_record, final_canary, degraded)``.  With no prior
+    canary history (first run on a machine, foreign seed) the gate is a
+    no-op recording why — it can only tighten once history exists."""
+    ratio = CANARY_GATE_RATIO if ratio is None else ratio
+    max_wait_s = LOAD_GATE_MAX_WAIT_S if max_wait_s is None else max_wait_s
+    poll_s = LOAD_GATE_POLL_S if poll_s is None else poll_s
+    if run_canary is None:
+        run_canary = _speed_canary
+    best = _best_prior_agg(prior_readings)
+    record = {
+        "ratio": ratio,
+        "best_prior_agg_mb_per_s": best or None,
+        "waited_s": 0.0,
+    }
+    canary = run_canary()
+    agg = canary.get("agg_mb_per_s")
+    if not best or not agg:
+        record["final_agg_mb_per_s"] = agg
+        return record, canary, False
+    floor = best * ratio
+    waited = 0.0
+    while agg < floor and waited < max_wait_s:
+        step = min(poll_s, max_wait_s - waited)
+        sleep(step)
+        waited += step
+        canary = run_canary()
+        agg = canary.get("agg_mb_per_s") or 0.0
+    record["waited_s"] = round(waited, 1)
+    record["final_agg_mb_per_s"] = agg
+    return record, canary, agg < floor
 
 
 def _epoch_compaction_instrument(spark) -> dict:
@@ -448,13 +530,20 @@ def _run(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    # gate BEFORE the start-of-run load sample so machine_load_start
-    # reflects the conditions the measurements actually ran under
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_full = _read_json(os.path.join(here, "bench_result.out.json"))
+    seed_full = _read_json(os.path.join(here, "bench_result.json"))
+    # gates BEFORE the start-of-run load sample so machine_load_start
+    # reflects the conditions the measurements actually ran under; the
+    # canary gate runs before the JVM exists so it reads the bare
+    # machine, not competition with executor threads.  Prior history =
+    # rolling output + committed seed, so the gate works on a fresh
+    # checkout (seed only) and across a day's sweeps (out.json).
     gate_record, contaminated = _load_gate()
+    canary_gate_record, canary, canary_degraded = _canary_gate(
+        (prev_full.get("readings") or []) + (seed_full.get("readings") or [])
+    )
     load_start = _machine_load()
-    # canary BEFORE the JVM exists: it must read the bare machine the
-    # measurements are about to run on, not compete with executor threads
-    canary = _speed_canary()
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -502,9 +591,12 @@ def main() -> None:
         "machine_load_start": load_start,
         "machine_speed_canary": canary,
         "load_gate": gate_record,
+        "canary_gate": canary_gate_record,
     }
     if contaminated:
         result["load_contaminated"] = True
+    if canary_degraded:
+        result["canary_degraded"] = True
     try:
         consumers, missing = _resolve_store_consumers(qs)
         if missing:
@@ -524,14 +616,6 @@ def main() -> None:
         result["epoch_compaction_error"] = repr(exc)[:200]
     # end-of-run load LAST so it reflects the whole measurement window
     result["machine_load_end"] = _machine_load()
-    out_path_prev = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.out.json"
-    )
-    try:
-        with open(out_path_prev) as fh:
-            prev_full = json.load(fh)
-    except (OSError, ValueError):
-        prev_full = {}
     reading = _reading_summary(
         headline_total,
         result["headline_iqr"],
@@ -539,6 +623,7 @@ def main() -> None:
         result["sf"],
         contaminated,
         canary,
+        canary_degraded,
     )
     result["readings"] = _append_reading(prev_full, reading)
     full = dict(result, queries=timings, spread=spread)

@@ -102,6 +102,10 @@ def test_reading_summary_carries_canary_rate():
     )
     assert r["canary_mb_per_s"] == 1234.5
     assert r["canary_agg_mb_per_s"] == 9876.5
+    assert r["canary_degraded"] is False
+    assert bench._reading_summary(
+        5.0, 0.5, {}, 0.1, False, {}, canary_degraded=True
+    )["canary_degraded"] is True
     assert r["loadavg_1m"] == 0.1
     assert r["value"] == 5.0 and r["iqr"] == 0.5 and r["sf"] == 0.1
     assert r["contaminated"] is False and r["adopted"] is False
@@ -168,6 +172,92 @@ def test_load_gate_no_loadavg_platform_is_noop():
     assert record["final_loadavg_1m"] is None
 
 
+_CANARY_OK = {"mb_per_s": 1300.0, "agg_mb_per_s": 12000.0}
+_CANARY_LOW = {"mb_per_s": 1300.0, "agg_mb_per_s": 4800.0}
+
+
+def test_canary_gate_no_history_is_noop():
+    # First run on a machine (or a foreign seed): nothing to compare
+    # against, so the gate records why and never sleeps.
+    slept = []
+    record, canary, degraded = bench._canary_gate(
+        [], sleep=slept.append, run_canary=lambda: dict(_CANARY_LOW),
+    )
+    assert not degraded and slept == []
+    assert record["best_prior_agg_mb_per_s"] is None
+    assert record["final_agg_mb_per_s"] == 4800.0
+    assert canary["agg_mb_per_s"] == 4800.0
+
+
+def test_canary_gate_healthy_passes_immediately():
+    prior = [{"canary_agg_mb_per_s": 13494.6}]
+    slept = []
+    record, canary, degraded = bench._canary_gate(
+        prior, sleep=slept.append, run_canary=lambda: dict(_CANARY_OK),
+    )
+    assert not degraded and slept == []
+    assert record["best_prior_agg_mb_per_s"] == 13494.6
+    assert record["waited_s"] == 0.0
+
+
+def test_canary_gate_waits_then_recovers():
+    # The motivating failure: agg at ~35% of the history best with
+    # loadavg 0.57.  The gate must sleep-and-retry until the host
+    # recovers, then proceed undegraded.
+    prior = [{"canary_agg_mb_per_s": 13494.6}]
+    seq = [dict(_CANARY_LOW), dict(_CANARY_LOW), dict(_CANARY_OK)]
+    slept = []
+    record, canary, degraded = bench._canary_gate(
+        prior, max_wait_s=60, poll_s=15,
+        sleep=slept.append, run_canary=lambda: seq.pop(0),
+    )
+    assert not degraded
+    assert slept == [15, 15]
+    assert record["waited_s"] == 30.0
+    assert record["final_agg_mb_per_s"] == 12000.0
+
+
+def test_canary_gate_bounded_wait_stamps_degraded():
+    prior = [{"canary_agg_mb_per_s": 13494.6}]
+    slept = []
+    record, canary, degraded = bench._canary_gate(
+        prior, max_wait_s=30, poll_s=20,
+        sleep=slept.append, run_canary=lambda: dict(_CANARY_LOW),
+    )
+    assert degraded
+    assert slept == [20, 10]  # second poll truncated to the bound
+    assert record["waited_s"] == 30.0
+    assert record["final_agg_mb_per_s"] == 4800.0
+
+
+def test_best_prior_agg_tolerates_junk_entries():
+    # max over whatever parses: pre-canary entries (no field), nulls,
+    # and non-numeric junk must not crash the unattended bench.
+    assert bench._best_prior_agg(None) == 0.0
+    assert (
+        bench._best_prior_agg(
+            [
+                {"value": 5.04},
+                {"canary_agg_mb_per_s": None},
+                {"canary_agg_mb_per_s": "junk"},
+                {"canary_agg_mb_per_s": 9000.0},
+                {"canary_agg_mb_per_s": 13494.6, "contaminated": True},
+            ]
+        )
+        == 13494.6
+    )
+
+
+def test_read_json_tolerates_missing_and_torn(tmp_path):
+    assert bench._read_json(str(tmp_path / "absent.json")) == {}
+    torn = tmp_path / "torn.json"
+    torn.write_text('{"value": 5.0, "readings": [')
+    assert bench._read_json(str(torn)) == {}
+    foreign = tmp_path / "foreign.json"
+    foreign.write_text("[1, 2, 3]")
+    assert bench._read_json(str(foreign)) == {}
+
+
 def test_readings_array_appends_and_caps():
     # r12 verdict item 4: the day's sweeps accumulate in the artifact.
     prev = {"readings": [{"value": 5.44, "adopted": True}]}
@@ -207,6 +297,17 @@ def test_adopt_bench_flips_flag_and_refuses_contaminated(tmp_path):
 
     # latest reading contaminated -> refused without force
     readings[1]["contaminated"] = True
+    out.write_text(json.dumps({"value": 5.04, "readings": readings}))
+    with pytest.raises(SystemExit):
+        adopt(str(out), str(seed))
+    forced = adopt(str(out), str(seed), force=True)
+    assert forced["readings"][-1]["force_adopted"] is True
+
+    # canary-degraded latest -> refused the same way (the round-13
+    # canary gate: the host delivering a fraction of its parallel
+    # capacity is contamination, whatever loadavg says)
+    readings[1]["contaminated"] = False
+    readings[1]["canary_degraded"] = True
     out.write_text(json.dumps({"value": 5.04, "readings": readings}))
     with pytest.raises(SystemExit):
         adopt(str(out), str(seed))

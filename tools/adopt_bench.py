@@ -8,8 +8,10 @@ Copies ``bench_result.out.json`` (the gitignored live output) over the
 committed ``bench_result.json`` seed, flipping ``adopted: true`` on the
 final entry of the rolling ``readings`` array — the entry describing
 the run being adopted.  Refuses to adopt a reading stamped
-``load_contaminated``/``contaminated`` (the whole point of the r13 load
-gate), unless ``--force`` is given with a reason recorded in the seed.
+``load_contaminated``/``contaminated`` (the r13 load gate) or
+``canary_degraded`` (the r13 canary gate: host delivering a fraction
+of its parallel capacity while loadavg reads idle), unless ``--force``
+is given with a reason recorded in the seed.
 
 The round-open checklist runs this instead of a bare ``cp``, so the
 seed always carries the day's full sweep history with exactly one
@@ -40,6 +42,14 @@ def adopt(out_path: str = OUT, seed_path: str = SEED,
             "latest reading is load-contaminated (loadavg_1m=%s); rerun "
             "bench.py on a quiet machine or pass --force with a reason"
             % latest.get("loadavg_1m")
+        )
+    if latest.get("canary_degraded") and not force:
+        raise SystemExit(
+            "latest reading is canary-degraded (agg %s MB/s vs the "
+            "history best — the host was delivering a fraction of its "
+            "parallel capacity); rerun bench.py when the canary gate "
+            "passes or pass --force with a reason"
+            % latest.get("canary_agg_mb_per_s")
         )
     for r in readings:
         r["adopted"] = False
