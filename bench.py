@@ -390,6 +390,24 @@ def _best_prior_agg(readings) -> float:
     return best
 
 
+def _canary_history(out_full: dict, seed_full: dict) -> list:
+    """Everything the gate may compare against: the rolling sweep
+    readings of both artifacts PLUS any ``canary_observations`` —
+    standalone ``_speed_canary()`` measurements recorded (with
+    provenance) outside a sweep, e.g. the 13,494.6 MB/s healthy-host
+    reading taken during the round-13 probes before the host degraded.
+    Observations exist so the history is not blinded when every actual
+    sweep of a day ran on a sick host; they carry the same
+    ``canary_agg_mb_per_s`` key the readings do."""
+    hist: list = []
+    for full in (out_full, seed_full):
+        for key in ("readings", "canary_observations"):
+            val = full.get(key)
+            if isinstance(val, list):
+                hist.extend(val)
+    return hist
+
+
 def _canary_gate(
     prior_readings,
     ratio: float = None,
@@ -541,7 +559,7 @@ def main() -> None:
     # checkout (seed only) and across a day's sweeps (out.json).
     gate_record, contaminated = _load_gate()
     canary_gate_record, canary, canary_degraded = _canary_gate(
-        (prev_full.get("readings") or []) + (seed_full.get("readings") or [])
+        _canary_history(prev_full, seed_full)
     )
     load_start = _machine_load()
     spark = get_session(app_name="engine-bench")
@@ -626,6 +644,19 @@ def main() -> None:
         canary_degraded,
     )
     result["readings"] = _append_reading(prev_full, reading)
+    # carry canary_observations forward (deduped) from BOTH prior
+    # artifacts: adoption copies the output over the seed, so an
+    # observation living only in the seed would otherwise be lost at
+    # the next adoption
+    obs: list = []
+    for full_prior in (prev_full, seed_full):
+        val = full_prior.get("canary_observations")
+        if isinstance(val, list):
+            for o in val:
+                if o not in obs:
+                    obs.append(o)
+    if obs:
+        result["canary_observations"] = obs
     full = dict(result, queries=timings, spread=spread)
     # NOT bench_result.json: that file is the committed median-of-3 seed,
     # and writing the live result there dirtied the tree on every driver

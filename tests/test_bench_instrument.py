@@ -248,6 +248,24 @@ def test_best_prior_agg_tolerates_junk_entries():
     )
 
 
+def test_canary_history_merges_readings_and_observations():
+    # The gate must see standalone canary observations (recorded with
+    # provenance outside a sweep) alongside sweep readings from BOTH
+    # artifacts — otherwise a day whose every sweep ran on a sick host
+    # blinds the gate to what healthy looks like.
+    out_full = {"readings": [{"canary_agg_mb_per_s": 4785.7}]}
+    seed_full = {
+        "readings": [{"value": 5.94}],  # pre-canary entry, no rate
+        "canary_observations": [
+            {"canary_agg_mb_per_s": 13494.6, "source": "standalone"}
+        ],
+    }
+    hist = bench._canary_history(out_full, seed_full)
+    assert bench._best_prior_agg(hist) == 13494.6
+    # tolerant of absent/foreign fields
+    assert bench._canary_history({}, {"canary_observations": "junk"}) == []
+
+
 def test_read_json_tolerates_missing_and_torn(tmp_path):
     assert bench._read_json(str(tmp_path / "absent.json")) == {}
     torn = tmp_path / "torn.json"
