@@ -382,6 +382,8 @@ def _best_prior_agg(readings) -> float:
     no filtering is needed."""
     best = 0.0
     for r in readings or []:
+        if not isinstance(r, dict):  # null / string junk in a hand-
+            continue  # edited artifact must not crash the bench
         try:
             rate = float(r.get("canary_agg_mb_per_s") or 0.0)
         except (TypeError, ValueError):
@@ -522,15 +524,11 @@ def _time_store_consumers(spark, sf_dir: str, consumers: dict) -> tuple[
     return timings, errors
 
 
-def _heavy_from_previous(headline: set[str]) -> list[str]:
-    """Top-N most expensive non-headline queries per the previous run."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
-    )
-    try:
-        with open(path) as fh:
-            prev = json.load(fh).get("queries", {})
-    except (OSError, ValueError):
+def _heavy_from_previous(headline: set[str], seed_full: dict) -> list[str]:
+    """Top-N most expensive non-headline queries per the committed seed
+    (already loaded by main — no second read of the same file)."""
+    prev = seed_full.get("queries")
+    if not isinstance(prev, dict):
         return []
     ranked = sorted(
         (n for n in prev if n not in headline),
@@ -551,22 +549,32 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     prev_full = _read_json(os.path.join(here, "bench_result.out.json"))
     seed_full = _read_json(os.path.join(here, "bench_result.json"))
-    # gates BEFORE the start-of-run load sample so machine_load_start
-    # reflects the conditions the measurements actually ran under; the
-    # canary gate runs before the JVM exists so it reads the bare
-    # machine, not competition with executor threads.  Prior history =
-    # rolling output + committed seed, so the gate works on a fresh
-    # checkout (seed only) and across a day's sweeps (out.json).
+    # Ordering matters: load gate, then the load sample (BEFORE the
+    # canary — its all-core burst would otherwise inflate the recorded
+    # loadavg on an idle box), then the canary gate, which runs before
+    # the JVM exists so it reads the bare machine, not competition with
+    # executor threads.  Prior history = rolling output + committed
+    # seed, so the gate works on a fresh checkout (seed only) and
+    # across a day's sweeps (out.json).
     gate_record, contaminated = _load_gate()
+    load_start = _machine_load()
     canary_gate_record, canary, canary_degraded = _canary_gate(
         _canary_history(prev_full, seed_full)
     )
-    load_start = _machine_load()
+    # load that arrived DURING a canary wait (up to the bounded 180 s)
+    # would otherwise escape the contamination stamp: re-run the load
+    # gate after a non-zero wait — its own sleep-and-retry lets any
+    # canary-burst loadavg transient decay, while genuine new load
+    # persists past the bound and stamps the reading
+    if canary_gate_record.get("waited_s", 0) and not contaminated:
+        post_record, post_contaminated = _load_gate()
+        gate_record["post_canary_wait"] = post_record
+        contaminated = contaminated or post_contaminated
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
     gated = [n for n in HEADLINE + HEADLINE_FAMILY if n in qs]
-    heavy = set(_heavy_from_previous(set(gated))) & set(qs)
+    heavy = set(_heavy_from_previous(set(gated), seed_full)) & set(qs)
     names = gated + [n for n in sorted(qs) if n not in gated]
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}  # IQR across reps (median-of-reps only)
@@ -643,6 +651,12 @@ def main() -> None:
         canary,
         canary_degraded,
     )
+    # re-read the rolling output AT WRITE TIME: the start-of-run
+    # snapshot fed the gate history, but a concurrent bench invocation
+    # may have appended its reading since — merging against the fresh
+    # file keeps the lost-update window at milliseconds, not the whole
+    # sweep
+    prev_full = _read_json(os.path.join(here, "bench_result.out.json"))
     result["readings"] = _append_reading(prev_full, reading)
     # carry canary_observations forward (deduped) from BOTH prior
     # artifacts: adoption copies the output over the seed, so an

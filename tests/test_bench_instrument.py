@@ -242,10 +242,50 @@ def test_best_prior_agg_tolerates_junk_entries():
                 {"canary_agg_mb_per_s": "junk"},
                 {"canary_agg_mb_per_s": 9000.0},
                 {"canary_agg_mb_per_s": 13494.6, "contaminated": True},
+                None,  # non-dict entries (hand-edited artifact) must
+                "junk",  # not crash the unattended bench at startup
             ]
         )
         == 13494.6
     )
+
+
+def test_adopt_bench_merges_seed_only_observations(tmp_path):
+    # An observation committed to the seed AFTER the day's sweep wrote
+    # out.json must survive adoption — otherwise the overwrite
+    # collapses the canary gate's history back to sick-host readings.
+    from tools.adopt_bench import adopt
+
+    out = tmp_path / "out.json"
+    seed = tmp_path / "seed.json"
+    shared = {"canary_agg_mb_per_s": 12000.0, "source": "both"}
+    seed_only = {"canary_agg_mb_per_s": 13494.6, "source": "seed-only"}
+    out.write_text(json.dumps({
+        "value": 5.5,
+        "readings": [{"value": 5.5, "contaminated": False,
+                      "adopted": False}],
+        "canary_observations": [shared],
+    }))
+    seed.write_text(json.dumps({
+        "value": 5.94,
+        "canary_observations": [shared, seed_only],
+    }))
+    full = adopt(str(out), str(seed))
+    assert shared in full["canary_observations"]
+    assert seed_only in full["canary_observations"]
+    assert len(full["canary_observations"]) == 2  # deduped
+    on_disk = json.loads(seed.read_text())
+    assert seed_only in on_disk["canary_observations"]
+
+
+def test_heavy_from_previous_uses_loaded_seed():
+    # The helper takes the already-loaded seed dict (no second read of
+    # bench_result.json per run) and ranks non-headline queries.
+    seed_full = {"queries": {"a": 3.0, "b": 1.0, "hl": 9.0, "c": 2.0}}
+    got = bench._heavy_from_previous({"hl"}, seed_full)
+    assert got[:3] == ["a", "c", "b"]
+    assert bench._heavy_from_previous({"hl"}, {}) == []
+    assert bench._heavy_from_previous({"hl"}, {"queries": "junk"}) == []
 
 
 def test_canary_history_merges_readings_and_observations():

@@ -56,6 +56,26 @@ def adopt(out_path: str = OUT, seed_path: str = SEED,
     latest["adopted"] = True
     if force:
         latest["force_adopted"] = True
+    # merge canary_observations from the OUTGOING seed before the
+    # overwrite: bench.py carries them forward at run start, but an
+    # observation committed to the seed AFTER the day's sweep wrote
+    # out.json would otherwise vanish here — collapsing the canary
+    # gate's history back to whatever the sweeps saw
+    try:
+        with open(seed_path) as fh:
+            old_seed = json.load(fh)
+    except (OSError, ValueError):
+        old_seed = {}
+    out_obs = full.get("canary_observations")
+    merged = list(out_obs) if isinstance(out_obs, list) else []
+    old_obs = old_seed.get("canary_observations") if isinstance(
+        old_seed, dict) else None
+    if isinstance(old_obs, list):
+        for o in old_obs:
+            if o not in merged:
+                merged.append(o)
+    if merged:
+        full["canary_observations"] = merged
     if dry_run:
         return full
     with open(seed_path, "w") as fh:
