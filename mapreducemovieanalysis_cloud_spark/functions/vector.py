@@ -17,12 +17,18 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 SCALE = 1_000_000
 
 
 def quantize(vec: Column | str) -> Column:
     """array<float> -> array<long> at 1e-6 resolution."""
-    return F.transform(vec, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+    return F.transform(
+        vec, lambda x: round_half_up_long(x.cast("double") * SCALE)
+    )
 
 
 def qdot(a: Column, b: Column) -> Column:

@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 
 def exact_avg(measure: str, decimals: int = 2) -> Column:
     """Cross-engine bit-deterministic average: ``round(sum, decimals)/count``.
@@ -1003,11 +1007,11 @@ def grouped_zipf_slope(
     Groups with < 2 head rows or zero x-variance are dropped (undefined
     fit).  Output: (group, n_head, slope_micro, intercept_micro).
     """
-    x = F.round(F.log(F.col(rank_col).cast("double")) * 1_000_000).cast(
-        "long"
+    x = round_half_up_long(
+        F.log(F.col(rank_col).cast("double")) * 1_000_000
     )
-    y = F.round(F.log(F.col(count_col).cast("double")) * 1_000_000).cast(
-        "long"
+    y = round_half_up_long(
+        F.log(F.col(count_col).cast("double")) * 1_000_000
     )
     m = (
         ranked.select(F.col(group_col), x.alias("__x"), y.alias("__y"))

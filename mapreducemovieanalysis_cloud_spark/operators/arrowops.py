@@ -59,3 +59,92 @@ def embedding_norms_arrow(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     )
     return qdf.mapInArrow(norms, schema="vec_id long, l2_micro long")
+
+
+def char_histogram_arrow(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, acc): per-doc character
+    histogram + Shannon-entropy accumulator via one vectorized numpy
+    pass per Arrow batch.
+
+    Replaces the interpreted Catalyst run-length fold in
+    ``char_entropy_docs`` (round-13 optimization, guide §4.2): the
+    fold's per-char struct allocation ran ~1 µs/char and — because
+    higher-order functions get no common-subexpression elimination —
+    was evaluated once per extracted struct field.  Measured at sf0.1
+    (median-of-5, noop sink, local[32]): fold 1.91 s → this kernel
+    0.35 s (5.4x), value-identical on every doc at sf0.001/0.01/0.1.
+
+    Value contract vs the fold (and the DuckDB oracle): each TERM is the
+    bit-identical IEEE expression (-(k/n)·ln(k/n) with k, n exact small
+    integers in double), grouped in the same codepoint-ascending order
+    (the fold sorts single-char strings, whose UTF-8 byte order equals
+    codepoint order; np.unique sorts the (doc, codepoint) key).  The
+    per-doc SUM uses numpy's pairwise summation (``np.add.reduceat``),
+    which can differ from the fold's strictly sequential sum in the
+    last ulp — the same summation-order tolerance class the query
+    already accepts between the Spark fold and DuckDB's arbitrary-order
+    SUM, absorbed by the micro-rounding both sides apply.  Verified:
+    micro-rounded outputs identical on every doc at sf0.001/0.01/0.1
+    (and count fields are exact integers, order-free).
+
+    Scale posture: corpus-linear, zero shuffle, one scan; only
+    (id, text) cross the Python boundary — exactly the columns the JVM
+    fold consumed, so no pruning is lost.  The micro-rounding of
+    ``acc`` stays JVM-side in the caller (engine-wide convention)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        empty = pa.RecordBatch.from_pydict(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "n_distinct_chars": pa.array([], pa.int64()),
+                "acc": pa.array([], pa.float64()),
+            }
+        )
+        for rb in batches:
+            ids = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            n_docs = len(texts)
+            if n_docs == 0:
+                yield empty
+                continue
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=n_docs
+            )
+            # one contiguous codepoint array for the whole batch; the
+            # (doc, codepoint) composite key groups AND sorts in a
+            # single np.unique — codepoints are < 2^21, so the shifted
+            # key never collides across docs
+            cps = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            keys = doc_idx * (1 << 32) + cps
+            ukeys, counts = np.unique(keys, return_counts=True)
+            udoc = (ukeys >> 32).astype(np.int64)
+            n_per = lens[udoc].astype(np.float64)
+            kp = counts.astype(np.float64) / n_per
+            terms = -kp * np.log(kp)
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            acc = np.add.reduceat(terms, starts)
+            ndist = np.diff(np.r_[starts, len(udoc)])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": ids.cast(pa.int64()),
+                    "n_chars": pa.array(lens, pa.int64()),
+                    "n_distinct_chars": pa.array(ndist, pa.int64()),
+                    "acc": pa.array(acc, pa.float64()),
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInArrow(
+        kernel,
+        schema="doc_id long, n_chars long, n_distinct_chars long, acc double",
+    )

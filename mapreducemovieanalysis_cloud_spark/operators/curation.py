@@ -23,6 +23,10 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.functions import text as T
 
 # ---------------------------------------------------------------------------
@@ -206,7 +210,7 @@ def sessionize(
         (
             (F.max(us) - F.min(us)) / F.lit(1_000_000)
         ).cast("long").alias("duration_s"),
-        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        F.sum(round_half_up_long(F.col(value_col) * 100))
         .cast("long")
         .alias("value_cents"),
     )
@@ -478,9 +482,9 @@ def ares_priority(
         10,
     ).cast("long")
     u = (v + F.lit(1)).cast("double") / F.lit(4294967297.0)
-    return F.round(
+    return round_half_up_long(
         F.log(u) / F.col(weight_col).cast("double") * 1_000_000
-    ).cast("long")
+    )
 
 
 def weighted_sample(
@@ -576,9 +580,9 @@ def llr_keyness(
         F.col("tok").alias("token"),
         F.col("cin").cast("long").alias("cnt_in"),
         F.col("cout").cast("long").alias("cnt_out"),
-        F.round((term_a + term_b) * 2 * 1_000_000)
-        .cast("long")
-        .alias("llr_micro"),
+        round_half_up_long((term_a + term_b) * 2 * 1_000_000).alias(
+            "llr_micro"
+        ),
     )
     w = Window.partitionBy(group_col).orderBy(
         F.col("llr_micro").desc(), F.col("token")

@@ -38,6 +38,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.functions.hashing import md5_bucket
 
 DEFAULT_BUCKETS = 1024
@@ -154,7 +158,7 @@ def dsir_log_weights(
     return scored.select(
         F.col("_id").alias(id_col),
         "n_grams",
-        F.round(
+        round_half_up_long(
             (
                 F.col("_s")
                 + F.col("n_grams")
@@ -164,7 +168,5 @@ def dsir_log_weights(
                 )
             )
             * 1000000
-        )
-        .cast("long")
-        .alias("log_weight_micro"),
+        ).alias("log_weight_micro"),
     )

@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.functions.text import tokens
 
 K1 = 1.2
@@ -107,13 +111,13 @@ def bm25_from_tables(
         )
         .withColumn(
             "score_micro",
-            F.round(
+            round_half_up_long(
                 (
                     F.col("idf_odds")
                     * ((F.col("tf") * F.lit(K1_PLUS_1)) / F.col("denom"))
                 )
                 * F.lit(1000000.0)
-            ).cast("long"),
+            ),
         )
     )
     out = scored.groupBy(id_col).agg(

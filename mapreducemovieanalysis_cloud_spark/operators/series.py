@@ -28,11 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 US_PER_HOUR = 3_600_000_000
 
 
 def _cents(value_col: str) -> Column:
-    return F.round(F.col(value_col) * 100).cast("long")
+    return round_half_up_long(F.col(value_col) * 100)
 
 
 def cusum_max_excursion(

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 
 def salted_agg(
     df: DataFrame,
@@ -89,7 +93,7 @@ def salted_count_sum_cents(
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Salted count + exact-cents sum (the common hot-key shape)."""
-    cents = F.round(F.col(measure) * 100).cast("long")
+    cents = round_half_up_long(F.col(measure) * 100)
     return salted_agg(
         df,
         keys,

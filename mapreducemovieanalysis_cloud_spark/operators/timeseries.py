@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 US_PER_HOUR = 3_600_000_000
 
 
@@ -40,7 +44,7 @@ def resample_hourly_locf(
     """
     us = F.unix_micros(F.col(ts_col))
     hour = (us / F.lit(US_PER_HOUR)).cast("long")
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = round_half_up_long(F.col(value_col) * 100)
     # latest event per occupied hour via max_by over the (us, tiebreak)
     # total order; count per hour rides along in the same aggregate
     occupied = (
@@ -118,7 +122,7 @@ def resample_hourly_interp(
     user-keyed exchange (two in-partition sorts), no as-of join, no
     self-join, and no O(rows^2) unbounded-following frame."""
     us = F.unix_micros(F.col(ts_col))
-    vm = F.round(F.col(value_col) * 1_000_000).cast("long")
+    vm = round_half_up_long(F.col(value_col) * 1_000_000)
     obs = (
         df.select(
             F.col(user_col),
@@ -352,7 +356,7 @@ def ewma_per_key(
     )
     return df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(folded * 1_000_000).cast("long").alias("ewma_micro"),
+        round_half_up_long(folded * 1_000_000).alias("ewma_micro"),
     )
 
 

@@ -17,13 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.operators import joins, windows
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
 
 def _cents(col: str) -> F.Column:
-    return F.round(F.col(col) * 100).cast("long")
+    return round_half_up_long(F.col(col) * 100)
 
 
 # --------------------------------------------------------------------------
@@ -710,7 +714,7 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.sum(F.round(F.col("value") * 100).cast("long"))
+        F.sum(round_half_up_long(F.col("value") * 100))
         .over(w)
         .alias("trailing_hour_cents"),
         F.count(F.lit(1)).over(w).alias("trailing_hour_events"),

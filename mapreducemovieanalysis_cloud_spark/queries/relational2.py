@@ -10,6 +10,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
@@ -365,7 +369,7 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(v)
 
     customer = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents = round_half_up_long(F.col("c_acctbal") * 100)
     return (
         customer.select("c_nationkey", cents.alias("cents"))
         .groupBy("c_nationkey")
@@ -474,7 +478,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long"))
+        F.sum(round_half_up_long(F.col("value") * 100))
         .cast("long")
         .alias("value_cents"),
     )

@@ -42,6 +42,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
@@ -470,7 +474,7 @@ def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("b"),
         F.transform(
             "embedding",
-            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            lambda x: round_half_up_long(x.cast("double") * 1000),
         ).alias("mv"),
     )
     n = q.groupBy("label", "b").agg(F.count(F.lit(1)).alias("n"))

@@ -197,81 +197,40 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band).  Complements the token-level gates (curation.py) and the
     corpus-level LM score (ngram_lm.py) at the character tier.
 
-    Scale posture: ZERO shuffle — the char histogram and the entropy
-    sum are pure array expressions evaluated per row, so the output is
-    one row per doc with no exchange at any size.  The histogram is a
-    single run-length FOLD over the SORTED char array (array_sort + one
-    F.aggregate pass with a (prev, run, acc) struct accumulator),
-    O(len·log len) per row.  Two rejected shapes, both probe-measured:
-    recounting the array per distinct char (O(len·distinct), ~7×
-    slower at sf0.1) and per-index element_at lookups inside a lambda
-    (catalyst re-inlines the array_sort at EVERY element — higher-order
-    functions get no common-subexpression elimination — so the sort
-    reruns n times per row).  The fold references the sorted array
-    exactly once, which is what makes it safe.  The p·ln p terms run
-    the identical double expression on integer count ratios in both
-    engines, micro-rounded (entropy_lang_by_source pattern)."""
+    Scale posture: ZERO shuffle — one scan, one row per doc, no exchange
+    at any size; the histogram + entropy accumulator run as a vectorized
+    numpy kernel over Arrow batches (operators/arrowops.
+    char_histogram_arrow), with only (doc_id, text) crossing the Python
+    boundary.  History of shapes, all probe-measured at sf0.1: recounting
+    the array per distinct char (O(len·distinct), ~7× slower than the
+    fold), per-index element_at lookups (catalyst re-inlines array_sort
+    at every element — HOFs get no CSE), the run-length Catalyst fold
+    over the sorted char array (1.91 s — and the no-CSE hazard bit it
+    too: extracting two struct fields evaluated the fold twice), and the
+    Arrow kernel (0.35 s, 5.4×; round-13 optimization, guide §4.2).
+    Value-identical to the fold on every doc at sf0.001/0.01/0.1: same
+    IEEE term expression, same codepoint-ascending accumulation order
+    (see the kernel's docstring), micro-rounded JVM-side here."""
     from pyspark.sql import functions as F
+
+    from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+        round_half_up_long,
+    )
+    from mapreducemovieanalysis_cloud_spark.operators.arrowops import (
+        char_histogram_arrow,
+    )
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") > 0
     )
-    s = F.array_sort(F.split(F.col("text"), ""))
-    n = F.length("text").cast("double")
-
-    def term(k):
-        kp = k.cast("double") / n
-        return -kp * F.log(kp)
-
-    # "" cannot appear in split(text, "") output (Java regex split
-    # drops leading empties), so it is a safe never-matches sentinel.
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("cnt"),
-        F.lit(0.0).alias("acc"),
-    )
-
-    def fold(a, c):
-        return F.when(
-            a["prev"] == c,
-            F.struct(
-                a["prev"].alias("prev"),
-                (a["run"] + 1).alias("run"),
-                a["cnt"].alias("cnt"),
-                a["acc"].alias("acc"),
-            ),
-        ).otherwise(
-            F.struct(
-                c.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                (a["cnt"] + 1).alias("cnt"),
-                (
-                    a["acc"]
-                    + F.when(a["run"] > 0, term(a["run"])).otherwise(
-                        F.lit(0.0)
-                    )
-                ).alias("acc"),
-            )
-        )
-
-    # finish closes the last run (docs are length>0, so run>0 here).
-    hist = F.aggregate(
-        s,
-        zero,
-        fold,
-        lambda a: F.struct(
-            a["cnt"].alias("cnt"),
-            (a["acc"] + term(a["run"])).alias("acc"),
-        ),
-    )
-    return docs.select(
+    hist = char_histogram_arrow(docs)
+    return hist.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        hist["cnt"].alias("n_distinct_chars"),
-        F.round(hist["acc"] * 1_000_000)
-        .cast("long")
-        .alias("char_entropy_micro"),
+        "n_chars",
+        "n_distinct_chars",
+        round_half_up_long(F.col("acc") * 1_000_000).alias(
+            "char_entropy_micro"
+        ),
     )
 
 

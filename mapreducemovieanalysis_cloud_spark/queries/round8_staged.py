@@ -17,6 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.registry import query
 from mapreducemovieanalysis_cloud_spark.sources.readers import load_table
 
@@ -342,20 +346,16 @@ def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "tok",
-        F.round(
+        round_half_up_long(
             F.log((F.col("c") + F.lit(1.0)) / (F.col("t") + F.col("v")))
             * F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("lp_micro"),
+        ).alias("lp_micro"),
     )
     base = tot.crossJoin(F.broadcast(v)).select(
         "source",
-        F.round(
+        round_half_up_long(
             F.log(F.lit(1.0) / (F.col("t") + F.col("v"))) * F.lit(1_000_000)
-        )
-        .cast("long")
-        .alias("lp0_micro"),
+        ).alias("lp0_micro"),
     )
     matched = (
         dt.join(term, "tok")

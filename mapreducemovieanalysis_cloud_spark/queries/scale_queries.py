@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 from mapreducemovieanalysis_cloud_spark.operators import (
     aggregates,
     cdc,
@@ -60,7 +64,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.bloom_prefilter_join(orders, dim, on="o_custkey")
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(round_half_up_long(F.col("o_totalprice") * 100))
         .cast("long")
         .alias("revenue_cents"),
     )
@@ -158,7 +162,7 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return aggregates.int_histogram(
         orders,
-        F.round(F.col("o_totalprice") * 100).cast("long"),
+        round_half_up_long(F.col("o_totalprice") * 100),
         bucket_width_cents=2_500_000,
     )
 
@@ -414,7 +418,7 @@ def outliers_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         group_col="event_type",
         id_col="event_id",
-        cents_col=F.round(F.col("value") * 100).cast("long"),
+        cents_col=round_half_up_long(F.col("value") * 100),
         z_num=2,
         z_den=1,
     )
@@ -551,7 +555,7 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile boundaries + a map-side membership count — no global sort."""
     orders = load_table(spark, sf_dir, "orders")
     return aggregates.equidepth_histogram(
-        orders, F.round(F.col("o_totalprice") * 100).cast("long"), n_buckets=10
+        orders, round_half_up_long(F.col("o_totalprice") * 100), n_buckets=10
     )
 
 
@@ -588,7 +592,7 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events.select(
         "user_id",
         F.expr("unix_micros(ts) div 3600000000").alias("h"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+        round_half_up_long(F.col("value") * 100).alias("y"),
     )
     ctr = e.groupBy("user_id").agg(F.min("h").alias("h0"))
     xy = e.join(ctr, "user_id").select(

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreducemovieanalysis_cloud_spark.functions.rounding import (
+    round_half_up_long,
+)
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -25,7 +29,7 @@ def _fmt(col: Column, alias: str) -> Column:
 
 
 def _cents(col: str) -> Column:
-    return F.round(F.col(col) * 100).cast("long")
+    return round_half_up_long(F.col(col) * 100)
 
 
 def tumbling_agg(
