@@ -48,19 +48,43 @@ def exact_dedup(
 
 
 def shingle_sets(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fan_out: bool = False,
 ) -> DataFrame:
     """(id, shingle) exploded distinct n-word shingles.
 
     Tokenizes in its own projection so the split runs once per document —
     inlining ``tokens()`` into the shingle lambda re-splits per shingle
-    (see ``functions.text.shingles_from_tokens``)."""
+    (see ``functions.text.shingles_from_tokens``).
+
+    With ``fan_out=True`` the tokenized frame is rebalanced when the
+    scan is narrower than the cluster (``skew.fan_out_underparallel``):
+    a single-row-group corpus file otherwise serializes the shingle
+    transform, the md5 seed hashes and every downstream per-row pass on
+    one core.  Self-extinguishing at scale — real corpora scan as >=
+    cores splits, so no extra Exchange exists in the 100 TB plan.
+    Opt-in per call site because only the MINHASH consumers win from it
+    (k/4 md5 digests per shingle row are the dominant serialized cost:
+    interleaved A/B at sf0.1/local[32] read dedup_minhash_lsh 2.05 ->
+    0.98 s, lsh_band_collision_stats 2.44 -> 0.90, jaccard_threshold_
+    sweep 2.09 -> 1.04), while the PPJoin/exact paths — one md5 per row,
+    self-join dominated — measure the extra exchange as a net loss
+    (dedup_jaccard +0.20 s, containment_pairs +0.15, lsh_recall_vs_exact
+    +0.53); see OPTIMIZATION_r13.md."""
     from mapreducemovieanalysis_cloud_spark.functions.text import (
         shingles_from_tokens,
         tokens,
     )
+    from mapreducemovieanalysis_cloud_spark.operators.skew import (
+        fan_out_underparallel,
+    )
 
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    if fan_out:
+        toked = fan_out_underparallel(toked)
     return toked.select(
         F.col(id_col),
         F.explode(
@@ -306,7 +330,7 @@ def minhash_signatures(
     sh = (
         shingles
         if shingles is not None
-        else shingle_sets(docs, n, id_col, text_col)
+        else shingle_sets(docs, n, id_col, text_col, fan_out=True)
     )
     n_digests = (num_hashes + _CHUNKS_PER_MD5 - 1) // _CHUNKS_PER_MD5
     # materialize each digest once per shingle row, then min() over its
@@ -397,7 +421,9 @@ def minhash_candidate_jaccard(
     # round-4 leak audit (persist() without a matching unpersist pins
     # storage for the app lifetime; checkpoint blocks are released when
     # the RDD is GC'd).
-    sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    sh = shingle_sets(docs, n, id_col, text_col, fan_out=True).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     sigs = minhash_signatures(
         docs, n, num_hashes, id_col, text_col, shingles=sh

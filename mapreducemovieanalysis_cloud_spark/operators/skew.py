@@ -103,3 +103,44 @@ def salted_count_sum_cents(
         },
         salt_buckets,
     )
+
+
+def fan_out_underparallel(df: DataFrame) -> DataFrame:
+    """Round-robin-rebalance a frame whose physical partitioning is
+    narrower than the session's default parallelism; a no-op otherwise.
+
+    The idle-capacity fix for UNSPLITTABLE small inputs (guide §2.5
+    "input skew" / §2.6): a single-file, single-row-group parquet table
+    scans as ONE task, so every map-side expression downstream of it —
+    tokenize, shingle, md5, explode — runs on one core while the rest
+    of the cluster idles.  Measured on the round-13 probes (sf0.1,
+    local[32], every driver table is one row group): minhash signature
+    derivation 1.64 s -> 0.55 s just by spreading the tokenized frame
+    across the cores.
+
+    Scale posture: the condition is SELF-EXTINGUISHING.  At 100 TB a
+    table scans as thousands of splits >= cluster cores, the predicate
+    is false, and the plan carries zero extra Exchange.  The rebalance
+    only fires when the input is small relative to the cluster — which
+    is exactly when one extra round-robin shuffle of it is cheap, and
+    when NOT firing leaves the whole cluster serialized on one task.
+    Callers apply it to narrow projections (ids + derived arrays), not
+    raw wide rows, so the rebalanced bytes stay proportional to the
+    columns the downstream compute actually needs.
+
+    ``df.rdd.getNumPartitions()`` finalizes a classic physical plan for
+    the frame (no job is launched); apply this to scan-adjacent frames,
+    not deep mid-plan subtrees.
+
+    ``SPARK_GRAFT_FANOUT=0`` disables the rebalance (the parameterised
+    kill-switch the optimization rules require for any scale-dependent
+    behavior; default on — the local bench is exactly the under-parallel
+    case the rebalance exists for)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
