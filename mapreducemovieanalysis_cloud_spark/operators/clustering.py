@@ -16,7 +16,7 @@ are the first k vectors by id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -28,45 +28,94 @@ from mapreducemovieanalysis_cloud_spark.functions.vector import (
 )
 
 
-def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(
+    pts: DataFrame, cents: DataFrame, code_only: bool = False
+) -> DataFrame:
     """Nearest-centroid cell per point: exact integer squared distance,
     centroid id as tie-break. ``pts``: (vec_id, qv, pn2); ``cents``:
-    (cell, cv, cn2)."""
+    (cell, cv, cn2).
+
+    Arg-min as a partial-aggregatable ``min_by`` over the exact-integer
+    ordering struct (d2, cell) — identical selection to the former
+    ``row_number() over (partition by vec_id order by d2, cell)`` window
+    (both comparisons are int64; lexicographic struct order == the
+    window's two-key order), but the k-way score explosion collapses
+    MAP-SIDE: the exchange carries one row per vector instead of k, and
+    no per-partition sort runs (round-13 optimization, guide §2.3
+    "aggregate before you shuffle"; same idiom as canonical_survivors).
+
+    ``code_only=True`` — the FINAL, corpus-linear assignment when the
+    caller only consumes (vec_id, cell) — aggregates the scalar cell
+    instead of the (qv, pn2, cell) struct: the exchange then carries 2
+    longs per vector instead of the dim-long quantized vector, and the
+    fixed-width buffer keeps the aggregate in codegen HashAggregate
+    rather than ObjectHashAggregate (guide §2.3 "narrower types")."""
     scored = pts.join(F.broadcast(cents)).withColumn(
         "d2",
         F.col("pn2") - 2 * qdot_arrow(F.col("qv"), F.col("cv")) + F.col("cn2"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "qv", "pn2", "cell")
-    )
-
-
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroid per cell: per-dimension rounded mean (exact int64 sum,
-    one IEEE division), reassembled in dimension order."""
-    exploded = assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
-    # Explicit sum/count rather than avg(): Spark's Average over LongType
-    # accumulates in DoubleType, which loses the exact-bigint-sum guarantee
-    # once a cell's per-dim partial sums pass 2^53 (and becomes summation-
-    # order dependent). sum() stays int64; one IEEE division at the end.
-    per_dim = exploded.groupBy("cell", "pos").agg(
-        F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv_v")
-    )
-    return (
-        per_dim.groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv_v"))),
-                lambda s: s.cv_v,
-            ).alias("cv")
+    if code_only:
+        return scored.groupBy("vec_id").agg(
+            F.min_by(
+                "cell",
+                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
+            ).alias("cell")
         )
-        .withColumn("cn2", qnorm2(F.col("cv")))
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("qv", "pn2", "cell"),
+                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
+            ).alias("b")
+        )
+        .select("vec_id", "b.qv", "b.pn2", "b.cell")
     )
+
+
+def _update(assigned: DataFrame, dim: int) -> DataFrame:
+    """New centroid per cell: per-dimension rounded mean (exact int64 sum,
+    one IEEE division), reassembled in dimension order.
+
+    Dimension-indexed sum aggregates instead of the former
+    posexplode + (cell, pos) rollup + per-cell re-assembly: the explode
+    multiplied the exchange by ``dim`` rows per vector and paid a second
+    shuffle for the array re-assembly; ``dim`` indexed sums partial-
+    aggregate map-side to one row per cell, one exchange total (round-13
+    optimization, guide §2.3).  Value-identical: each dim's
+    ``round(sum/count)`` is the same expression over the same group.
+
+    Explicit sum/count rather than avg(): Spark's Average over LongType
+    accumulates in DoubleType, which loses the exact-bigint-sum guarantee
+    once a cell's per-dim partial sums pass 2^53 (and becomes summation-
+    order dependent). sum() stays int64; one IEEE division at the end.
+
+    ``dim`` is an UPPER BOUND on the vector width: shorter vectors work
+    (the sums past the real width are null and sliced off by the
+    per-cell ``min(size(qv))``), but vectors WIDER than ``dim`` would be
+    silently truncated — callers own passing a dim >= the corpus width
+    (the engine's embedding tables are 64-wide everywhere; see
+    pca_gram's hardcoded 64)."""
+    # F.get (not qv[i]): out-of-bounds must yield null under ANSI mode
+    # for the shorter-than-dim tolerance above, not raise
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.size("qv")).alias("__len"),
+        *[F.sum(F.get("qv", i)).alias(f"__s{i}") for i in range(dim)],
+    )
+    return per_cell.select(
+        "cell",
+        F.slice(
+            F.array(
+                *[
+                    F.round(F.col(f"__s{i}") / F.col("__n")).cast("long")
+                    for i in range(dim)
+                ]
+            ),
+            1,
+            F.col("__len"),
+        ).alias("cv"),
+    ).withColumn("cn2", qnorm2(F.col("cv")))
 
 
 def kmeans_assignments(
@@ -78,6 +127,7 @@ def kmeans_assignments(
     keep_vec: bool = False,
     target_cluster_size: int | None = None,
     train_sample: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """(vec_id, cluster) after ``iters`` Lloyd iterations from the first-k
     seed centroids. ``keep_vec=True`` additionally returns the quantized
@@ -145,9 +195,11 @@ def kmeans_assignments(
     assigned = None
     for it in range(iters):
         last = it == iters - 1
-        assigned = _assign(pts if last else train, cents)
+        assigned = _assign(
+            pts if last else train, cents, code_only=last and not keep_vec
+        )
         if not last:
-            cents = _update(assigned)
+            cents = _update(assigned, dim)
     if keep_vec:
         return assigned.select(
             "vec_id", "qv", "pn2", F.col("cell").alias("cluster")

@@ -51,42 +51,65 @@ def _subspace_points(
     ).withColumn("sn2", qnorm2(F.col("sv")))
 
 
-def _assign_sub(sub: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_sub(
+    sub: DataFrame, cents: DataFrame, code_only: bool = False
+) -> DataFrame:
     """Nearest centroid per (vector, subspace) — clustering._assign with the
-    subspace id as an extra join/window key."""
+    subspace id as an extra join/group key.
+
+    Arg-min as a partial-aggregatable ``min_by`` over the exact-integer
+    ordering struct (d2, cell) — identical selection to the former
+    row_number window (int64 comparisons; lexicographic struct order ==
+    the window's two-key order), but the k-way score explosion collapses
+    map-side and no per-partition sort runs (round-13 optimization,
+    guide §2.3; see clustering._assign)."""
     scored = sub.join(F.broadcast(cents), "j").withColumn(
         "d2",
         F.col("sn2") - 2 * qdot_arrow(F.col("sv"), F.col("cv")) + F.col("cn2"),
     )
-    w = Window.partitionBy("vec_id", "j").orderBy(
-        F.col("d2").asc(), F.col("cell").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "j", "sv", "sn2", "cell")
-    )
-
-
-def _update_sub(assigned: DataFrame) -> DataFrame:
-    """Rounded-mean centroid per (subspace, cell) — clustering._update with
-    the subspace key; exact int64 sums, one IEEE division per dim."""
-    exploded = assigned.select(
-        "j", "cell", F.posexplode("sv").alias("pos", "v")
-    )
-    per_dim = exploded.groupBy("j", "cell", "pos").agg(
-        F.round(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv_v")
-    )
-    return (
-        per_dim.groupBy("j", "cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv_v"))),
-                lambda s: s.cv_v,
-            ).alias("cv")
+    if code_only:
+        return scored.groupBy("vec_id", "j").agg(
+            F.min_by(
+                "cell",
+                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
+            ).alias("cell")
         )
-        .withColumn("cn2", qnorm2(F.col("cv")))
+    return (
+        scored.groupBy("vec_id", "j")
+        .agg(
+            F.min_by(
+                F.struct("sv", "sn2", "cell"),
+                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
+            ).alias("b")
+        )
+        .select("vec_id", "j", "b.sv", "b.sn2", "b.cell")
     )
+
+
+def _update_sub(assigned: DataFrame, subdim: int) -> DataFrame:
+    """Rounded-mean centroid per (subspace, cell) — clustering._update with
+    the subspace key; exact int64 sums, one IEEE division per dim.
+
+    Dimension-indexed sums instead of posexplode + (j, cell, pos) rollup
+    + re-assembly: one exchange of k·m partial rows instead of two
+    exchanges of n·subdim exploded rows (round-13 optimization, guide
+    §2.3).  Value-identical: each dim's ``round(sum/count)`` is the same
+    expression over the same group; ``subdim`` is exact by construction
+    (dim // m from pq_codes)."""
+    per_cell = assigned.groupBy("j", "cell").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col("sv")[i]).alias(f"__s{i}") for i in range(subdim)],
+    )
+    return per_cell.select(
+        "j",
+        "cell",
+        F.array(
+            *[
+                F.round(F.col(f"__s{i}") / F.col("__n")).cast("long")
+                for i in range(subdim)
+            ]
+        ).alias("cv"),
+    ).withColumn("cn2", qnorm2(F.col("cv")))
 
 
 def pq_codes(
@@ -149,9 +172,9 @@ def pq_codes(
     assigned = None
     for it in range(iters):
         last = it == iters - 1
-        assigned = _assign_sub(sub if last else train, cents)
+        assigned = _assign_sub(sub if last else train, cents, code_only=last)
         if not last:
-            cents = _update_sub(assigned)
+            cents = _update_sub(assigned, dim // m)
     codes = assigned.select("vec_id", "j", F.col("cell").alias("code"))
     return codes, cents
 

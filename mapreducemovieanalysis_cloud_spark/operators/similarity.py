@@ -200,18 +200,9 @@ def ann_ivf_topk(
     )
 
     def best_cells(side: DataFrame, side_id: str, keep: int) -> DataFrame:
-        scored = side.join(F.broadcast(cents)).withColumn(
-            "cdot", qdot_arrow(F.col(f"qv_{side_id}"), F.col("qv_cent"))
-        )
-        w = Window.partitionBy(side_id).orderBy(
-            F.col("cdot").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("cell_rank", F.row_number().over(w))
-            .where(F.col("cell_rank") <= keep)
-            .drop("qv_cent", "cdot", "cell_rank")
-            .withColumnRenamed("cent_id", "cell")
-        )
+        # the shared kernel: corpus side (keep=1) runs as a partial-agg
+        # min_by, query side (keep=nprobe) keeps the top-n window
+        return _ivf_cells(side, cents, side_id, keep)
 
     c = best_cells(_with_qv(corpus, id_col, vec_col, "neighbor_id"),
                    "neighbor_id", 1)
@@ -313,10 +304,37 @@ def _ivf_cells(
     keep: int,
 ) -> DataFrame:
     """Best ``keep`` cells per vector: argmax integer dot against the
-    broadcast centroids, centroid id as the deterministic tie-break."""
+    broadcast centroids, centroid id as the deterministic tie-break.
+
+    ``keep == 1`` — the CORPUS-side assignment, the rows-proportional
+    path — runs as a partial-aggregatable ``min_by`` over the ordering
+    struct (-cdot, cent_id) (identical selection to the former
+    row_number window: cdot desc == -cdot asc in exact int64, cent_id
+    asc tie-break), collapsing the n_centroids-way score explosion
+    map-side with no per-partition sort (round-13 optimization, guide
+    §2.3; see clustering._assign).  ``keep > 1`` is only ever the QUERY
+    side (nprobe cells per query — bounded rows) and keeps the window,
+    which a top-n-per-key genuinely needs."""
     scored = side.join(F.broadcast(cents)).withColumn(
         "cdot", qdot_arrow(F.col(f"qv_{side_id}"), F.col("qv_cent"))
     )
+    if keep == 1:
+        passthrough = [
+            c for c in side.columns if c != side_id
+        ]
+        return (
+            scored.groupBy(side_id)
+            .agg(
+                F.min_by(
+                    F.struct(*passthrough, F.col("cent_id").alias("cell")),
+                    F.struct(
+                        (-F.col("cdot")).alias("_nd"),
+                        F.col("cent_id").alias("_c"),
+                    ),
+                ).alias("b")
+            )
+            .select(side_id, *[f"b.{c}" for c in passthrough], "b.cell")
+        )
     w = Window.partitionBy(side_id).orderBy(
         F.col("cdot").desc(), F.col("cent_id").asc()
     )
