@@ -321,6 +321,12 @@ def _encode_positions(
     rows survive the limit; the aggregate is map-side combined), so the
     single-partition sort touches vocab-sized data, never corpus-sized;
     encoding is a broadcast join on token, entirely JVM-side.
+
+    Deliberately NOT fan_out_underparallel'd (the minhash-family
+    rebalance): measured on the round-13 interleaved A/B, the per-
+    position work left after the span-draw delag (one md5 at most) is
+    too light to pay for the extra exchange — tokenize_to_ids read
+    +0.27 s WITH the rebalance, masked_lm −0.11, span ±0.05.
     """
     from mapreducemovieanalysis_cloud_spark.functions.text import tokens
 
@@ -789,19 +795,36 @@ def span_corruption_dataset(
             < F.lit(SPAN_START_THRESHOLD_U32),
         ).otherwise(F.lit(False))
 
+    # ONE md5 draw per position; coverage reads the two predecessors'
+    # draws via lag over the window the span machinery pays for anyway.
+    # Value-identical to evaluating _start_fired at (p, p-1, p-2) per
+    # row — positions are dense 0..n-1 per doc, so lag(fired, k) IS the
+    # draw at p-k, and the coalesce(False) default matches
+    # _start_fired's p < 1 => False contract.  The former expression
+    # recomputed each neighbour's md5 in place: 3x the digests, all on
+    # the map side (round-13 optimization, guide §1.2 per-task work).
     one_based = F.col("pos") + 1
-    covered = reduce(
-        lambda a, b: a | b,
-        (_start_fired(one_based - k) for k in range(SPAN_LEN)),
-    )
+    w = Window.partitionBy(id_col).orderBy("pos")
     enc = _encode_positions(df, vocab_size, id_col, text_col).select(
         F.col(id_col),
         "pos",
         "tok_id",
-        covered.alias("cov"),
+        _start_fired(one_based).alias("fired"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = reduce(
+        lambda a, b: a | b,
+        (
+            F.coalesce(F.lag("fired", k).over(w), F.lit(False))
+            for k in range(1, SPAN_LEN)
+        ),
+        F.col("fired"),
+    )
     spans = enc.select(
+        F.col(id_col),
+        "pos",
+        "tok_id",
+        covered.alias("cov"),
+    ).select(
         F.col(id_col),
         "pos",
         "tok_id",

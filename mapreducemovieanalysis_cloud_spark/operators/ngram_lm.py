@@ -58,8 +58,20 @@ def _occurrences(
     slide with transform over an index sequence, posexplode."""
     if n < 2:
         raise ValueError("ngram_lm needs n >= 2 (context must be non-empty)")
-    toked = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    from mapreducemovieanalysis_cloud_spark.operators.skew import (
+        fan_out_underparallel,
+    )
+
+    # Rebalance when the scan is narrower than the cluster (the
+    # minhash-family pattern, see skew.fan_out_underparallel): the
+    # gram build pays two array_join string constructions per
+    # occurrence, and on a single-row-group corpus file the whole
+    # explode otherwise runs on one core.  Self-extinguishing at scale.
+    toked = fan_out_underparallel(
+        docs.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        )
     ).where(
         # docs shorter than n tokens have no n-grams; filtering BEFORE
         # building the index sequence also keeps sequence(0, len-n)
