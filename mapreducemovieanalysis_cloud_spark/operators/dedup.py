@@ -135,15 +135,30 @@ def jaccard_pairs(
             eager=False
         )
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    rank_w = Window.partitionBy(id_col).orderBy(F.md5(F.col("shingle")))
+    # One projection owns both hashes of each shingle: ``fp`` (md5 hex —
+    # the canonical global order AND the verify fingerprint, unchanged
+    # contract) and ``jk`` (xxhash64 — the 8-byte candidate-JOIN key;
+    # round-13 optimization, guide §2.3 "narrower types").  Raw shingle
+    # strings never flow past this projection.  Hashing the join key is
+    # LOSSLESS: equal shingles hash equal (no candidate missed), and a
+    # collision can only ADD a candidate pair — the exact array_intersect
+    # verify below rejects it, and a colliding row can only LOWER a
+    # pos_a/pos_b min, which RAISES the positional upper bound (keeps
+    # strictly more pairs for the verify), never drops a qualifying one.
+    proj = sh.select(
+        F.col(id_col),
+        F.md5("shingle").alias("fp"),
+        F.xxhash64("shingle").alias("jk"),
+    )
+    sizes = proj.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    rank_w = Window.partitionBy(id_col).orderBy(F.col("fp"))
     # Required overlap is ceil(t·size) in EXACT arithmetic: the float product
     # can round up past the true integer (0.55*100 -> 55.00000000000001,
     # ceil=56), which would shorten the prefix by one and silently drop
     # qualifying pairs. The epsilon backs off float-rounding-up while staying
     # far below the 1/size quantum between distinct exact values.
     prefix = (
-        sh.withColumn("rk", F.row_number().over(rank_w))
+        proj.withColumn("rk", F.row_number().over(rank_w))
         .join(sizes, id_col)
         .where(
             F.col("rk")
@@ -151,7 +166,7 @@ def jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(1e-9))
             + 1
         )
-        .select(id_col, "shingle", "rk")
+        .select(id_col, "jk", "rk")
     )
     # The groupBy replaces the plain .distinct() at the same shuffle cost,
     # but additionally keeps each pair's FIRST shared prefix shingle's
@@ -159,12 +174,12 @@ def jaccard_pairs(
     # sorted by the same global md5 order, so the globally-smallest shared
     # shingle is the rank-min in A and in B simultaneously).
     cands = (
-        prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("rk").alias("rk_a"))
+        prefix.select(F.col(id_col).alias("doc_a"), "jk", F.col("rk").alias("rk_a"))
         .join(
             prefix.select(
-                F.col(id_col).alias("doc_b"), "shingle", F.col("rk").alias("rk_b")
+                F.col(id_col).alias("doc_b"), "jk", F.col("rk").alias("rk_b")
             ),
-            "shingle",
+            "jk",
         )
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -217,8 +232,8 @@ def jaccard_pairs(
     # per doc and count the intersection locally — shuffle volume is
     # O(candidates × avg doc fingerprint bytes), no exploded postings
     # fan-out, no pair-keyed re-aggregation.
-    doc_sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_list(F.md5("shingle"))).alias("__fps"),
+    doc_sets = proj.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("fp")).alias("__fps"),
         F.count(F.lit(1)).alias("set_size"),
     )
     return (
@@ -275,6 +290,12 @@ def winnow_fingerprints(
         tokens,
     )
 
+    # Deliberately NOT fan_out_underparallel'd (the minhash-family
+    # rebalance): one truncated md5 per position is too light to pay
+    # for the extra exchange — the round-13 interleaved A/B read
+    # decontaminate_batch +0.50 s and decontamination_overlap_sweep
+    # +0.23 WITH the rebalance (each pays TWO winnow passes), against
+    # only -0.15 on the plain fingerprint_winnow surface.
     toked = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
     # max_pos is known before exploding (shingle count = tokens - n + 1), so
     # carry it as a scalar instead of re-deriving it with a second
@@ -827,9 +848,16 @@ def duplicate_passages(
     at 100 TB pick n >= 32 so window cardinality approaches uniqueness and
     the having-filter drops ~everything before the top-k.
     """
-    toked = docs.select(F.col(id_col), tokens(text_col).alias("__t")).where(
-        F.size("__t") >= n
+    from mapreducemovieanalysis_cloud_spark.operators.skew import (
+        fan_out_underparallel,
     )
+
+    # Rebalance under-parallel scans (the minhash-family pattern): the
+    # window build pays an 8-token slice+concat plus an md5 per
+    # position, otherwise serialized on a single-row-group corpus file.
+    toked = fan_out_underparallel(
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    ).where(F.size("__t") >= n)
     wins = toked.select(
         F.col(id_col),
         F.explode(
@@ -867,6 +895,7 @@ def _containment_candidates(
     t_den: int,
     id_col: str,
     max_df: int | None,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Directional candidate pairs for the containment detector.
 
@@ -891,7 +920,17 @@ def _containment_candidates(
     can over-prune — consistent with the knob's documented
     recall-trading contract.)  Output carries |A| and the pair grain is
     the groupBy itself, replacing the old distinct at the same shuffle
-    cost."""
+    cost.
+
+    ``join_on_hash=True`` keys the candidate join on xxhash64(shingle)
+    instead of the shingle string — 8 bytes through the exchange and a
+    long compare per probe (guide §2.3 "narrower types").  ONLY for
+    callers that exact-verify the surviving pairs (containment_pairs\'
+    array_intersect): equal shingles hash equal so no candidate is
+    missed, and a collision can only ADD a pair (and only LOWER the
+    first-match rank mins, which RAISES the positional bound — keeps
+    strictly more).  The stats surface counts candidates with no
+    verify, so it keeps the exact string join."""
     df_rank = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     rank_w = Window.partitionBy(id_col).orderBy(
         "__df", F.md5(F.col("shingle"))
@@ -909,20 +948,25 @@ def _containment_candidates(
     )
     if max_df is not None:
         prefix = prefix.where(F.col("__df") <= max_df)
+    jkey = (
+        F.xxhash64("shingle").alias("__jk")
+        if join_on_hash
+        else F.col("shingle").alias("__jk")
+    )
     prefix = prefix.select(
         F.col(id_col).alias("doc_a"),
-        "shingle",
+        jkey,
         F.col("rk").alias("__ra"),
         "s",
     )
     bside = ranked.select(
         F.col(id_col).alias("doc_b"),
-        "shingle",
+        jkey,
         F.col("rk").alias("__rb"),
         F.col("s").alias("__sb"),
     )
     return (
-        prefix.join(bside, "shingle")
+        prefix.join(bside, "__jk")
         .where(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
@@ -1034,7 +1078,9 @@ def containment_pairs(
     """
     sh = shingle_sets(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("s"))
-    cands = _containment_candidates(sh, sizes, t_num, t_den, id_col, max_df)
+    cands = _containment_candidates(
+        sh, sizes, t_num, t_den, id_col, max_df, join_on_hash=True
+    )
     # Exact-set verify: one sorted md5-fingerprint array per doc (md5 is
     # the repo-wide shingle fingerprint; 128 bits makes a collision that
     # changes an overlap count astronomically unlikely), candidate pairs
