@@ -46,12 +46,23 @@ def rank_by_count(
     shuffles for the join; the only shuffles are the aggregate exchange (with
     automatic map-side partial aggregation — the reference's disabled
     combiner, MovieRank.java:80-95,161) and the range exchange for the sort.
+
+    The aggregate runs BELOW the join (round-13 optimization, guide §2.3
+    "aggregate before you shuffle"): the count needs only the key, so
+    grouping first collapses the fact stream to one row per key before
+    the broadcast probe, and the label string never enters the aggregate
+    exchange at all — it is attached to group-sized rows afterwards.
+    Equivalent to join-then-group because ``dim`` is a unique-key lookup
+    (the reference's own contract: a DistributedCache HashMap holds ONE
+    title per id, MovieRank.java:30-51); the inner join then drops
+    exactly the same unmatched keys either side of the aggregate.
     """
     counted = (
         facts.select(key)  # early projection (MovieRank.java:65-72)
-        .join(F.broadcast(dim.select(key, label)), key, "inner")
-        .groupBy(key, label)
+        .groupBy(key)
         .agg(F.count(F.lit(1)).alias(count_alias))
+        .join(F.broadcast(dim.select(key, label)), key, "inner")
+        .select(key, label, count_alias)
     )
     order = F.col(count_alias).desc() if descending else F.col(count_alias).asc()
     return counted.orderBy(order, F.col(key).asc())
@@ -89,15 +100,20 @@ def rank_by_avg(
     which flips order-insensitive value hashes.
     """
     avg_col = F.round(F.sum(measure), measure_decimals) / F.count(F.lit(1))
+    # Aggregate below the broadcast join, HAVING below it too (round-13
+    # optimization, guide §2.3 — same argument and unique-key-dim
+    # precondition as rank_by_count): the aggregate exchange carries
+    # (key, partial sum, partial count) with no label string, and only
+    # HAVING survivors probe the broadcast HashMap.
     ranked = (
         facts.select(key, measure)
-        .join(F.broadcast(dim.select(key, label)), key, "inner")
-        .groupBy(key, label)
+        .groupBy(key)
         .agg(
             avg_col.alias(avg_alias),
             F.count(F.lit(1)).alias(count_alias),
         )
         .where((F.col(count_alias) > min_count) & (F.col(avg_alias) > min_avg))
+        .join(F.broadcast(dim.select(key, label)), key, "inner")
         # final column order: label leads (MovieRating.java:130-136, X3)
         .select(label, avg_alias, count_alias, key)
     )
