@@ -176,9 +176,19 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # FACT-FIRST join order (round-13 optimization): with the dim chain
+    # on the left, the planner estimated the (customer x orders) subtree
+    # above lineitem's scan size and BROADCAST THE FACT TABLE — a 600k-row
+    # hash relation rebuilt on every execution (visible as BuildRight over
+    # the lineitem scan in the committed before-plan).  Keeping lineitem
+    # as the probe stream lets the size-based planner build the genuinely
+    # small sides (filtered orders, customer, supplier) — and at a scale
+    # where those stop fitting, the same size logic degrades to SMJ
+    # instead of an impossible fact broadcast.  Inner joins commute: the
+    # result is identical.
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -280,9 +290,12 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fact-first join order — same rationale (and before-plan evidence)
+    # as tpch_q5: keep the filtered lineitem as the probe stream so the
+    # planner never builds a fact-sized broadcast
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -331,9 +344,15 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # fact-first join order (round-13 optimization, the tpch_q5 pattern):
+    # dim-chain-first made the planner BROADCAST THE FILTERED FACT (150k
+    # returned lines) to probe a ~5k-row quarter of orders — build and
+    # probe exactly backwards.  With lineitem as the probe stream the
+    # size-based planner builds the quarter-of-orders and customer sides.
+    # Inner joins commute: identical result.
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_cents(disc)).alias("revenue_cents"))
