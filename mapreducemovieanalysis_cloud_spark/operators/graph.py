@@ -409,6 +409,15 @@ def personalized_pagerank(
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
+    # data-adaptive broadcast of the node-sized tables — the pagerank/
+    # hits_scores pattern (guide §3.1); the count is cheap on the
+    # eagerly-checkpointed node table and a huge graph keeps the
+    # shuffled plan
+    bcast = (
+        F.broadcast
+        if nodes_s.count() <= _GRAPH_BCAST_MAX_NODES
+        else (lambda df: df)
+    )
     base_num = (100 - damping_pct) * SCALE
     ranks = nodes_s.select(
         "node",
@@ -419,8 +428,11 @@ def personalized_pagerank(
     )
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            edges.join(bcast(deg), "src")
+            .join(
+                bcast(ranks.select(F.col("node").alias("src"), "rank")),
+                "src",
+            )
             .select("dst", F.expr("rank div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
