@@ -92,16 +92,36 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
 
     ``dim`` is an UPPER BOUND on the vector width: shorter vectors work
     (the sums past the real width are null and sliced off by the
-    per-cell ``min(size(qv))``), but vectors WIDER than ``dim`` would be
-    silently truncated — callers own passing a dim >= the corpus width
-    (the engine's embedding tables are 64-wide everywhere; see
-    pca_gram's hardcoded 64)."""
+    per-cell ``min(size(qv))``), but a vector WIDER than ``dim`` would
+    be silently truncated — so the per-cell ``max(size(qv))`` is
+    asserted ``<= dim`` inside the plan and the query FAILS LOUDLY
+    (matching the engine's other runtime domain guards, e.g.
+    pagerank_weighted's int64 guard) instead of producing wrong
+    centroids (the engine's embedding tables are 64-wide everywhere;
+    see pca_gram's hardcoded 64)."""
     # F.get (not qv[i]): out-of-bounds must yield null under ANSI mode
     # for the shorter-than-dim tolerance above, not raise
     per_cell = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.size("qv")).alias("__len"),
+        F.max(F.size("qv")).alias("__maxlen"),
         *[F.sum(F.get("qv", i)).alias(f"__s{i}") for i in range(dim)],
+    )
+    # assert_true returns null when the guard holds, so the when() wrapper
+    # evaluates it per cell and passes __len through unchanged; a wider
+    # vector raises with the observed width instead of truncating
+    guarded_len = F.when(
+        F.assert_true(
+            F.col("__maxlen") <= F.lit(dim),
+            F.concat(
+                F.lit(
+                    f"clustering._update: vector wider than dim={dim} (got "
+                ),
+                F.col("__maxlen").cast("string"),
+                F.lit("); pass a dim >= the corpus vector width"),
+            ),
+        ).isNull(),
+        F.col("__len"),
     )
     return per_cell.select(
         "cell",
@@ -113,7 +133,7 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
                 ]
             ),
             1,
-            F.col("__len"),
+            guarded_len,
         ).alias("cv"),
     ).withColumn("cn2", qnorm2(F.col("cv")))
 

@@ -65,9 +65,13 @@ def pagerank(
                  + (d · Σ_{src→node} (rank_i div outdeg(src))) div 100
 
     All divisions are integer floor on non-negative values, so Spark's
-    ``div`` and DuckDB's ``//`` agree exactly. N enters as a broadcast
-    scalar aggregate (no driver-side count — the plan stays lazy and
-    distributed end-to-end).
+    ``div`` and DuckDB's ``//`` agree exactly. N enters the rank
+    EXPRESSIONS as a broadcast scalar aggregate (never a Python-side
+    literal), so the arithmetic stays distributed; the only driver-side
+    read is the adaptive-broadcast decision below — one ``count()`` on
+    the already-eagerly-checkpointed node table at plan-construction
+    time (cheap: it reads materialized partitions, not the edge
+    lineage).
     """
     # edges feed degree computation plus one join per iteration, and the
     # node set twice. Eager localCheckpoint (not just persist) both reuses

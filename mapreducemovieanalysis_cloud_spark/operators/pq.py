@@ -95,7 +95,15 @@ def _update_sub(assigned: DataFrame, subdim: int) -> DataFrame:
     exchanges of n·subdim exploded rows (round-13 optimization, guide
     §2.3).  Value-identical: each dim's ``round(sum/count)`` is the same
     expression over the same group; ``subdim`` is exact by construction
-    (dim // m from pq_codes)."""
+    (dim // m from pq_codes).
+
+    ``sv[i]`` (GetArrayItem) rather than clustering._update's null-safe
+    ``F.get`` is DELIBERATE, not an oversight: every subvector here is
+    exactly ``subdim`` wide by construction (``F.slice(qv, j*subdim+1,
+    subdim)`` in pq_codes), so under ANSI mode an out-of-bounds read can
+    only mean corrupted input — failing loudly matches the engine's
+    runtime domain guards, while clustering._update's ``F.get`` exists
+    because its ``dim`` is an upper bound over caller-supplied widths."""
     per_cell = assigned.groupBy("j", "cell").agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(F.col("sv")[i]).alias(f"__s{i}") for i in range(subdim)],

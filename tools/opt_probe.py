@@ -6,7 +6,7 @@ For each named query (registered or staged): one warm run, then median of
 ``--reps`` (default 5) noop-sink runs — the bench's exact methodology
 (guide §1.4) in an isolated process so one query's JIT/GC does not bleed
 into another's reading.  With ``--plans TAG`` the pre-execution
-``explain("formatted")`` is written to ``plans/r13/<query>_<TAG>.txt``
+``explain("formatted")`` is written to ``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<TAG>.txt`` (default r14)
 (the optimization round's before/after evidence files).
 
 Prints one JSON line per query: {"name", "median", "iqr", "samples"} and
@@ -61,7 +61,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     for name in names:
         fn = qs[name]
