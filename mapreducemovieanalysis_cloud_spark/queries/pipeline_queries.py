@@ -812,6 +812,12 @@ def decontaminate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before ingesting a crawl against held-out benchmarks)."""
     docs = load_table(spark, sf_dir, "documents")
     batch_srcs = ["src0", "src1", "src2", "src3", "src4"]
+    # Two filtered frames deliberately (round-14): a shared-scan variant
+    # (filter above the winnow + exchange reuse) was built and interleaved-
+    # A/B measured at +0.10/+0.14 s — one reused exchange but the per-doc
+    # window then runs over the FULL corpus in both branches, while these
+    # disjoint filters each window only their half. The win that round
+    # kept is in dedup._decontaminate_score (single-join scoring tail).
     batch = docs.where(F.col("source").isin(batch_srcs))
     reference = docs.where(~F.col("source").isin(batch_srcs))
     return dedup.decontaminate(
