@@ -376,27 +376,36 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 (order priority checking): fact-fact LEFT SEMI join — the
-    EXISTS decorrelates to a semi join on the order key, so lineitem's
-    payload never materializes past the join (only the key + correlated
-    predicate columns flow) and each order emits at most once regardless
-    of line count."""
+    """TPC-H Q4 (order priority checking): EXISTS as inner join +
+    count(DISTINCT o_orderkey). The direct LeftSemi decorrelation forces
+    BuildRight, i.e. a broadcast HASH RELATION OVER THE WHOLE LINEITEM
+    PROJECTION (600 k rows at sf0.1 — a single-threaded build; the r13
+    bench read q4 0.48 -> 0.61 s and a 0.82 core-scaling factor, the
+    build's serial signature). The inner form lets the planner build the
+    3-month filtered ORDERS side instead and probe lineitem; o_orderkey
+    is unique in orders, so counting distinct matched keys per priority
+    is exactly the EXISTS count. l_shipdate > '1997-01-01' is implied by
+    the correlated predicate (l_shipdate > o_orderdate >= 1997-01-01) and
+    stated explicitly so it reaches the lineitem scan as a pushed filter
+    — the optimizer does not infer constant bounds through a non-equi
+    join condition."""
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .where(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
     )
     return (
-        o.join(
-            li,
+        li.join(
+            o,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("l_shipdate") > F.col("o_orderdate")),
-            "left_semi",
         )
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("order_count"))
     )
 
 
