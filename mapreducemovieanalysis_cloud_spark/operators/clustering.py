@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from mapreducemovieanalysis_cloud_spark.functions.hashing import md5_bucket
+from mapreducemovieanalysis_cloud_spark.functions.ordkey import (
+    pack_score_cell,
+    unpack_cell,
+)
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qdot_arrow,
     qnorm2,
@@ -29,7 +33,10 @@ from mapreducemovieanalysis_cloud_spark.functions.vector import (
 
 
 def _assign(
-    pts: DataFrame, cents: DataFrame, code_only: bool = False
+    pts: DataFrame,
+    cents: DataFrame,
+    code_only: bool = False,
+    cell_bound: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid cell per point: exact integer squared distance,
     centroid id as tie-break. ``pts``: (vec_id, qv, pn2); ``cents``:
@@ -45,21 +52,33 @@ def _assign(
     "aggregate before you shuffle"; same idiom as canonical_survivors).
 
     ``code_only=True`` — the FINAL, corpus-linear assignment when the
-    caller only consumes (vec_id, cell) — aggregates the scalar cell
-    instead of the (qv, pn2, cell) struct: the exchange then carries 2
-    longs per vector instead of the dim-long quantized vector, and the
-    fixed-width buffer keeps the aggregate in codegen HashAggregate
-    rather than ObjectHashAggregate (guide §2.3 "narrower types")."""
+    caller only consumes (vec_id, cell) — packs the (d2, cell) ordering
+    into ONE int64 (``functions/ordkey.py``; ``cell_bound`` = the
+    caller's k, since cells are seed ids < k throughout the Lloyd chain)
+    so the arg-min is a plain ``min(long)``: codegen HashAggregate with
+    map-side partials and NO per-partition Sort, where the min_by's
+    STRUCT ordering buffer planned as SortAggregate and paid a Sort of
+    the k-way exploded score rows on both sides of the exchange — k× the
+    corpus on this leg at 100 TB (round-14 optimization, guide §2.3).
+    Identical selection: d2 is an exact nonnegative int64 and cell < 2^s,
+    so min(d2·2^s + cell) IS the lexicographic (d2, cell) minimum; both
+    domain bounds are asserted per row inside the plan."""
     scored = pts.join(F.broadcast(cents)).withColumn(
         "d2",
         F.col("pn2") - 2 * qdot_arrow(F.col("qv"), F.col("cv")) + F.col("cn2"),
     )
     if code_only:
-        return scored.groupBy("vec_id").agg(
-            F.min_by(
-                "cell",
-                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
-            ).alias("cell")
+        if cell_bound is None:
+            raise ValueError("code_only assignment requires cell_bound")
+        packed = pack_score_cell(
+            F.col("d2"), F.col("cell"), cell_bound, "clustering._assign"
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(packed).alias("__p"))
+            .select(
+                "vec_id", unpack_cell(F.col("__p"), cell_bound).alias("cell")
+            )
         )
     return (
         scored.groupBy("vec_id")
@@ -216,7 +235,10 @@ def kmeans_assignments(
     for it in range(iters):
         last = it == iters - 1
         assigned = _assign(
-            pts if last else train, cents, code_only=last and not keep_vec
+            pts if last else train,
+            cents,
+            code_only=last and not keep_vec,
+            cell_bound=k,
         )
         if not last:
             cents = _update(assigned, dim)

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreducemovieanalysis_cloud_spark.functions.hashing import md5_bucket
+from mapreducemovieanalysis_cloud_spark.functions.ordkey import (
+    pack_score_cell,
+    unpack_cell,
+)
 from mapreducemovieanalysis_cloud_spark.functions.vector import (
     qdot_arrow,
     qnorm2,
@@ -52,7 +56,10 @@ def _subspace_points(
 
 
 def _assign_sub(
-    sub: DataFrame, cents: DataFrame, code_only: bool = False
+    sub: DataFrame,
+    cents: DataFrame,
+    code_only: bool = False,
+    cell_bound: int | None = None,
 ) -> DataFrame:
     """Nearest centroid per (vector, subspace) — clustering._assign with the
     subspace id as an extra join/group key.
@@ -62,17 +69,32 @@ def _assign_sub(
     row_number window (int64 comparisons; lexicographic struct order ==
     the window's two-key order), but the k-way score explosion collapses
     map-side and no per-partition sort runs (round-13 optimization,
-    guide §2.3; see clustering._assign)."""
+    guide §2.3; see clustering._assign).
+
+    ``code_only=True`` (the corpus-linear ENCODE pass) additionally packs
+    the (d2, cell) ordering into one int64 (``cell_bound`` = the caller's
+    k) so the arg-min is a plain ``min(long)`` — codegen HashAggregate,
+    no per-partition Sort of the k-way exploded scores, where the struct
+    ordering planned as SortAggregate (round-14; see clustering._assign
+    and functions/ordkey.py for the equivalence + in-plan guards)."""
     scored = sub.join(F.broadcast(cents), "j").withColumn(
         "d2",
         F.col("sn2") - 2 * qdot_arrow(F.col("sv"), F.col("cv")) + F.col("cn2"),
     )
     if code_only:
-        return scored.groupBy("vec_id", "j").agg(
-            F.min_by(
-                "cell",
-                F.struct(F.col("d2").alias("_d2"), F.col("cell").alias("_c")),
-            ).alias("cell")
+        if cell_bound is None:
+            raise ValueError("code_only assignment requires cell_bound")
+        packed = pack_score_cell(
+            F.col("d2"), F.col("cell"), cell_bound, "pq._assign_sub"
+        )
+        return (
+            scored.groupBy("vec_id", "j")
+            .agg(F.min(packed).alias("__p"))
+            .select(
+                "vec_id",
+                "j",
+                unpack_cell(F.col("__p"), cell_bound).alias("cell"),
+            )
         )
     return (
         scored.groupBy("vec_id", "j")
@@ -180,7 +202,9 @@ def pq_codes(
     assigned = None
     for it in range(iters):
         last = it == iters - 1
-        assigned = _assign_sub(sub if last else train, cents, code_only=last)
+        assigned = _assign_sub(
+            sub if last else train, cents, code_only=last, cell_bound=k
+        )
         if not last:
             cents = _update_sub(assigned, dim // m)
     codes = assigned.select("vec_id", "j", F.col("cell").alias("code"))

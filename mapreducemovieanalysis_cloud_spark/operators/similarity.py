@@ -302,6 +302,7 @@ def _ivf_cells(
     cents: DataFrame,
     side_id: str,
     keep: int,
+    cell_bound: int | None = None,
 ) -> DataFrame:
     """Best ``keep`` cells per vector: argmax integer dot against the
     broadcast centroids, centroid id as the deterministic tie-break.
@@ -314,10 +315,41 @@ def _ivf_cells(
     map-side with no per-partition sort (round-13 optimization, guide
     §2.3; see clustering._assign).  ``keep > 1`` is only ever the QUERY
     side (nprobe cells per query — bounded rows) and keeps the window,
-    which a top-n-per-key genuinely needs."""
+    which a top-n-per-key genuinely needs.
+
+    ``cell_bound`` (keep == 1 only): the caller consumes ONLY
+    (side_id, cell) — pack the (-cdot, cent_id) ordering into one int64
+    (shifted by a constant offset so the score is nonnegative; argmin is
+    shift-invariant) and take a plain ``min(long)``: codegen
+    HashAggregate, no Sort of the n_centroids-way exploded scores, where
+    the struct-ordering min_by planned as SortAggregate (round-14; see
+    functions/ordkey.py for the equivalence + in-plan domain guards —
+    |cdot| < 2^57 holds with ~2^11 headroom for 64-dim unit-scale
+    quantized vectors, |dot| <= 64·(1e6·~30)²)."""
     scored = side.join(F.broadcast(cents)).withColumn(
         "cdot", qdot_arrow(F.col(f"qv_{side_id}"), F.col("qv_cent"))
     )
+    if keep == 1 and cell_bound is not None:
+        from mapreducemovieanalysis_cloud_spark.functions.ordkey import (
+            cell_shift,
+            pack_score_cell,
+            unpack_cell,
+        )
+
+        offset = 1 << (62 - cell_shift(cell_bound))
+        packed = pack_score_cell(
+            F.lit(offset) - F.col("cdot"),
+            F.col("cent_id"),
+            cell_bound,
+            "similarity._ivf_cells",
+        )
+        return (
+            scored.groupBy(side_id)
+            .agg(F.min(packed).alias("__p"))
+            .select(
+                side_id, unpack_cell(F.col("__p"), cell_bound).alias("cell")
+            )
+        )
     if keep == 1:
         passthrough = [
             c for c in side.columns if c != side_id
